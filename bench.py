@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Headline benchmark: training throughput (images/sec/chip) on a
+HAM-2018-style workload — the production SkinCancerListModel at 224x224,
+batch uint8 inputs with device-side augmentation fused into the train step.
+
+Baseline: the reference trains at ~6 img/s on Apple M2 Max MPS (derived in
+SURVEY.md §6 from tone_bias_train.py:336 / tone_bias_dataset.py:607:
+2,536 imgs at ~7 min/epoch). ``vs_baseline`` = ours / 6.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from skin_image_analysis_tpu.config import ModelConfig, OptimConfig
+    from skin_image_analysis_tpu.ops.preprocess import (
+        AugmentConfig,
+        make_preprocess_fn,
+    )
+    from skin_image_analysis_tpu.train.state import create_train_state
+    from skin_image_analysis_tpu.train.step import make_train_step
+
+    batch_size = 128
+    image_size = 224
+    canonical = 256
+    n_devices = len(jax.devices())
+
+    model_cfg = ModelConfig(compute_dtype="bfloat16")
+    state, _ = create_train_state(
+        model_cfg, OptimConfig(learning_rate=1e-5), jax.random.key(0),
+        batch_size=batch_size,
+    )
+    pre = make_preprocess_fn(
+        image_size, train=True,
+        augment=AugmentConfig(brightness=0.1, contrast=0.1, saturation=0.1),
+    )
+    step = make_train_step(preprocess_fn=pre)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "pixels": jnp.asarray(
+            rng.integers(0, 255, (batch_size, canonical, canonical, 3)),
+            jnp.uint8,
+        ),
+        "label": jnp.asarray(rng.integers(0, 2, batch_size), jnp.int32),
+        "row_id": jnp.arange(batch_size, dtype=jnp.int32),
+        "valid": jnp.ones((batch_size,), bool),
+    }
+    batch = jax.device_put(batch)
+
+    # warmup / compile; sync via value readback (block_until_ready returns
+    # early through the axon relay, so a host readback is the only
+    # reliable fence)
+    for _ in range(3):
+        state, metrics = step(state, batch)
+    float(metrics["loss"])
+
+    iters = 50
+    start = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch)
+    float(metrics["loss"])  # forces completion of the whole chain
+    elapsed = time.perf_counter() - start
+
+    imgs_per_sec = batch_size * iters / elapsed
+    per_chip = imgs_per_sec / n_devices
+    baseline = 6.0  # reference img/s (SURVEY.md §6)
+    print(
+        json.dumps(
+            {
+                "metric": "train_images_per_sec_per_chip",
+                "value": round(per_chip, 2),
+                "unit": "img/s/chip",
+                "vs_baseline": round(per_chip / baseline, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Standalone evaluation CLI — reference surface
+(tone_bias_test.py:565-652)::
+
+    python cli/tone_bias_test.py <image root> <experiment folder>
+    python cli/tone_bias_test.py ../tone results/balanced_2024-10-12_09-22-38/
+
+Loads the experiment's frozen ``session_test.csv`` + model artifact,
+runs the full fairness audit, prints the record and wall time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd  # noqa: E402
+
+from skin_image_analysis_tpu.data import LesionTable  # noqa: E402
+from skin_image_analysis_tpu.data.loader import BatchIterator, HostImageStore  # noqa: E402
+from skin_image_analysis_tpu.models.cnn import build_model  # noqa: E402
+from skin_image_analysis_tpu.ops.preprocess import make_preprocess_fn  # noqa: E402
+from skin_image_analysis_tpu.train import checkpoint as ckpt_lib  # noqa: E402
+from skin_image_analysis_tpu.train.evaluate import evaluate_fairness  # noqa: E402
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if len(argv) != 2:
+        print("Usage: <root directory of ISIC images> <root dir of model>")
+        print("Example: tone results/balanced_2024-10-12_09-22-38/")
+        return 1
+    root, folder = argv
+
+    start = time.time()
+    test_df = pd.read_csv(os.path.join(folder, "session_test.csv"), index_col=0)
+    model_cfg, params = ckpt_lib.load_model(
+        os.path.join(folder, ckpt_lib.MODEL_FILENAME)
+    )
+    model = build_model(model_cfg)
+    table = LesionTable(test_df, root)
+    store = HostImageStore(table, canonical_size=model_cfg.image_size)
+    loader = BatchIterator(store, batch_size=16, shuffle=False)
+    record = evaluate_fairness(
+        params, model.apply, loader, table,
+        preprocess_fn=make_preprocess_fn(model_cfg.image_size, train=False),
+    )
+    print(json.dumps(record, indent=2))
+    elapsed = time.time() - start
+    print(f"Evaluation complete in {elapsed // 60:.0f}m {elapsed % 60:.0f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Training CLI — surface parity with the reference driver.
+
+Usage (reference: tone_bias_train.py:176-182, README.md:103-112)::
+
+    python cli/tone_bias_train.py <image root> <epochs> <'balance'|'imbalanced'|existing experiment folder>
+    python cli/tone_bias_train.py tone 20 balance
+
+Extra (optional) flags after the positional args: ``--seed N``,
+``--batch-size N``, ``--lr F``, ``--augment``, ``--bf16/--fp32``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from skin_image_analysis_tpu.config import (  # noqa: E402
+    DataConfig,
+    ModelConfig,
+    OptimConfig,
+    TrainConfig,
+)
+from skin_image_analysis_tpu.train.loop import run_training  # noqa: E402
+
+
+_VALUE_FLAGS = {"seed", "batch-size", "lr"}
+_BOOL_FLAGS = {"augment", "fp32", "bf16"}
+
+
+def _parse_args(argv: list[str]) -> tuple[list[str], dict[str, str]]:
+    positional: list[str] = []
+    flags: dict[str, str] = {}
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        if arg.startswith("--"):
+            name, _, value = arg[2:].partition("=")
+            if not value and name in _VALUE_FLAGS:
+                i += 1
+                if i >= len(argv):
+                    raise SystemExit(f"--{name} requires a value")
+                value = argv[i]
+            if name not in _VALUE_FLAGS | _BOOL_FLAGS:
+                raise SystemExit(f"unknown flag --{name}")
+            flags[name] = value or "true"
+        else:
+            positional.append(arg)
+        i += 1
+    return positional, flags
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    positional, flags = _parse_args(argv)
+    if len(positional) != 3:
+        print("Usage: <root directory of ISIC images> <number of epochs> "
+              "<'balance' or 'imbalanced' | path to existing model>")
+        print("Example: tone 20 balance")
+        return 1
+    root, epochs, mode = positional[0], int(positional[1]), positional[2]
+
+    seed = int(flags.get("seed", 0))
+    batch_size = int(flags.get("batch-size", 16))
+    lr = float(flags.get("lr", 1e-5))
+    augment = "augment" in flags
+    compute_dtype = "float32" if "fp32" in flags else "bfloat16"
+
+    balance = "imbalanced" not in mode
+    experiment_dir = mode if os.path.exists(mode) else (
+        mode if mode not in ("balance", "balanced", "imbalanced") else None
+    )
+
+    cfg = TrainConfig(
+        epochs=epochs,
+        experiment_dir=experiment_dir,
+        seed=seed,
+        data=DataConfig(
+            root_dir=root, balance=balance, batch_size=batch_size,
+            augment=augment, seed=seed,
+        ),
+        model=ModelConfig(compute_dtype=compute_dtype),
+        optim=OptimConfig(learning_rate=lr),
+    )
+    folder = run_training(cfg)
+    print(f"Experiment folder: {folder}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,152 @@
+"""Typed configuration dataclasses backing every CLI.
+
+The reference drives everything through positional ``sys.argv`` plus inline
+magic numbers (batch 16, workers 10, lr 1e-5, split 0.7 — see
+tone_bias_train.py:176-182,:334-340,:376 and tone_bias_optuna.py:26-39).
+Here every knob lives in one frozen dataclass per subsystem; the CLIs keep
+the reference's positional surface and translate into these configs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Mapping, Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset ingest + input-pipeline configuration."""
+
+    root_dir: str = "./tone"
+    image_size: int = 224          # final model input H=W
+    canonical_size: int = 256      # host-side decode target (uint8 HWC)
+    batch_size: int = 16           # reference default (tone_bias_train.py:336)
+    split_ratio: float = 0.7       # train fraction (tone_bias_train.py:271)
+    balance: bool = True           # diagnosis-then-tone undersampling
+    decode_workers: int = 8        # host decode threads (native loader)
+    prefetch_depth: int = 2        # device-side double buffering
+    augment: bool = False          # flip/crop/color-jitter (train only)
+    normalize_imagenet: bool = False  # ImageNet mean/std (ToneClassifier recipe)
+    seed: int = 0
+    cache_decoded: bool = True     # keep canonical uint8 images in RAM
+    drop_remainder: bool = True    # static shapes for jit
+
+    @property
+    def num_classes(self) -> int:
+        return 2
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """SkinCancerListModel-family architecture description.
+
+    Mirrors the reference production model (tone_bias_model.py:56-152):
+    conv stack [32, 64, 128] (first kernel 7, rest 3, each + ReLU +
+    2x2 max-pool), MLP [512, 256] with dropout 0.5, 2-way log-softmax head,
+    Xavier-normal init. ``conv_features``/``linear_features`` are free so
+    the HPO search space (tone_bias_optuna.py:123-173) reuses this config.
+    """
+
+    name: str = "skin_cancer_list"
+    conv_features: tuple[int, ...] = (32, 64, 128)
+    first_kernel: int = 7
+    kernel: int = 3
+    linear_features: tuple[int, ...] = (512, 256)
+    dropout: tuple[float, ...] = (0.5, 0.5)
+    num_classes: int = 2
+    image_size: int = 224
+    compute_dtype: str = "bfloat16"   # MXU-friendly; "float32" for parity runs
+    param_dtype: str = "float32"
+
+    def __post_init__(self) -> None:
+        if len(self.dropout) not in (1, len(self.linear_features)):
+            raise ValueError(
+                "dropout must have one rate or one per linear layer: "
+                f"{self.dropout} vs {self.linear_features}"
+            )
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    optimizer: str = "adam"        # adam | rmsprop | sgd | adamw
+    learning_rate: float = 1e-5    # reference production LR (train.py:376)
+    weight_decay: float = 0.0
+    momentum: float = 0.0
+    class_weights: tuple[float, ...] | None = None  # weighted NLL for imbalanced runs
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh description. data axis = DP, model axis = TP."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    data_parallel: int = -1        # -1: all devices on the data axis
+    model_parallel: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 20
+    eval_every: int = 1            # reference: full fairness eval every epoch
+    results_dir: str = "results"
+    experiment_dir: str | None = None  # resume path; None → new run
+    log_every_batches: int = 8     # reference prints every 8 batches
+    checkpoint_best: bool = False  # reference saves last weights only
+    seed: int = 0
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+@dataclasses.dataclass(frozen=True)
+class HpoConfig:
+    """HPO sweep configuration (reference constants tone_bias_optuna.py:26-39)."""
+
+    trials: int = 100
+    time_limit_hours: float = 16.0
+    sample_size: int = 300
+    batch_size: int = 32
+    epochs: int = 10
+    n_train_examples: int = 32 * 12
+    n_valid_examples: int = 32 * 4
+    population: int = 8            # vmap-stacked same-shape trials per wave
+    seed: int = 0
+
+
+def to_dict(cfg: Any) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def to_json(cfg: Any) -> str:
+    return json.dumps(to_dict(cfg), indent=2, sort_keys=True)
+
+
+def replace(cfg: Any, **kw: Any) -> Any:
+    return dataclasses.replace(cfg, **kw)
+
+
+def _build(cls: type, payload: Mapping[str, Any]) -> Any:
+    """Recursively build a (possibly nested) config dataclass from a mapping."""
+    kwargs: dict[str, Any] = {}
+    for field in dataclasses.fields(cls):
+        if field.name not in payload:
+            continue
+        value = payload[field.name]
+        if dataclasses.is_dataclass(field.type) and isinstance(value, Mapping):
+            value = _build(field.type, value)
+        elif isinstance(value, list):
+            value = tuple(value)
+        kwargs[field.name] = value
+    return cls(**kwargs)
+
+
+def train_config_from_dict(payload: Mapping[str, Any]) -> TrainConfig:
+    payload = dict(payload)
+    for key, sub in (("data", DataConfig), ("model", ModelConfig),
+                     ("optim", OptimConfig), ("mesh", MeshConfig)):
+        if key in payload and isinstance(payload[key], Mapping):
+            payload[key] = _build(sub, payload[key])
+    return _build(TrainConfig, payload)

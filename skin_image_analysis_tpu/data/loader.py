@@ -1,0 +1,207 @@
+"""Host-side image ingest + double-buffered device feeding.
+
+The reference feeds the device through 10 fork-based DataLoader workers
+that re-decode every JPEG with skimage and re-resize in float64 on every
+epoch (tone_bias_train.py:334-340, tone_bias_dataset.py:326-335) — the
+documented source of its ~6 img/s throughput and its fd-leak crash
+(tone_bias_train.py:47-96). The TPU-native runtime replaces that with:
+
+1. **Decode once, canonical uint8** — every image is decoded (native C++
+   libjpeg decoder when built, else OpenCV, else PIL) and resized to a
+   canonical square exactly once, into one contiguous ``[N, S, S, 3]``
+   uint8 arena. Epochs after the first touch no JPEGs at all.
+2. **uint8 across the wire** — batches go host→HBM as uint8 (4x smaller
+   than float32); cast/augment/normalize happen on device
+   (ops.preprocess), fused into the train step.
+3. **Async prefetch** — a background thread stages the next batches onto
+   the device while the current step runs, so the single host core is
+   never on the critical path after warm-up. Threads, not forked
+   processes: no fd leaks to monitor, nothing to ulimit.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+
+import jax
+
+from skin_image_analysis_tpu.data.dataset import LesionTable
+
+
+def _decode_resize_cv2(path: str, size: int) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)  # BGR uint8
+    if img is None:
+        raise IOError(f"failed to decode {path}")
+    interp = cv2.INTER_AREA if img.shape[0] > size else cv2.INTER_LINEAR
+    img = cv2.resize(img, (size, size), interpolation=interp)
+    return img[:, :, ::-1]  # BGR → RGB
+
+
+def _decode_resize_pil(path: str, size: int) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB").resize((size, size), Image.BILINEAR)
+        return np.asarray(im, dtype=np.uint8)
+
+
+def decode_image(path: str, size: int) -> np.ndarray:
+    """Decode + exact-resize one image to uint8 [size, size, 3] RGB."""
+    try:
+        return _decode_resize_cv2(path, size)
+    except ImportError:
+        return _decode_resize_pil(path, size)
+
+
+class HostImageStore:
+    """Decoded canonical-uint8 arena for one LesionTable split."""
+
+    def __init__(
+        self,
+        table: LesionTable,
+        canonical_size: int = 256,
+        workers: int = 8,
+        use_native: bool = True,
+    ):
+        self.table = table
+        self.size = canonical_size
+        paths = table.file_paths()
+        self.images = np.empty(
+            (len(paths), canonical_size, canonical_size, 3), np.uint8
+        )
+        decoded = False
+        if use_native:
+            try:
+                from skin_image_analysis_tpu.data import native_loader
+
+                native_loader.decode_batch_into(paths, self.images)
+                decoded = True
+            except Exception:
+                decoded = False
+        if not decoded:
+            if workers > 1:
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    for i, img in enumerate(
+                        pool.map(lambda p: decode_image(p, self.size), paths)
+                    ):
+                        self.images[i] = img
+            else:
+                for i, p in enumerate(paths):
+                    self.images[i] = decode_image(p, self.size)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+
+def _pad_to(n: int, arr: np.ndarray, fill=0) -> np.ndarray:
+    if len(arr) == n:
+        return arr
+    pad = np.full((n - len(arr), *arr.shape[1:]), fill, arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+class BatchIterator:
+    """Epoch iterator: seeded shuffle → uint8 batches → async device_put.
+
+    Yields dicts ``{"pixels" u8 [B,S,S,3], "label" i32 [B], "row_id" i32
+    [B], "valid" bool [B]}``. The final partial batch is padded with
+    ``valid=False`` rows (eval keeps every instance, matching the
+    reference's full-test-set evaluation) or dropped when
+    ``drop_remainder`` (train: static shapes, no wasted compile).
+    """
+
+    def __init__(
+        self,
+        store: HostImageStore,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_remainder: bool = False,
+        seed: int = 0,
+        sharding=None,
+        prefetch: int = 2,
+    ):
+        self.store = store
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_remainder = drop_remainder
+        self.rng = np.random.default_rng(seed)
+        self.sharding = sharding
+        self.prefetch = prefetch
+
+    def _epoch_order(self) -> np.ndarray:
+        order = np.arange(len(self.store))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        return order
+
+    def _host_batches(self) -> Iterator[dict]:
+        order = self._epoch_order()
+        table = self.store.table
+        bs = self.batch_size
+        n = len(order)
+        stop = (n // bs) * bs if self.drop_remainder else n
+        for start in range(0, stop, bs):
+            idx = order[start : start + bs]
+            pixels = self.store.images[idx]
+            labels = table.labels[idx]
+            row_ids = table.row_ids[idx]
+            valid = np.ones(len(idx), bool)
+            if len(idx) < bs:
+                pixels = _pad_to(bs, pixels)
+                labels = _pad_to(bs, labels)
+                row_ids = _pad_to(bs, row_ids, fill=-1)
+                valid = _pad_to(bs, valid, fill=False)
+            yield {
+                "pixels": pixels,
+                "label": labels.astype(np.int32),
+                "row_id": row_ids.astype(np.int32),
+                "valid": valid,
+            }
+
+    def __iter__(self) -> Iterator[dict]:
+        put = (
+            (lambda b: jax.device_put(b, self.sharding))
+            if self.sharding is not None
+            else jax.device_put
+        )
+        if self.prefetch <= 0:
+            for batch in self._host_batches():
+                yield put(batch)
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+
+        def producer():
+            try:
+                for batch in self._host_batches():
+                    q.put(put(batch))
+            except BaseException as e:  # surface decode errors to consumer
+                q.put(e)
+                return
+            q.put(_END)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
+
+    def __len__(self) -> int:
+        n = len(self.store)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return -(-n // self.batch_size)

@@ -1,0 +1,6 @@
+from skin_image_analysis_tpu.explain.attribution import (  # noqa: F401
+    grad_cam,
+    integrated_gradients,
+    saliency,
+    smoothgrad,
+)

@@ -1,0 +1,204 @@
+"""Attribution methods: Integrated Gradients, Saliency, SmoothGrad, Grad-CAM.
+
+The reference uses Captum on a CPU-only second conda env because Captum
+conflicted with its MPS torch build (tone_bias_explain.py:2-9): per image
+``IntegratedGradients(model).attribute(img, target, n_steps=200)`` (:109,
+:139), a ``Saliency`` instance (:110) and a commented NoiseTunnel smoothgrad
+path (:179-190). In JAX these are a few lines over ``jax.grad``:
+
+- IG: the interpolation path is a ``lax.scan`` over 200 scaled inputs —
+  one compiled program, whole batch at once, runs on the TPU (the
+  reference needs 200 separate forward+backward passes per image on CPU);
+- Saliency: |d max-logprob / d input|;
+- SmoothGrad: vmap over noise samples;
+- Grad-CAM (the north star's named method, absent from the reference):
+  gradient-weighted activations of the last conv block, computed with an
+  activation-capturing forward via ``flax``'s capture_intermediates —
+  no hooks, no module surgery.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _target_logprob(apply_fn, params, x, target):
+    """Sum of log-prob at the target class over the batch (per-example
+    grads are independent, so the batch sum gives per-example gradients)."""
+    log_probs = apply_fn({"params": params}, x, train=False)
+    return jnp.sum(jnp.take_along_axis(log_probs, target[:, None], axis=-1))
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "n_steps"))
+def integrated_gradients(
+    apply_fn: Callable,
+    params: Any,
+    x: jnp.ndarray,
+    target: jnp.ndarray,
+    baseline: jnp.ndarray | None = None,
+    n_steps: int = 200,
+) -> jnp.ndarray:
+    """IG attribution [B,H,W,C]: (x - x0) * mean grad along the straight
+    path from baseline to x (Captum-equivalent Riemann-right rule over
+    n_steps=200, matching tone_bias_explain.py:139)."""
+    if baseline is None:
+        baseline = jnp.zeros_like(x)
+    diff = x - baseline
+
+    grad_fn = jax.grad(_target_logprob, argnums=2)
+
+    def body(acc, i):
+        alpha = (i + 1.0) / n_steps
+        g = grad_fn(apply_fn, params, baseline + alpha * diff, target)
+        return acc + g, None
+
+    total, _ = jax.lax.scan(
+        body, jnp.zeros_like(x), jnp.arange(n_steps, dtype=jnp.float32)
+    )
+    return diff * total / n_steps
+
+
+@partial(jax.jit, static_argnames=("apply_fn",))
+def saliency(
+    apply_fn: Callable, params: Any, x: jnp.ndarray, target: jnp.ndarray
+) -> jnp.ndarray:
+    """|grad| of the target log-prob w.r.t. the input (Captum Saliency)."""
+    return jnp.abs(jax.grad(_target_logprob, argnums=2)(apply_fn, params, x, target))
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "n_samples"))
+def smoothgrad(
+    apply_fn: Callable,
+    params: Any,
+    x: jnp.ndarray,
+    target: jnp.ndarray,
+    key: jax.Array,
+    n_samples: int = 25,
+    sigma: float = 0.1,
+) -> jnp.ndarray:
+    """NoiseTunnel-style smoothed saliency (the reference's commented
+    smoothgrad path, tone_bias_explain.py:179-190)."""
+    grad_fn = jax.grad(_target_logprob, argnums=2)
+
+    def one(k):
+        noise = sigma * jax.random.normal(k, x.shape, x.dtype)
+        return jnp.abs(grad_fn(apply_fn, params, x + noise, target))
+
+    grads = jax.vmap(one)(jax.random.split(key, n_samples))
+    return jnp.mean(grads, axis=0)
+
+
+def grad_cam(
+    model: Any,
+    params: Any,
+    x: jnp.ndarray,
+    target: jnp.ndarray,
+    conv_layer: str | None = None,
+) -> jnp.ndarray:
+    """Grad-CAM heatmap [B, h, w] on the chosen (default: last) conv block.
+
+    Uses a two-phase functional formulation: capture the activation A of
+    the conv block, then differentiate the target score w.r.t. A via a
+    forward that *injects* A at that point — pure function transforms, no
+    module hooks.
+    """
+    # Phase 1: find the activation.
+    _, inter = model.apply(
+        {"params": params}, x, train=False,
+        capture_intermediates=lambda mdl, name: name == "__call__",
+        mutable=["intermediates"],
+    )
+    flat = _flatten_intermediates(inter["intermediates"])
+    conv_keys = [k for k in flat if "ConvBlock" in k]
+    if not conv_keys:
+        raise ValueError(f"no ConvBlock activations found in {list(flat)}")
+    conv_keys.sort(key=lambda k: _conv_index(k))
+    key_name = conv_layer or conv_keys[-1]
+    activation = flat[key_name]
+
+    # Phase 2: d score / d activation — the model family is sequential, so
+    # the network after the captured block is a pure function of the
+    # activation; differentiate the target score through that tail.
+    def score_from_act(act):
+        y = _sequential_tail(model, params, act, _conv_index(key_name))
+        return jnp.sum(jnp.take_along_axis(y, target[:, None], axis=-1))
+
+    grads = jax.grad(score_from_act)(activation)
+    weights = jnp.mean(grads, axis=(1, 2), keepdims=True)  # GAP over H,W
+    cam = jnp.maximum(jnp.sum(weights * activation, axis=-1), 0.0)
+    # normalize per image to [0, 1]
+    flat_cam = cam.reshape(cam.shape[0], -1)
+    mx = jnp.max(flat_cam, axis=1, keepdims=True)
+    cam = cam / jnp.maximum(mx[:, :, None], 1e-12).reshape(-1, 1, 1)
+    return cam
+
+
+def _flatten_intermediates(tree: dict, prefix: str = "") -> dict[str, jnp.ndarray]:
+    out: dict[str, jnp.ndarray] = {}
+    for k, v in tree.items():
+        name = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten_intermediates(v, name))
+        else:
+            leaf = v[0] if isinstance(v, tuple) else v
+            out[name] = leaf
+    return out
+
+
+def _conv_index(key: str) -> int:
+    import re
+
+    m = re.search(r"ConvBlock_(\d+)", key)
+    return int(m.group(1)) if m else -1
+
+
+def _sequential_tail(model, params, activation, conv_idx):
+    """Run the remaining layers after conv block ``conv_idx`` of the
+    sequential SkinCancerListModel family given its activation."""
+    import flax.linen as nn
+
+    from skin_image_analysis_tpu.models.cnn import _dtype
+
+    n_conv = len(model.conv_features)
+    y = activation
+    # remaining conv blocks
+    for i in range(conv_idx + 1, n_conv):
+        block_params = params[f"ConvBlock_{i}"]
+        sub = _conv_block_module(model, i)
+        y = sub.apply({"params": block_params}, y)
+    y = y.reshape((y.shape[0], -1))
+    drops = list(model.dropout)
+    if len(drops) == 1:
+        drops = drops * len(model.linear_features)
+    for j, feats in enumerate(model.linear_features):
+        block_params = params[f"MlpBlock_{j}"]
+        sub = _mlp_block_module(model, j, drops[j])
+        y = sub.apply({"params": block_params}, y, train=False)
+    head = nn.Dense(
+        model.num_classes,
+        dtype=_dtype(model.compute_dtype),
+        param_dtype=_dtype(model.param_dtype),
+    )
+    y = head.apply({"params": params["Dense_0"]}, y)
+    return nn.log_softmax(y.astype(jnp.float32), axis=-1)
+
+
+def _conv_block_module(model, i):
+    from skin_image_analysis_tpu.models.cnn import ConvBlock
+
+    k = model.first_kernel if i == 0 else model.kernel
+    return ConvBlock(
+        model.conv_features[i], k, model.compute_dtype, model.param_dtype
+    )
+
+
+def _mlp_block_module(model, j, rate):
+    from skin_image_analysis_tpu.models.cnn import MlpBlock
+
+    return MlpBlock(
+        model.linear_features[j], rate, model.compute_dtype, model.param_dtype
+    )

@@ -1,0 +1,6 @@
+from skin_image_analysis_tpu.models.cnn import (  # noqa: F401
+    SkinCancerListModel,
+    SkinCancerModel,
+    build_model,
+)
+from skin_image_analysis_tpu.models.registry import get_model, register_model  # noqa: F401

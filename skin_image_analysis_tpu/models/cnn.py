@@ -1,0 +1,172 @@
+"""Skin-cancer CNN family (Flax).
+
+TPU-native re-design of the reference model layer (src/tone_bias_model.py):
+
+- :class:`SkinCancerListModel` — the production model
+  (tone_bias_model.py:56-152): conv stack ``[32, 64, 128]`` (first kernel
+  7, rest 3, stride 1, SAME padding, each + ReLU + 2x2 max-pool), flatten,
+  MLP ``[512, 256]`` with ReLU + Dropout(0.5), ``Linear(->2)`` +
+  log-softmax head, Xavier-normal init on every trainable layer (:136-137).
+- :class:`SkinCancerModel` — the older fixed 4-conv-block variant
+  (tone_bias_model.py:155-299), kept for checkpoint/behavior parity.
+
+TPU-first choices (deliberately NOT a translation):
+
+- **NHWC layout** (XLA's preferred conv layout on TPU) instead of the
+  reference's NCHW tensors;
+- **bfloat16 compute / float32 params** so convs and the big flatten
+  matmul (100352x512, ~51M params) run on the MXU at full rate; the
+  log-softmax head is always computed in float32 for numerical parity;
+- dropout driven by explicit JAX PRNG keys (functional, reproducible)
+  rather than global RNG state.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from skin_image_analysis_tpu.config import ModelConfig
+
+_XAVIER = nn.initializers.xavier_normal()
+
+
+def _dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+            "float16": jnp.float16}[name]
+
+
+class ConvBlock(nn.Module):
+    """Conv + ReLU + 2x2 max-pool (one reference 'conv block',
+    tone_bias_model.py:77-97)."""
+
+    features: int
+    kernel: int
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features,
+            kernel_size=(self.kernel, self.kernel),
+            strides=(1, 1),
+            padding="SAME",
+            kernel_init=_XAVIER,
+            dtype=_dtype(self.compute_dtype),
+            param_dtype=_dtype(self.param_dtype),
+        )(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+        return x
+
+
+class MlpBlock(nn.Module):
+    """Dense + ReLU + Dropout (one reference 'linear block',
+    tone_bias_model.py:107-118)."""
+
+    features: int
+    dropout: float
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        x = nn.Dense(
+            self.features,
+            kernel_init=_XAVIER,
+            dtype=_dtype(self.compute_dtype),
+            param_dtype=_dtype(self.param_dtype),
+        )(x)
+        x = nn.relu(x)
+        x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+        return x
+
+
+class SkinCancerListModel(nn.Module):
+    """List-configured CNN: the production diagnosis classifier.
+
+    Input: ``[B, H, W, 3]`` float images in [0, 1] (NHWC).
+    Output: ``[B, num_classes]`` float32 log-probabilities (log-softmax
+    head, paired with the NLL loss as in tone_bias_model.py:126-129,:301).
+    """
+
+    conv_features: Sequence[int] = (32, 64, 128)
+    first_kernel: int = 7
+    kernel: int = 3
+    linear_features: Sequence[int] = (512, 256)
+    dropout: Sequence[float] = (0.5, 0.5)
+    num_classes: int = 2
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = x.astype(_dtype(self.compute_dtype))
+        for i, feats in enumerate(self.conv_features):
+            k = self.first_kernel if i == 0 else self.kernel
+            x = ConvBlock(feats, k, self.compute_dtype, self.param_dtype)(x)
+        x = x.reshape((x.shape[0], -1))
+        drops = list(self.dropout)
+        if len(drops) == 1:
+            drops = drops * len(self.linear_features)
+        for feats, rate in zip(self.linear_features, drops):
+            x = MlpBlock(feats, rate, self.compute_dtype, self.param_dtype)(
+                x, train=train
+            )
+        x = nn.Dense(
+            self.num_classes,
+            kernel_init=_XAVIER,
+            dtype=_dtype(self.compute_dtype),
+            param_dtype=_dtype(self.param_dtype),
+        )(x)
+        return nn.log_softmax(x.astype(jnp.float32), axis=-1)
+
+
+class SkinCancerModel(nn.Module):
+    """Legacy fixed 4-conv-block variant (tone_bias_model.py:155-299):
+    conv 32→64→128→256 then MLP [512, 256]; kept for parity with the
+    reference's ``create_model`` path."""
+
+    num_classes: int = 2
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        return SkinCancerListModel(
+            conv_features=(32, 64, 128, 256),
+            first_kernel=7,
+            kernel=3,
+            linear_features=(512, 256),
+            dropout=(0.5, 0.5),
+            num_classes=self.num_classes,
+            compute_dtype=self.compute_dtype,
+            param_dtype=self.param_dtype,
+        )(x, train=train)
+
+
+def build_model(cfg: ModelConfig) -> nn.Module:
+    """Instantiate the model described by a :class:`ModelConfig`."""
+    if cfg.name == "skin_cancer_list":
+        return SkinCancerListModel(
+            conv_features=cfg.conv_features,
+            first_kernel=cfg.first_kernel,
+            kernel=cfg.kernel,
+            linear_features=cfg.linear_features,
+            dropout=cfg.dropout,
+            num_classes=cfg.num_classes,
+            compute_dtype=cfg.compute_dtype,
+            param_dtype=cfg.param_dtype,
+        )
+    if cfg.name == "skin_cancer":
+        return SkinCancerModel(
+            num_classes=cfg.num_classes,
+            compute_dtype=cfg.compute_dtype,
+            param_dtype=cfg.param_dtype,
+        )
+    from skin_image_analysis_tpu.models.registry import get_model
+
+    return get_model(cfg.name)(cfg)

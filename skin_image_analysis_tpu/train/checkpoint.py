@@ -1,0 +1,104 @@
+"""Checkpointing: self-describing model files + full train-state resume.
+
+Two formats, mirroring and extending the reference's persistence
+(tone_bias_model.py:305-338, tone_bias_train.py:240-249,:443):
+
+1. ``save_model`` / ``load_model`` — the ``session_model`` artifact. The
+   reference pickles the whole torch module so architecture travels with
+   weights; the equivalent here is a msgpack params blob with an embedded
+   JSON ModelConfig header, written atomically. Loading rebuilds the Flax
+   model from the header — no pickle, no arbitrary code execution.
+2. ``save_train_state`` / ``restore_train_state`` — full-fidelity resume
+   (params + optimizer state + step + RNG key) via orbax. This closes the
+   reference's documented gap of losing optimizer/scheduler state across
+   resumes (tone_bias_train.py:438-441).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+from skin_image_analysis_tpu import config as config_lib
+from skin_image_analysis_tpu.config import ModelConfig
+from skin_image_analysis_tpu.train.state import TrainState
+
+MODEL_FILENAME = "session_model.msgpack"
+_MAGIC = b"SIAT"
+
+
+def save_model(path: str, model_cfg: ModelConfig, params: Any) -> None:
+    """Atomic write of [magic | header_len | json header | msgpack params]."""
+    header = json.dumps(
+        {"format": 1, "model": config_lib.to_dict(model_cfg)}
+    ).encode()
+    blob = serialization.to_bytes(jax.device_get(params))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<I", len(header)))
+        f.write(header)
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_model(path: str) -> tuple[ModelConfig, Any]:
+    """Returns (model_cfg, params); architecture travels with the weights
+    like the reference's whole-model pickle, minus the pickle."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not a session_model file")
+        (hlen,) = struct.unpack("<I", f.read(4))
+        header = json.loads(f.read(hlen))
+        blob = f.read()
+    model_cfg = config_lib._build(ModelConfig, header["model"])
+    # Template-free restore: msgpack carries the tree structure, so no
+    # model init (and no compile) is needed just to load weights. Commit
+    # the tree to device memory once here — otherwise every jitted call
+    # re-uploads the full parameter set from host numpy arrays.
+    params = jax.device_put(serialization.msgpack_restore(blob))
+    return model_cfg, params
+
+
+def save_train_state(ckpt_dir: str, state: TrainState) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(ckpt_dir)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(
+            path,
+            {
+                "step": jax.device_get(state.step),
+                "params": jax.device_get(state.params),
+                "opt_state": jax.device_get(state.opt_state),
+                "rng": jax.device_get(jax.random.key_data(state.rng)),
+            },
+            force=True,
+        )
+
+
+def restore_train_state(ckpt_dir: str, template: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(ckpt_dir)
+    target = {
+        "step": jax.device_get(template.step),
+        "params": jax.device_get(template.params),
+        "opt_state": jax.device_get(template.opt_state),
+        "rng": jax.device_get(jax.random.key_data(template.rng)),
+    }
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path, item=target)
+    return template.replace(
+        step=jax.numpy.asarray(restored["step"]),
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        rng=jax.random.wrap_key_data(jax.numpy.asarray(restored["rng"])),
+    )

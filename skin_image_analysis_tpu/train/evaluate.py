@@ -1,0 +1,151 @@
+"""Evaluation: predictions re-associated with metadata + fairness audit.
+
+The reference's ``predict_with_instance`` walks every test batch, argmaxes
+on device, then per-item looks up the metadata row by the dataframe index
+carried through the loader (tone_bias_test.py:161-237). Here the device
+does forward+argmax for the whole (padded) test set and returns three small
+arrays — preds, row_ids, malignant-probabilities — and the join happens
+either on host (instance dicts, for the parity API) or stays on device for
+the segment-sum fairness reductions (metrics.device). Both yield the same
+record; tests assert bit-equality.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import numpy as np
+
+import jax.numpy as jnp
+
+from skin_image_analysis_tpu.data.dataset import LesionTable
+from skin_image_analysis_tpu.data.loader import BatchIterator
+from skin_image_analysis_tpu.metrics import analyse_predictions, roc_auc
+from skin_image_analysis_tpu.metrics.device import analyse_predictions_device
+from skin_image_analysis_tpu.train.step import make_eval_step
+
+
+def collect_predictions(
+    params: Any,
+    apply_fn: Callable,
+    loader: BatchIterator,
+    eval_step: Callable | None = None,
+    preprocess_fn: Callable | None = None,
+) -> dict[str, np.ndarray]:
+    """Run the model over the loader; returns flat arrays
+    {pred, row_id, score_malignant} over valid rows only."""
+    if eval_step is None:
+        eval_step = make_eval_step(preprocess_fn=preprocess_fn)
+    preds, row_ids, scores = [], [], []
+    for batch in loader:
+        # one host round-trip per batch: fetch the whole output dict at once
+        out = jax.device_get(eval_step(params, apply_fn, batch))
+        valid = out.get("valid", np.ones(len(out["pred"]), bool))
+        preds.append(out["pred"][valid])
+        row_ids.append(out["row_id"][valid])
+        scores.append(np.exp(out["log_probs"][valid][:, 1]))
+    return {
+        "pred": np.concatenate(preds),
+        "row_id": np.concatenate(row_ids),
+        "score_malignant": np.concatenate(scores),
+    }
+
+
+def predict_with_instance(
+    params: Any,
+    apply_fn: Callable,
+    loader: BatchIterator,
+    table: LesionTable,
+    eval_step: Callable | None = None,
+    preprocess_fn: Callable | None = None,
+) -> dict[int, dict]:
+    """The reference API (tone_bias_test.py:161): index-keyed instance
+    dicts with a ``'prediction'`` class-name attached."""
+    out = collect_predictions(params, apply_fn, loader, eval_step, preprocess_fn)
+    instances: dict[int, dict] = {}
+    for pred, row_id in zip(out["pred"], out["row_id"]):
+        inst = table.instance(int(row_id))
+        inst["prediction"] = table.class_names[int(pred)]
+        instances[int(row_id)] = inst
+    return instances
+
+
+def evaluate_fairness(
+    params: Any,
+    apply_fn: Callable,
+    loader: BatchIterator,
+    table: LesionTable,
+    eval_step: Callable | None = None,
+    preprocess_fn: Callable | None = None,
+    on_device: bool = True,
+) -> dict:
+    """Full per-epoch record: the reference ``analyse_predictions`` schema
+    (tone_bias_test.py:546-561) plus an ``auc`` key (BASELINE.json metric,
+    absent from the reference)."""
+    out = collect_predictions(params, apply_fn, loader, eval_step, preprocess_fn)
+    order = np.argsort(out["row_id"])
+    preds = out["pred"][order].astype(np.int32)
+    row_ids = out["row_id"][order]
+    scores = out["score_malignant"][order]
+    labels = table.labels[row_ids]
+
+    if on_device:
+        groups = {
+            attr: jnp.asarray(codes[row_ids])
+            for attr, codes in table.group_codes.items()
+        }
+        valid = jnp.ones(len(preds), bool)
+        record = analyse_predictions_device(
+            jnp.asarray(preds), jnp.asarray(labels), groups, valid
+        )
+    else:
+        instances = {}
+        for pred, row_id in zip(preds, row_ids):
+            inst = table.instance(int(row_id))
+            inst["prediction"] = table.class_names[int(pred)]
+            instances[int(row_id)] = inst
+        record = analyse_predictions(instances)
+
+    record["auc"] = roc_auc(labels, scores)
+    return record
+
+
+def evaluate_model(
+    params: Any, apply_fn: Callable, loader: BatchIterator,
+    preprocess_fn: Callable | None = None,
+) -> float:
+    """Whole-set accuracy (reference: tone_bias_test.py:99-127)."""
+    eval_step = make_eval_step(preprocess_fn=preprocess_fn)
+    correct = total = 0
+    for batch in loader:
+        out = eval_step(params, apply_fn, batch)
+        valid = np.asarray(out.get("valid", np.ones(len(out["pred"]), bool)))
+        labels = np.asarray(batch["label"])[valid]
+        preds = np.asarray(out["pred"])[valid]
+        correct += int((preds == labels).sum())
+        total += int(valid.sum())
+    return correct / max(total, 1)
+
+
+def evaluate_model_by_class(
+    params: Any,
+    apply_fn: Callable,
+    loader: BatchIterator,
+    n_classes: int = 2,
+    preprocess_fn: Callable | None = None,
+) -> dict[int, float]:
+    """Per-class accuracy (reference: tone_bias_test.py:129-159)."""
+    eval_step = make_eval_step(preprocess_fn=preprocess_fn)
+    correct = np.zeros(n_classes)
+    total = np.zeros(n_classes)
+    for batch in loader:
+        out = eval_step(params, apply_fn, batch)
+        valid = np.asarray(out.get("valid", np.ones(len(out["pred"]), bool)))
+        labels = np.asarray(batch["label"])[valid]
+        preds = np.asarray(out["pred"])[valid]
+        for c in range(n_classes):
+            mask = labels == c
+            total[c] += mask.sum()
+            correct[c] += (preds[mask] == c).sum()
+    return {c: correct[c] / max(total[c], 1) for c in range(n_classes)}

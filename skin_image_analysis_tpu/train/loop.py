@@ -1,0 +1,221 @@
+"""The training driver: experiment store, epoch loop, fairness eval, resume.
+
+Orchestration parity with the reference driver (src/tone_bias_train.py):
+
+- experiment folder ``results/<balanced|imbalanced>_<YYYY-MM-DD_HH-MM-SS>/``
+  holding ``session_train.csv`` / ``session_test.csv`` (frozen split —
+  the test set never leaks across resumes, :290-291,:247-249), the model
+  artifact, and one timestamped ``<ts>.json`` of per-epoch JSON lines
+  (:410-424);
+- resume-by-folder: pointing at an existing experiment reloads the model
+  and the frozen splits and appends a fresh timestamped results file
+  (:240-249) — plus (new) full optimizer/RNG state from an orbax
+  checkpoint when present;
+- per-epoch: train epoch → full test-set fairness audit → one JSON record
+  {analyse_predictions schema + avg_batch_loss + train_accuracy + epoch}
+  (:387-424), with additive keys ``auc`` and ``epoch_time_s``.
+
+TPU-first differences: one jitted train step (forward+backward+update+
+metrics fused, uint8 batches, device-side augmentation), async prefetch
+instead of 10 fork workers, and the eval reduction on device.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+import jax
+
+from skin_image_analysis_tpu import config as config_lib
+from skin_image_analysis_tpu.config import TrainConfig
+from skin_image_analysis_tpu.data import (
+    LesionTable,
+    balance_dataset,
+    read_isic_metadata,
+    shuffle_split,
+)
+from skin_image_analysis_tpu.data.loader import BatchIterator, HostImageStore
+from skin_image_analysis_tpu.ops.preprocess import AugmentConfig, make_preprocess_fn
+from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
+from skin_image_analysis_tpu.train.evaluate import evaluate_fairness
+from skin_image_analysis_tpu.train.state import create_train_state
+from skin_image_analysis_tpu.train.step import make_eval_step, make_train_step
+from skin_image_analysis_tpu.utils import jsonl
+from skin_image_analysis_tpu.utils.profiling import Timer
+
+TRAIN_SET_FILENAME = "session_train.csv"
+TEST_SET_FILENAME = "session_test.csv"
+CHECKPOINT_DIRNAME = "checkpoint"
+
+
+def _timestamp() -> str:
+    return datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+
+
+def resolve_experiment_folder(cfg: TrainConfig) -> tuple[str, bool, bool]:
+    """Returns (folder, is_resume, balance). Mirrors the reference's
+    name-based mode inference: a non-existent path containing 'imbalanced'
+    starts an imbalanced run (tone_bias_train.py:200-216)."""
+    requested = cfg.experiment_dir
+    if requested and os.path.exists(requested):
+        return requested, True, cfg.data.balance
+    if requested and "imbalanced" in os.path.basename(requested):
+        balance = False
+        name = f"imbalanced_{_timestamp()}"
+    elif requested and "balance" in os.path.basename(requested):
+        balance = True
+        name = f"balanced_{_timestamp()}"
+    else:
+        balance = cfg.data.balance
+        name = f"{'balanced' if balance else 'imbalanced'}_{_timestamp()}"
+    return os.path.join(cfg.results_dir, name), False, balance
+
+
+def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
+    """Train per the config; returns the experiment folder path."""
+    folder, is_resume, balance = resolve_experiment_folder(cfg)
+    results_path = os.path.join(folder, f"{_timestamp()}.json")
+    train_csv = os.path.join(folder, TRAIN_SET_FILENAME)
+    test_csv = os.path.join(folder, TEST_SET_FILENAME)
+    model_path = os.path.join(folder, ckpt_lib.MODEL_FILENAME)
+    ckpt_dir = os.path.join(folder, CHECKPOINT_DIRNAME)
+
+    rng = jax.random.key(cfg.seed)
+
+    if is_resume:
+        if verbose:
+            print(f"Resuming training from {folder}")
+        train_df = pd.read_csv(train_csv, index_col=0)
+        test_df = pd.read_csv(test_csv, index_col=0)
+        model_cfg, params = ckpt_lib.load_model(model_path)
+        state, model = create_train_state(
+            model_cfg, cfg.optim, rng, batch_size=cfg.data.batch_size
+        )
+        if os.path.exists(ckpt_dir):
+            state = ckpt_lib.restore_train_state(ckpt_dir, state)
+        else:
+            state = state.replace(params=params)
+    else:
+        if verbose:
+            print(f"New run in {folder}")
+        os.makedirs(folder, exist_ok=True)
+        df = read_isic_metadata(cfg.data.root_dir, seed=cfg.data.seed)
+        if balance:
+            df = balance_dataset(df, seed=cfg.data.seed, verbose=verbose)
+        train_df, test_df = shuffle_split(
+            df, ratio=cfg.data.split_ratio, seed=cfg.data.seed
+        )
+        train_df.to_csv(train_csv)
+        test_df.to_csv(test_csv)
+        model_cfg = cfg.model
+        state, model = create_train_state(
+            model_cfg, cfg.optim, rng, batch_size=cfg.data.batch_size
+        )
+        with open(os.path.join(folder, "train_config.json"), "w") as f:
+            f.write(config_lib.to_json(cfg))
+
+    if verbose:
+        print(f"train={len(train_df)}  test={len(test_df)}")
+
+    train_table = LesionTable(train_df, cfg.data.root_dir)
+    test_table = LesionTable(test_df, cfg.data.root_dir)
+
+    with Timer("decode") as t_decode:
+        train_store = HostImageStore(
+            train_table, cfg.data.canonical_size, cfg.data.decode_workers
+        )
+        test_store = HostImageStore(
+            test_table, cfg.data.canonical_size, cfg.data.decode_workers
+        )
+    if verbose:
+        n = len(train_store) + len(test_store)
+        print(f"decoded {n} images in {t_decode.elapsed:.1f}s "
+              f"({n / max(t_decode.elapsed, 1e-9):.0f} img/s)")
+
+    train_loader = BatchIterator(
+        train_store,
+        cfg.data.batch_size,
+        shuffle=True,
+        drop_remainder=cfg.data.drop_remainder,
+        seed=cfg.data.seed + 1,
+        prefetch=cfg.data.prefetch_depth,
+    )
+    test_loader = BatchIterator(
+        test_store,
+        cfg.data.batch_size,
+        shuffle=False,
+        drop_remainder=False,
+        seed=0,
+        prefetch=cfg.data.prefetch_depth,
+    )
+
+    augment = (
+        AugmentConfig(brightness=0.1, contrast=0.1, saturation=0.1)
+        if cfg.data.augment
+        else None
+    )
+    train_pre = make_preprocess_fn(
+        cfg.data.image_size, train=True, augment=augment,
+        normalize_imagenet=cfg.data.normalize_imagenet,
+    )
+    eval_pre = make_preprocess_fn(
+        cfg.data.image_size, train=False,
+        normalize_imagenet=cfg.data.normalize_imagenet,
+    )
+    train_step = make_train_step(
+        class_weights=cfg.optim.class_weights, preprocess_fn=train_pre
+    )
+    eval_step = make_eval_step(preprocess_fn=eval_pre)
+
+    start = time.time()
+    for epoch in range(cfg.epochs):
+        epoch_start = time.time()
+        if verbose:
+            print(f"Epoch {epoch + 1}/{cfg.epochs}")
+            print("-" * 10)
+        running_loss = 0.0
+        corrects = 0
+        count = 0
+        n_batches = 0
+        for i, batch in enumerate(train_loader):
+            state, metrics = train_step(state, batch)
+            if verbose and cfg.log_every_batches and i % cfg.log_every_batches == 0:
+                # pulls metrics to host — matches the reference's periodic
+                # batch printout (tone_bias_train.py:149-150)
+                print(f"  batch {i}: loss={float(metrics['loss']):.4f}")
+            running_loss += float(metrics["loss"])
+            corrects += int(metrics["correct"])
+            count += int(metrics["count"])
+            n_batches += 1
+        avg_batch_loss = running_loss / max(n_batches, 1)
+        train_accuracy = corrects / max(count, 1)
+        epoch_time = time.time() - epoch_start
+        if verbose:
+            print(f"Train Loss: {avg_batch_loss:.4f} Train Acc: {train_accuracy:.4f}")
+            print(f"Epoch time: {epoch_time:.2f}s\n")
+
+        if cfg.eval_every and (epoch + 1) % cfg.eval_every == 0:
+            record = evaluate_fairness(
+                state.params, state.apply_fn, test_loader, test_table,
+                eval_step=eval_step,
+            )
+            record["avg_batch_loss"] = avg_batch_loss
+            record["train_accuracy"] = train_accuracy
+            record["epoch"] = epoch
+            record["epoch_time_s"] = epoch_time
+            jsonl.append_record(results_path, record)
+
+    elapsed = time.time() - start
+    if verbose:
+        print(f"Training complete in {elapsed // 60:.0f}m {elapsed % 60:.0f}s")
+        print(f"Average time per epoch (in mins): {elapsed / 60.0 / max(cfg.epochs, 1):.2f}")
+
+    ckpt_lib.save_model(model_path, model_cfg, state.params)
+    ckpt_lib.save_train_state(ckpt_dir, state)
+    return folder

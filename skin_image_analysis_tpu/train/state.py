@@ -1,0 +1,80 @@
+"""Train state: params + optimizer + step + RNG root, as one pytree.
+
+Replaces the reference's mutable ``model`` / ``optimizer`` objects
+(tone_bias_train.py:373-376) with a functional state threaded through a
+jitted step. The optimizer factory mirrors the reference/HPO choices
+(Adam / RMSprop / SGD, tone_bias_optuna.py:239-241; AdamW from
+CNNTrial.py:99).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from skin_image_analysis_tpu.config import ModelConfig, OptimConfig
+from skin_image_analysis_tpu.models.cnn import build_model
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads: Any) -> "TrainState":
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt_state
+        )
+
+
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    name = cfg.optimizer.lower()
+    if name == "adam":
+        return optax.adam(cfg.learning_rate)
+    if name == "adamw":
+        return optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+    if name == "rmsprop":
+        return optax.rmsprop(cfg.learning_rate)
+    if name == "sgd":
+        if cfg.momentum:
+            return optax.sgd(cfg.learning_rate, momentum=cfg.momentum)
+        return optax.sgd(cfg.learning_rate)
+    raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+
+def create_train_state(
+    model_cfg: ModelConfig,
+    optim_cfg: OptimConfig,
+    rng: jax.Array,
+    batch_size: int = 2,
+) -> tuple[TrainState, Any]:
+    """Init a model + optimizer; returns (state, model)."""
+    model = build_model(model_cfg)
+    params_rng, state_rng = jax.random.split(rng)
+    dummy = jax.numpy.zeros(
+        (batch_size, model_cfg.image_size, model_cfg.image_size, 3),
+        jax.numpy.float32,
+    )
+    variables = model.init({"params": params_rng}, dummy, train=False)
+    params = variables["params"]
+    if isinstance(params, FrozenDict):
+        params = params.unfreeze()
+    tx = make_optimizer(optim_cfg)
+    state = TrainState(
+        step=jax.numpy.zeros((), jax.numpy.int32),
+        params=params,
+        opt_state=tx.init(params),
+        rng=state_rng,
+        apply_fn=model.apply,
+        tx=tx,
+    )
+    return state, model

@@ -1,0 +1,132 @@
+"""Jitted train / eval steps, optionally sharded over a device mesh.
+
+Replaces the reference's per-batch Python loop body
+(tone_bias_train.py:124-157: .to(device), zero_grad, forward, NLL loss,
+backward, step, running argmax stats) with one compiled XLA program per
+batch: forward + backward + optimizer update + metrics fused, donated
+state, batch sharded over the mesh's data axis so the gradient all-reduce
+rides ICI.
+
+Batches are dicts ``{"pixels": [B,H,W,3] f32, "label": [B] i32,
+"row_id": [B] i32, "valid": [B] bool}`` — ``row_id`` is the TPU-native form
+of the reference Dataset's third tuple element (tone_bias_dataset.py:343),
+and ``valid`` masks padding rows so static batch shapes never change
+metric semantics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from skin_image_analysis_tpu.ops.losses import nll_loss
+from skin_image_analysis_tpu.train.state import TrainState
+
+
+def _loss_and_metrics(
+    apply_fn, params, batch, dropout_rng, class_weights, preprocess_fn, aug_rng
+):
+    pixels = batch["pixels"]
+    if preprocess_fn is not None:
+        # Fused into the same XLA program as the forward/backward pass:
+        # uint8 batches stay uint8 across the host->HBM transfer and are
+        # cast/cropped/flipped/normalized on device.
+        pixels = preprocess_fn(pixels, aug_rng)
+    log_probs = apply_fn(
+        {"params": params},
+        pixels,
+        train=True,
+        rngs={"dropout": dropout_rng},
+    )
+    valid = batch.get("valid")
+    labels = batch["label"]
+    if valid is None:
+        loss = nll_loss(log_probs, labels, class_weights)
+        preds = jnp.argmax(log_probs, axis=-1)
+        correct = jnp.sum(preds == labels)
+        count = labels.shape[0]
+    else:
+        # Masked mean: padded rows contribute nothing to loss or counts.
+        picked = jnp.take_along_axis(log_probs, labels[:, None], axis=-1)[:, 0]
+        w = valid.astype(jnp.float32)
+        if class_weights is not None:
+            w = w * jnp.asarray(class_weights)[labels]
+        loss = -jnp.sum(w * picked) / jnp.maximum(jnp.sum(w), 1.0)
+        preds = jnp.argmax(log_probs, axis=-1)
+        correct = jnp.sum((preds == labels) & valid)
+        count = jnp.sum(valid)
+    return loss, (correct, count)
+
+
+def make_train_step(
+    class_weights=None,
+    mesh: Mesh | None = None,
+    data_axis: str = "data",
+    preprocess_fn: Callable | None = None,
+) -> Callable[[TrainState, dict], tuple[TrainState, dict]]:
+    """Build the compiled train step.
+
+    With a mesh, the batch is constrained to the data axis and params to
+    their (replicated / TP) shardings already attached to the state; XLA
+    emits the grad all-reduce. Without a mesh this is plain single-device
+    jit — the same code path either way.
+    """
+    cw = None if class_weights is None else jnp.asarray(class_weights)
+
+    def step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
+        if mesh is not None:
+            batch = jax.lax.with_sharding_constraint(
+                batch, NamedSharding(mesh, P(data_axis))
+            )
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        dropout_rng, aug_rng = jax.random.split(step_rng)
+        grad_fn = jax.value_and_grad(
+            partial(_loss_and_metrics, state.apply_fn), has_aux=True
+        )
+        (loss, (correct, count)), grads = grad_fn(
+            state.params, batch, dropout_rng, cw, preprocess_fn, aug_rng
+        )
+        state = state.apply_gradients(grads)
+        metrics = {"loss": loss, "correct": correct, "count": count}
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(
+    mesh: Mesh | None = None,
+    data_axis: str = "data",
+    preprocess_fn: Callable | None = None,
+) -> Callable[[Any, Callable, dict], dict]:
+    """Compiled eval step: forward (no dropout) + argmax.
+
+    Returns per-example ``{"pred", "log_probs", "row_id", "valid"}``; the
+    host (or the on-device metric reductions in metrics.device) joins preds
+    back to metadata by row_id — the predict_with_instance equivalent
+    (tone_bias_test.py:161-237).
+    """
+
+    def step(params: Any, apply_fn: Callable, batch: dict) -> dict:
+        if mesh is not None:
+            batch = jax.lax.with_sharding_constraint(
+                batch, NamedSharding(mesh, P(data_axis))
+            )
+        pixels = batch["pixels"]
+        if preprocess_fn is not None:
+            pixels = preprocess_fn(pixels, None)
+        log_probs = apply_fn({"params": params}, pixels, train=False)
+        preds = jnp.argmax(log_probs, axis=-1)
+        out = {
+            "pred": preds,
+            "log_probs": log_probs,
+            "row_id": batch["row_id"],
+        }
+        if "valid" in batch:
+            out["valid"] = batch["valid"]
+        return out
+
+    return jax.jit(step, static_argnums=(1,))

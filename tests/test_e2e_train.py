@@ -1,0 +1,108 @@
+"""End-to-end training slice on the synthetic fixture: experiment store,
+JSON-lines schema, resume semantics (reference flow: tone_bias_train.py
+main, tone_bias_test.py analyse_predictions schema)."""
+
+import json
+import os
+
+import pytest
+
+from skin_image_analysis_tpu.config import (
+    DataConfig,
+    ModelConfig,
+    OptimConfig,
+    TrainConfig,
+)
+from skin_image_analysis_tpu.train.loop import run_training
+
+DI_KEYS_SUBSET = {"accuracy", "di", "selection_rate_min", "selection_rate_maj",
+                  "tp_min", "tn_maj", "f1"}
+
+
+def _tiny_cfg(synth_root, tmp_path, epochs=1, **data_kw):
+    data_defaults = dict(
+        root_dir=synth_root,
+        image_size=32,
+        canonical_size=40,
+        batch_size=8,
+        balance=False,
+        decode_workers=2,
+        prefetch_depth=1,
+        seed=0,
+    )
+    data_defaults.update(data_kw)
+    return TrainConfig(
+        epochs=epochs,
+        results_dir=str(tmp_path / "results"),
+        log_every_batches=0,
+        seed=0,
+        data=DataConfig(**data_defaults),
+        model=ModelConfig(
+            conv_features=(8, 16),
+            linear_features=(16,),
+            dropout=(0.2,),
+            image_size=32,
+            compute_dtype="float32",
+        ),
+        optim=OptimConfig(learning_rate=1e-3),
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(synth_root, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("exp")
+    cfg = _tiny_cfg(synth_root, tmp, epochs=2)
+    folder = run_training(cfg, verbose=False)
+    return folder, cfg
+
+
+def test_experiment_layout(trained):
+    folder, _ = trained
+    names = os.listdir(folder)
+    assert "session_train.csv" in names
+    assert "session_test.csv" in names
+    assert "session_model.msgpack" in names
+    assert any(n.endswith(".json") and n[0].isdigit() for n in names)
+    assert os.path.basename(folder).startswith("imbalanced_")
+
+
+def test_epoch_records_schema(trained):
+    folder, cfg = trained
+    json_files = [n for n in os.listdir(folder) if n.endswith(".json") and n[0].isdigit()]
+    records = []
+    for n in json_files:
+        with open(os.path.join(folder, n)) as f:
+            records += [json.loads(line) for line in f if line.strip()]
+    assert len(records) == 2  # one per epoch
+    for rec in records:
+        for key in ("correct", "total", "accuracy", "dark", "light", "male",
+                    "female", "tone_di_results", "gender_di_results",
+                    "control_di_results", "avg_batch_loss", "train_accuracy",
+                    "epoch", "auc"):
+            assert key in rec, key
+        assert DI_KEYS_SUBSET <= set(rec["tone_di_results"].keys())
+        assert rec["total"] == rec["dark"] + rec["light"]
+    assert [r["epoch"] for r in records] == [0, 1]
+
+
+def test_resume_appends_new_results_file(trained, synth_root):
+    folder, cfg = trained
+    import dataclasses
+
+    resumed_cfg = dataclasses.replace(cfg, epochs=1, experiment_dir=folder)
+    out = run_training(resumed_cfg, verbose=False)
+    assert out == folder
+    json_files = [n for n in os.listdir(folder) if n.endswith(".json") and n[0].isdigit()]
+    assert len(json_files) >= 2  # original + resumed results file
+    # frozen splits unchanged
+    import pandas as pd
+
+    train_df = pd.read_csv(os.path.join(folder, "session_train.csv"), index_col=0)
+    test_df = pd.read_csv(os.path.join(folder, "session_test.csv"), index_col=0)
+    assert set(train_df["isic_id"]).isdisjoint(set(test_df["isic_id"]))
+
+
+def test_balanced_run_folder_name(synth_root, tmp_path):
+    cfg = _tiny_cfg(synth_root, tmp_path, epochs=1, balance=True)
+    folder = run_training(cfg, verbose=False)
+    assert os.path.basename(folder).startswith("balanced_")
