@@ -26,35 +26,15 @@ from skin_image_analysis_tpu.config import (  # noqa: E402
 from skin_image_analysis_tpu.train.loop import run_training  # noqa: E402
 
 
-_VALUE_FLAGS = {"seed", "batch-size", "lr"}
-_BOOL_FLAGS = {"augment", "fp32", "bf16"}
-
-
-def _parse_args(argv: list[str]) -> tuple[list[str], dict[str, str]]:
-    positional: list[str] = []
-    flags: dict[str, str] = {}
-    i = 0
-    while i < len(argv):
-        arg = argv[i]
-        if arg.startswith("--"):
-            name, _, value = arg[2:].partition("=")
-            if not value and name in _VALUE_FLAGS:
-                i += 1
-                if i >= len(argv):
-                    raise SystemExit(f"--{name} requires a value")
-                value = argv[i]
-            if name not in _VALUE_FLAGS | _BOOL_FLAGS:
-                raise SystemExit(f"unknown flag --{name}")
-            flags[name] = value or "true"
-        else:
-            positional.append(arg)
-        i += 1
-    return positional, flags
-
-
 def main(argv: list[str] | None = None) -> int:
+    from cli._common import parse
+
     argv = list(sys.argv[1:] if argv is None else argv)
-    positional, flags = _parse_args(argv)
+    positional, opts = parse(
+        argv,
+        {"seed": 0, "batch-size": 16, "lr": 1e-5},
+        bool_flags={"augment", "fp32", "bf16"},
+    )
     if len(positional) != 3:
         print("Usage: <root directory of ISIC images> <number of epochs> "
               "<'balance' or 'imbalanced' | path to existing model>")
@@ -62,11 +42,11 @@ def main(argv: list[str] | None = None) -> int:
         return 1
     root, epochs, mode = positional[0], int(positional[1]), positional[2]
 
-    seed = int(flags.get("seed", 0))
-    batch_size = int(flags.get("batch-size", 16))
-    lr = float(flags.get("lr", 1e-5))
-    augment = "augment" in flags
-    compute_dtype = "float32" if "fp32" in flags else "bfloat16"
+    seed = opts["seed"]
+    batch_size = opts["batch-size"]
+    lr = opts["lr"]
+    augment = opts["augment"]
+    compute_dtype = "float32" if opts["fp32"] else "bfloat16"
 
     balance = "imbalanced" not in mode
     experiment_dir = mode if os.path.exists(mode) else (

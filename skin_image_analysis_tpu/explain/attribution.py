@@ -112,8 +112,13 @@ def grad_cam(
         capture_intermediates=lambda mdl, name: name == "__call__",
         mutable=["intermediates"],
     )
+    import re
+
     flat = _flatten_intermediates(inter["intermediates"])
-    conv_keys = [k for k in flat if "ConvBlock" in k]
+    # block-level outputs only (post-pool), not inner Conv_0 pre-pool maps
+    conv_keys = [
+        k for k in flat if re.search(r"ConvBlock_\d+/__call__$", k)
+    ]
     if not conv_keys:
         raise ValueError(f"no ConvBlock activations found in {list(flat)}")
     conv_keys.sort(key=lambda k: _conv_index(k))

@@ -17,18 +17,23 @@ from typing import Any
 from skin_image_analysis_tpu.config import ModelConfig, OptimConfig
 
 MAX_EXTRA_CONV_LAYERS = 6
-# image_size // 2**n_pools must stay >= 1; at 224 the reference's tracked
-# `image_size //= 2` bookkeeping (tone_bias_optuna.py:138-161) allows up
-# to 7 pools.
 
 
 def define_isic_model(
     trial: Any, classes: int = 2, image_size: int = 224,
     compute_dtype: str = "bfloat16",
 ) -> tuple[ModelConfig, OptimConfig]:
-    """Sample one architecture + optimizer from the search space."""
+    """Sample one architecture + optimizer from the search space.
+
+    Total pool count is capped so the spatial map never vanishes — the
+    generalization of the reference's tracked ``image_size //= 2``
+    flatten-size bookkeeping (tone_bias_optuna.py:138-161), which at 224
+    permits the full 7 pools.
+    """
+    max_pools = max(1, image_size.bit_length() - 1)  # floor(log2(size))
+    max_extra = max(1, min(MAX_EXTRA_CONV_LAYERS, max_pools - 1))
     first_out = trial.suggest_int("first_conv_out", 16, 256)
-    n_conv = trial.suggest_int("n_conv_layers", 1, MAX_EXTRA_CONV_LAYERS)
+    n_conv = trial.suggest_int("n_conv_layers", 1, max_extra)
     conv_features = [first_out] + [
         trial.suggest_int(f"conv_out_{i}", 16, 256) for i in range(n_conv)
     ]
