@@ -20,6 +20,12 @@ import numpy as np
 
 
 def main() -> int:
+    from skin_image_analysis_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -46,16 +46,18 @@ class LesionTable:
         metadata_df: pd.DataFrame,
         root_dir: str,
         class_names: Sequence[str] = CLASS_NAMES,
+        label_column: str = "benign_malignant",
     ):
         self.metadata_df = metadata_df.reset_index(drop=True)
         self.root_dir = root_dir
         self.class_names = tuple(class_names)
+        self.label_column = label_column
 
-        bm = self.metadata_df["benign_malignant"]
-        self.labels = _encode(bm, self.class_names)
+        values = self.metadata_df[label_column]
+        self.labels = _encode(values, self.class_names)
         if (self.labels < 0).any():
-            bad = sorted(set(bm) - set(self.class_names))
-            raise ValueError(f"unknown benign_malignant values: {bad}")
+            bad = sorted(set(values) - set(self.class_names))
+            raise ValueError(f"unknown {label_column} values: {bad}")
         self.row_ids = np.arange(len(self.metadata_df), dtype=np.int32)
         self.group_codes = {
             col: _encode(self.metadata_df[col], vocab)

@@ -127,6 +127,7 @@ class BatchIterator:
         seed: int = 0,
         sharding=None,
         prefetch: int = 2,
+        order_fn=None,
     ):
         self.store = store
         self.batch_size = batch_size
@@ -135,8 +136,13 @@ class BatchIterator:
         self.rng = np.random.default_rng(seed)
         self.sharding = sharding
         self.prefetch = prefetch
+        # order_fn(rng) -> index array; overrides shuffling (used for
+        # weighted-with-replacement oversampling)
+        self.order_fn = order_fn
 
     def _epoch_order(self) -> np.ndarray:
+        if self.order_fn is not None:
+            return np.asarray(self.order_fn(self.rng))
         order = np.arange(len(self.store))
         if self.shuffle:
             self.rng.shuffle(order)

@@ -27,6 +27,9 @@ class TrainState(struct.PyTreeNode):
     rng: jax.Array
     apply_fn: Callable = struct.field(pytree_node=False)
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # Mutable collections for BatchNorm models (ResNet); None for the
+    # stateless CNN family.
+    batch_stats: Any = None
 
     def apply_gradients(self, grads: Any) -> "TrainState":
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
@@ -65,9 +68,9 @@ def create_train_state(
         jax.numpy.float32,
     )
     variables = model.init({"params": params_rng}, dummy, train=False)
+    if isinstance(variables, FrozenDict):
+        variables = variables.unfreeze()
     params = variables["params"]
-    if isinstance(params, FrozenDict):
-        params = params.unfreeze()
     tx = make_optimizer(optim_cfg)
     state = TrainState(
         step=jax.numpy.zeros((), jax.numpy.int32),
@@ -76,5 +79,6 @@ def create_train_state(
         rng=state_rng,
         apply_fn=model.apply,
         tx=tx,
+        batch_stats=variables.get("batch_stats"),
     )
     return state, model

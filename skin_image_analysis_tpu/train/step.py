@@ -28,7 +28,8 @@ from skin_image_analysis_tpu.train.state import TrainState
 
 
 def _loss_and_metrics(
-    apply_fn, params, batch, dropout_rng, class_weights, preprocess_fn, aug_rng
+    apply_fn, params, batch_stats, batch, dropout_rng, class_weights,
+    preprocess_fn, aug_rng,
 ):
     pixels = batch["pixels"]
     if preprocess_fn is not None:
@@ -36,12 +37,23 @@ def _loss_and_metrics(
         # uint8 batches stay uint8 across the host->HBM transfer and are
         # cast/cropped/flipped/normalized on device.
         pixels = preprocess_fn(pixels, aug_rng)
-    log_probs = apply_fn(
-        {"params": params},
-        pixels,
-        train=True,
-        rngs={"dropout": dropout_rng},
-    )
+    if batch_stats is not None:
+        log_probs, mutated = apply_fn(
+            {"params": params, "batch_stats": batch_stats},
+            pixels,
+            train=True,
+            rngs={"dropout": dropout_rng},
+            mutable=["batch_stats"],
+        )
+        new_stats = mutated["batch_stats"]
+    else:
+        log_probs = apply_fn(
+            {"params": params},
+            pixels,
+            train=True,
+            rngs={"dropout": dropout_rng},
+        )
+        new_stats = None
     valid = batch.get("valid")
     labels = batch["label"]
     if valid is None:
@@ -49,6 +61,7 @@ def _loss_and_metrics(
         preds = jnp.argmax(log_probs, axis=-1)
         correct = jnp.sum(preds == labels)
         count = labels.shape[0]
+        return loss, (correct, count, new_stats)
     else:
         # Masked mean: padded rows contribute nothing to loss or counts.
         picked = jnp.take_along_axis(log_probs, labels[:, None], axis=-1)[:, 0]
@@ -59,7 +72,7 @@ def _loss_and_metrics(
         preds = jnp.argmax(log_probs, axis=-1)
         correct = jnp.sum((preds == labels) & valid)
         count = jnp.sum(valid)
-    return loss, (correct, count)
+    return loss, (correct, count, new_stats)
 
 
 def make_train_step(
@@ -87,10 +100,13 @@ def make_train_step(
         grad_fn = jax.value_and_grad(
             partial(_loss_and_metrics, state.apply_fn), has_aux=True
         )
-        (loss, (correct, count)), grads = grad_fn(
-            state.params, batch, dropout_rng, cw, preprocess_fn, aug_rng
+        (loss, (correct, count, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, dropout_rng, cw,
+            preprocess_fn, aug_rng,
         )
         state = state.apply_gradients(grads)
+        if new_stats is not None:
+            state = state.replace(batch_stats=new_stats)
         metrics = {"loss": loss, "correct": correct, "count": count}
         return state, metrics
 
@@ -110,7 +126,9 @@ def make_eval_step(
     (tone_bias_test.py:161-237).
     """
 
-    def step(params: Any, apply_fn: Callable, batch: dict) -> dict:
+    def step(
+        params: Any, apply_fn: Callable, batch: dict, batch_stats: Any = None
+    ) -> dict:
         if mesh is not None:
             batch = jax.lax.with_sharding_constraint(
                 batch, NamedSharding(mesh, P(data_axis))
@@ -118,7 +136,10 @@ def make_eval_step(
         pixels = batch["pixels"]
         if preprocess_fn is not None:
             pixels = preprocess_fn(pixels, None)
-        log_probs = apply_fn({"params": params}, pixels, train=False)
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        log_probs = apply_fn(variables, pixels, train=False)
         preds = jnp.argmax(log_probs, axis=-1)
         out = {
             "pred": preds,
