@@ -33,15 +33,33 @@ from skin_image_analysis_tpu.train.evaluate import evaluate_fairness  # noqa: E4
 
 
 def main(argv: list[str] | None = None) -> int:
+    from cli._common import parse
+
     argv = list(sys.argv[1:] if argv is None else argv)
-    if len(argv) != 2:
-        print("Usage: <root directory of ISIC images> <root dir of model>")
+    positional, opts = parse(argv, {"metadata": ""})
+    if len(positional) != 2:
+        print("Usage: <root directory of ISIC images> <root dir of model> "
+              "[--metadata other_metadata.csv]")
         print("Example: tone results/balanced_2024-10-12_09-22-38/")
+        print("--metadata evaluates the model cross-dataset against a "
+              "different cohort (e.g. the HIBA subset) instead of the "
+              "experiment's frozen test split")
         return 1
-    root, folder = argv
+    root, folder = positional
 
     start = time.time()
-    test_df = pd.read_csv(os.path.join(folder, "session_test.csv"), index_col=0)
+    if opts["metadata"]:
+        from skin_image_analysis_tpu.data import read_isic_metadata
+
+        test_df = read_isic_metadata(
+            os.path.dirname(os.path.abspath(opts["metadata"])) or root,
+            csv_name=os.path.basename(opts["metadata"]),
+            seed=0,
+        )
+    else:
+        test_df = pd.read_csv(
+            os.path.join(folder, "session_test.csv"), index_col=0
+        )
     model_cfg, params = ckpt_lib.load_model(
         os.path.join(folder, ckpt_lib.MODEL_FILENAME)
     )

@@ -36,7 +36,7 @@ def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     positional, opts = parse(
         argv,
-        {"seed": 0, "batch-size": 16, "lr": 1e-5},
+        {"seed": 0, "batch-size": 16, "lr": 1e-5, "init-from": ""},
         bool_flags={"augment", "fp32", "bf16"},
     )
     if len(positional) != 3:
@@ -60,6 +60,7 @@ def main(argv: list[str] | None = None) -> int:
     cfg = TrainConfig(
         epochs=epochs,
         experiment_dir=experiment_dir,
+        init_from=opts["init-from"] or None,
         seed=seed,
         data=DataConfig(
             root_dir=root, balance=balance, batch_size=batch_size,

@@ -189,18 +189,22 @@ void resize_box(const uint8_t* src, int sw, int sh, uint8_t* dst, int size) {
 
 extern "C" {
 
-// Decode n images into out[N, size, size, 3] (uint8, caller-allocated).
+// Decode n images into out (uint8, caller-allocated). Layout:
+//   planar == 0 → out[N, size, size, 3]  (interleaved HWC)
+//   planar != 0 → out[N, 3, size, size]  (channel-planar CHW — the
+//                 TPU Pallas preprocess kernel's native layout)
 // Returns the number of successfully decoded images; failed slots are
 // zero-filled and their index recorded in failed_idx (caller-allocated,
 // capacity n) when non-null; n_failed receives the count.
 int sia_decode_batch(const char** paths, int n, uint8_t* out, int size,
-                     int n_threads, int* failed_idx, int* n_failed) {
+                     int n_threads, int* failed_idx, int* n_failed,
+                     int planar) {
   if (n_threads < 1) n_threads = 1;
   std::atomic<int> next(0), ok(0), fail_count(0);
   const size_t per_img = (size_t)size * size * 3;
 
   auto worker = [&]() {
-    std::vector<uint8_t> dst;
+    std::vector<uint8_t> hwc(per_img);
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) break;
@@ -213,10 +217,20 @@ int sia_decode_batch(const char** paths, int n, uint8_t* out, int size,
         if (failed_idx) failed_idx[k] = i;
         continue;
       }
+      uint8_t* dst = planar ? hwc.data() : slot;
       if (w == size && h == size) {
-        std::memcpy(slot, img.data(), per_img);
+        std::memcpy(dst, img.data(), per_img);
       } else {
-        resize_box(img.data(), w, h, slot, size);
+        resize_box(img.data(), w, h, dst, size);
+      }
+      if (planar) {
+        // HWC → CHW scatter (one cached pass over ~size^2*3 bytes)
+        const size_t plane = (size_t)size * size;
+        for (size_t p = 0; p < plane; ++p) {
+          slot[p] = dst[3 * p];
+          slot[plane + p] = dst[3 * p + 1];
+          slot[2 * plane + p] = dst[3 * p + 2];
+        }
       }
       ok.fetch_add(1);
     }
@@ -234,7 +248,7 @@ int sia_decode_batch(const char** paths, int n, uint8_t* out, int size,
 // Single-image variant (diagnostics / explain paths).
 int sia_decode_one(const char* path, uint8_t* out, int size) {
   int failed = 0;
-  int ok = sia_decode_batch(&path, 1, out, size, 1, nullptr, &failed);
+  int ok = sia_decode_batch(&path, 1, out, size, 1, nullptr, &failed, 0);
   return ok == 1 ? 0 : -1;
 }
 

@@ -92,6 +92,8 @@ class TrainConfig:
     eval_every: int = 1            # reference: full fairness eval every epoch
     results_dir: str = "results"
     experiment_dir: str | None = None  # resume path; None → new run
+    init_from: str | None = None       # fine-tune: warm-start weights from
+                                       # another experiment's session_model
     log_every_batches: int = 8     # reference prints every 8 batches
     checkpoint_best: bool = False  # reference saves last weights only
     seed: int = 0

@@ -70,13 +70,20 @@ class HostImageStore:
         canonical_size: int = 256,
         workers: int = 8,
         use_native: bool = True,
+        layout: str = "hwc",
     ):
+        if layout not in ("hwc", "planar"):
+            raise ValueError(f"layout must be hwc|planar, got {layout!r}")
         self.table = table
         self.size = canonical_size
+        self.layout = layout
         paths = table.file_paths()
-        self.images = np.empty(
-            (len(paths), canonical_size, canonical_size, 3), np.uint8
+        shape = (
+            (len(paths), canonical_size, canonical_size, 3)
+            if layout == "hwc"
+            else (len(paths), 3, canonical_size, canonical_size)
         )
+        self.images = np.empty(shape, np.uint8)
         decoded = False
         if use_native:
             try:
@@ -87,15 +94,17 @@ class HostImageStore:
             except Exception:
                 decoded = False
         if not decoded:
+            def _one(p):
+                img = decode_image(p, self.size)
+                return np.transpose(img, (2, 0, 1)) if layout == "planar" else img
+
             if workers > 1:
                 with ThreadPoolExecutor(max_workers=workers) as pool:
-                    for i, img in enumerate(
-                        pool.map(lambda p: decode_image(p, self.size), paths)
-                    ):
+                    for i, img in enumerate(pool.map(_one, paths)):
                         self.images[i] = img
             else:
                 for i, p in enumerate(paths):
-                    self.images[i] = decode_image(p, self.size)
+                    self.images[i] = _one(p)
 
     def __len__(self) -> int:
         return len(self.images)

@@ -54,6 +54,7 @@ def _load() -> ctypes.CDLL:
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
         ]
         _lib = lib
         return lib
@@ -70,16 +71,20 @@ def available() -> bool:
 def decode_batch_into(
     paths: list[str], out: np.ndarray, n_threads: int | None = None
 ) -> int:
-    """Decode ``paths`` into the preallocated uint8 arena
-    ``out[N, S, S, 3]``. Raises IOError when any image fails to decode.
+    """Decode ``paths`` into the preallocated uint8 arena — HWC
+    ``out[N, S, S, 3]`` or planar ``out[N, 3, S, S]`` (layout inferred
+    from the shape). Raises IOError when any image fails to decode.
     Returns the number of images decoded."""
     lib = _load()
     n = len(paths)
     if out.shape[0] != n or out.dtype != np.uint8 or not out.flags["C_CONTIGUOUS"]:
         raise ValueError(f"bad arena: shape={out.shape} dtype={out.dtype}")
-    size = out.shape[1]
-    if out.shape[1] != out.shape[2] or out.shape[3] != 3:
-        raise ValueError(f"arena must be [N,S,S,3], got {out.shape}")
+    if out.ndim == 4 and out.shape[3] == 3 and out.shape[1] == out.shape[2]:
+        planar, size = 0, out.shape[1]
+    elif out.ndim == 4 and out.shape[1] == 3 and out.shape[2] == out.shape[3]:
+        planar, size = 1, out.shape[2]
+    else:
+        raise ValueError(f"arena must be [N,S,S,3] or [N,3,S,S], got {out.shape}")
     if n_threads is None:
         n_threads = min(16, (os.cpu_count() or 1) * 2)
 
@@ -94,6 +99,7 @@ def decode_batch_into(
         n_threads,
         failed_idx,
         ctypes.byref(n_failed),
+        planar,
     )
     if n_failed.value:
         bad = [paths[failed_idx[i]] for i in range(min(n_failed.value, 5))]

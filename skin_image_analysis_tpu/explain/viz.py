@@ -58,3 +58,42 @@ def visualize_attribution_triptych(
         fig.savefig(save_path, dpi=120)
         plt.close(fig)
     return fig
+
+
+def visualize_predictions_grid(
+    images: np.ndarray,
+    pred_names: list[str],
+    true_names: list[str],
+    n_images: int = 6,
+    save_path: str | None = None,
+):
+    """Grid of images titled ``predicted: X``, colored by correctness —
+    the reference's visualize_model helper (tone_bias_test.py:69-96)."""
+    import math
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = min(n_images, len(images))
+    cols = min(n, 3)
+    rows = math.ceil(n / cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(4 * cols, 4 * rows),
+                             squeeze=False)
+    for i in range(rows * cols):
+        ax = axes[i // cols][i % cols]
+        ax.axis("off")
+        if i >= n:
+            continue
+        ax.imshow(np.clip(images[i], 0, 1))
+        ok = pred_names[i] == true_names[i]
+        ax.set_title(
+            f"predicted: {pred_names[i]}\nactual: {true_names[i]}",
+            color="green" if ok else "red", fontsize=10,
+        )
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=120)
+        plt.close(fig)
+    return fig

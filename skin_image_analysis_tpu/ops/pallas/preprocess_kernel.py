@@ -1,0 +1,130 @@
+"""Pallas TPU kernel: fused uint8 → float32 crop + flip + normalize.
+
+The hot input-pipeline op: canonical uint8 images become normalized
+model-input tiles in ONE VMEM pass — no materialized intermediate between
+cast, crop, flip and normalize (XLA fuses most elementwise chains, but the
+u8 load + dynamic crop + lane reversal + FMA here stay a single kernel
+with zero HBM round-trips for intermediates).
+
+Layout: images are **planar** [B, C, S, S] (channel-major). Interleaved
+HWC puts C=3 in the lane dimension, which tiles catastrophically on TPU
+(lane dim must be 128-aligned); planar blocks are [S, S] = e.g. 256x256 —
+2x128 lanes, perfectly tiled. The native decoder can emit planar directly,
+and the model-side transpose to NHWC fuses into the first conv's im2col.
+
+Per-image randomness (crop offsets, flip bits) is precomputed on host/XLA
+from a jax.random key and fed through scalar prefetch, so the kernel stays
+deterministic given the key — same discipline as ops.preprocess.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(offs_ref, flips_ref, scale_ref, bias_ref, img_ref, out_ref):
+    """Grid (B, C): one [S, S] uint8 plane → [T, T] float32 tile.
+
+    offs_ref: [B, 2] int32 (y0, x0) crop offsets  (scalar-prefetch, SMEM)
+    flips_ref: [B] int32 flip flags               (scalar-prefetch, SMEM)
+    scale_ref/bias_ref: [C] f32 per-channel affine (scalar-prefetch, SMEM)
+    img_ref: [S, S] uint8 plane in VMEM; out_ref: [T, T] f32.
+    """
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    t = out_ref.shape[0]
+
+    y0 = offs_ref[b, 0]
+    x0 = offs_ref[b, 1]
+    # crop: dynamic sublane+lane slice out of the VMEM-resident plane
+    tile = img_ref[pl.ds(y0, t), pl.ds(x0, t)].astype(jnp.float32)
+    # horizontal flip: predicated lane reversal
+    flipped = tile[:, ::-1]
+    tile = jnp.where(flips_ref[b] != 0, flipped, tile)
+    # normalize: one FMA — folds /255 and (x - mean)/std per channel
+    out_ref[:, :] = tile * scale_ref[c] + bias_ref[c]
+
+
+@partial(jax.jit, static_argnames=("image_size",))
+def fused_preprocess_planar(
+    pixels: jnp.ndarray,
+    offsets: jnp.ndarray,
+    flips: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    *,
+    image_size: int = 224,
+) -> jnp.ndarray:
+    """[B, C, S, S] uint8 → [B, C, T, T] float32, fused on-device.
+
+    offsets: [B, 2] int32 top-left crops; flips: [B] int32; scale/bias:
+    [C] float32 per-channel affine (e.g. scale=1/255/std, bias=-mean/std).
+    """
+    b, ch, s, _ = pixels.shape
+    t = image_size
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, ch),
+        in_specs=[
+            pl.BlockSpec((1, 1, s, s), lambda i, j, *_: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, t, t), lambda i, j, *_: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    def kernel(offs, fl, sc, bi, img, out):
+        _kernel(offs, fl, sc, bi, img.at[0, 0], out.at[0, 0])
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, ch, t, t), jnp.float32),
+        grid_spec=grid_spec,
+    )(offsets, flips, scale, bias, pixels)
+
+
+def preprocess_planar_batch(
+    pixels: jnp.ndarray,
+    key: jax.Array | None,
+    *,
+    image_size: int = 224,
+    train: bool = False,
+    normalize_imagenet: bool = False,
+) -> jnp.ndarray:
+    """High-level wrapper: derives crop offsets + flips from ``key``
+    (center crop / no flip at eval), builds the per-channel affine, runs
+    the kernel, and returns NHWC float32 for the conv stack."""
+    from skin_image_analysis_tpu.ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+    b, ch, s, _ = pixels.shape
+    t = image_size
+    if train and key is not None and s > t:
+        ky, kx, kf = jax.random.split(key, 3)
+        ys = jax.random.randint(ky, (b,), 0, s - t + 1, dtype=jnp.int32)
+        xs = jax.random.randint(kx, (b,), 0, s - t + 1, dtype=jnp.int32)
+        flips = jax.random.bernoulli(kf, 0.5, (b,)).astype(jnp.int32)
+    else:
+        c0 = (s - t) // 2
+        ys = jnp.full((b,), c0, jnp.int32)
+        xs = jnp.full((b,), c0, jnp.int32)
+        flips = jnp.zeros((b,), jnp.int32)
+    offsets = jnp.stack([ys, xs], axis=1)
+
+    if normalize_imagenet:
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        scale = 1.0 / (255.0 * std)
+        bias = -mean / std
+    else:
+        scale = jnp.full((ch,), 1.0 / 255.0, jnp.float32)
+        bias = jnp.zeros((ch,), jnp.float32)
+
+    out = fused_preprocess_planar(
+        pixels, offsets, flips, scale, bias, image_size=t
+    )
+    return jnp.transpose(out, (0, 2, 3, 1))  # NCHW → NHWC for the convs

@@ -1,0 +1,66 @@
+"""TPU-fast 2x2 max pooling with a custom VJP.
+
+XLA lowers max-pool gradients to SelectAndScatter, which is notoriously
+slow on TPU (serialized window scans). For the non-overlapping 2x2/stride-2
+pools this model family uses (tone_bias_model.py:77-97), both directions
+are pure reshapes + elementwise ops:
+
+- forward: reshape [B, H/2, 2, W/2, 2, C] → max over the two window axes
+  (VPU reduction, no windows);
+- backward: broadcast the pooled max and the cotangent back to [B, H, W, C]
+  and mask where the input equals the max — one fused elementwise kernel.
+
+Tie semantics: equal maxima within a window each receive the full
+cotangent (the standard equality-mask subgradient). ReLU zeros make ties
+possible; that subgradient choice is valid and matches what fused
+implementations in other frameworks do. Exact tied positions are the only
+divergence from SelectAndScatter (which picks one winner).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _pool_reshape(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w // 2, 2, c)
+
+
+@jax.custom_vjp
+def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] → [B, H/2, W/2, C]; H and W must be even (odd trailing
+    rows/cols are cropped first, matching nn.max_pool VALID padding)."""
+    x = _crop_even(x)
+    return _pool_reshape(x).max(axis=(2, 4))
+
+
+def _crop_even(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    return x[:, : h - (h % 2), : w - (w % 2), :]
+
+
+def _fwd(x):
+    xc = _crop_even(x)
+    out = _pool_reshape(xc).max(axis=(2, 4))
+    return out, (x.shape, xc, out)
+
+
+def _bwd(residuals, g):
+    in_shape, xc, out = residuals
+    b, h, w, c = xc.shape
+    up_out = jnp.broadcast_to(
+        out[:, :, None, :, None, :], (b, h // 2, 2, w // 2, 2, c)
+    ).reshape(xc.shape)
+    up_g = jnp.broadcast_to(
+        g[:, :, None, :, None, :], (b, h // 2, 2, w // 2, 2, c)
+    ).reshape(xc.shape)
+    dx = jnp.where(xc == up_out, up_g, jnp.zeros_like(up_g))
+    if xc.shape != in_shape:  # padded odd edge got cropped: zero-grad there
+        full = jnp.zeros(in_shape, dx.dtype)
+        dx = full.at[:, : xc.shape[1], : xc.shape[2], :].set(dx)
+    return (dx,)
+
+
+max_pool_2x2.defvjp(_fwd, _bwd)

@@ -113,10 +113,25 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         )
         train_df.to_csv(train_csv)
         test_df.to_csv(test_csv)
-        model_cfg = cfg.model
-        state, model = create_train_state(
-            model_cfg, cfg.optim, rng, batch_size=cfg.data.batch_size
-        )
+        if cfg.init_from:
+            # Fine-tune path (HIBA-2022 config): warm-start from another
+            # experiment's model artifact; architecture comes from the
+            # artifact so the weights always fit.
+            source = cfg.init_from
+            if os.path.isdir(source):
+                source = os.path.join(source, ckpt_lib.MODEL_FILENAME)
+            model_cfg, init_params = ckpt_lib.load_model(source)
+            state, model = create_train_state(
+                model_cfg, cfg.optim, rng, batch_size=cfg.data.batch_size
+            )
+            state = state.replace(params=init_params)
+            if verbose:
+                print(f"Fine-tuning from {source}")
+        else:
+            model_cfg = cfg.model
+            state, model = create_train_state(
+                model_cfg, cfg.optim, rng, batch_size=cfg.data.batch_size
+            )
         with open(os.path.join(folder, "train_config.json"), "w") as f:
             f.write(config_lib.to_json(cfg))
 
