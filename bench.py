@@ -37,7 +37,7 @@ def main() -> int:
     from skin_image_analysis_tpu.train.state import create_train_state
     from skin_image_analysis_tpu.train.step import make_train_step
 
-    batch_size = 128
+    batch_size = 256  # measured best on v5e (amortizes per-step overhead)
     image_size = 224
     canonical = 256
     n_devices = len(jax.devices())

@@ -49,8 +49,6 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from skin_image_analysis_tpu.ops.pooling import max_pool_2x2
-
         x = nn.Conv(
             self.features,
             kernel_size=(self.kernel, self.kernel),
@@ -61,9 +59,10 @@ class ConvBlock(nn.Module):
             param_dtype=_dtype(self.param_dtype),
         )(x)
         x = nn.relu(x)
-        # reshape-max pool with elementwise VJP — avoids XLA's slow
-        # SelectAndScatter gradient on TPU (see ops.pooling)
-        x = max_pool_2x2(x)
+        # measured on v5e: XLA's reduce_window fwd + SelectAndScatter bwd
+        # slightly beats the reshape-max custom-VJP pool (ops.pooling) for
+        # this model, so the stock pool stays
+        x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
         return x
 
 
