@@ -42,6 +42,11 @@ from skin_image_analysis_tpu.data import (
 )
 from skin_image_analysis_tpu.data.loader import BatchIterator, HostImageStore
 from skin_image_analysis_tpu.ops.preprocess import AugmentConfig, make_preprocess_fn
+from skin_image_analysis_tpu.parallel.mesh import create_mesh
+from skin_image_analysis_tpu.parallel.sharding import (
+    batch_sharding,
+    infer_param_shardings,
+)
 from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
 from skin_image_analysis_tpu.train.evaluate import evaluate_fairness
 from skin_image_analysis_tpu.train.state import create_train_state
@@ -153,6 +158,28 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         print(f"decoded {n} images in {t_decode.elapsed:.1f}s "
               f"({n / max(t_decode.elapsed, 1e-9):.0f} img/s)")
 
+    # Mesh: on one chip this is a 1x1 mesh and the shardings are no-ops;
+    # on a slice the same jitted step data-parallelizes (grad all-reduce
+    # over ICI) with optional TP on the big MLP kernels.
+    mesh = None
+    data_sharding = None
+    if len(jax.devices()) > 1:
+        mesh = create_mesh(cfg.mesh)
+        data_sharding = batch_sharding(mesh, cfg.mesh.data_axis)
+        param_shardings = infer_param_shardings(
+            state.params, mesh, cfg.mesh.model_axis
+        )
+        state = state.replace(
+            params=jax.device_put(state.params, param_shardings)
+        )
+        if verbose:
+            print(f"mesh: {dict(mesh.shape)}")
+        if cfg.data.batch_size % mesh.shape[cfg.mesh.data_axis]:
+            raise ValueError(
+                f"batch_size {cfg.data.batch_size} not divisible by data-"
+                f"parallel degree {mesh.shape[cfg.mesh.data_axis]}"
+            )
+
     train_loader = BatchIterator(
         train_store,
         cfg.data.batch_size,
@@ -160,6 +187,7 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         drop_remainder=cfg.data.drop_remainder,
         seed=cfg.data.seed + 1,
         prefetch=cfg.data.prefetch_depth,
+        sharding=data_sharding,
     )
     test_loader = BatchIterator(
         test_store,
@@ -168,6 +196,7 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         drop_remainder=False,
         seed=0,
         prefetch=cfg.data.prefetch_depth,
+        sharding=data_sharding,
     )
 
     augment = (
@@ -184,9 +213,12 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         normalize_imagenet=cfg.data.normalize_imagenet,
     )
     train_step = make_train_step(
-        class_weights=cfg.optim.class_weights, preprocess_fn=train_pre
+        class_weights=cfg.optim.class_weights, preprocess_fn=train_pre,
+        mesh=mesh, data_axis=cfg.mesh.data_axis,
     )
-    eval_step = make_eval_step(preprocess_fn=eval_pre)
+    eval_step = make_eval_step(
+        preprocess_fn=eval_pre, mesh=mesh, data_axis=cfg.mesh.data_axis
+    )
 
     start = time.time()
     for epoch in range(cfg.epochs):
