@@ -90,6 +90,8 @@ class MeshConfig:
 class TrainConfig:
     epochs: int = 20
     eval_every: int = 1            # reference: full fairness eval every epoch
+    checkpoint_every: int = 0      # orbax full-state snapshot every N epochs
+                                   # (0 = final only); crash-resume fidelity
     results_dir: str = "results"
     experiment_dir: str | None = None  # resume path; None → new run
     init_from: str | None = None       # fine-tune: warm-start weights from

@@ -4,3 +4,4 @@ from skin_image_analysis_tpu.explain.attribution import (  # noqa: F401
     saliency,
     smoothgrad,
 )
+from skin_image_analysis_tpu.explain.occlusion import occlusion_map  # noqa: F401

@@ -258,6 +258,12 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
             record["epoch_time_s"] = epoch_time
             jsonl.append_record(results_path, record)
 
+        if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
+            # periodic crash-recovery snapshot (full fidelity: params +
+            # optimizer + RNG); the reference only has end-of-run saves
+            ckpt_lib.save_train_state(ckpt_dir, state)
+            ckpt_lib.save_model(model_path, model_cfg, state.params)
+
     elapsed = time.time() - start
     if verbose:
         print(f"Training complete in {elapsed // 60:.0f}m {elapsed % 60:.0f}s")

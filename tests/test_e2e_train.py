@@ -106,3 +106,33 @@ def test_balanced_run_folder_name(synth_root, tmp_path):
     cfg = _tiny_cfg(synth_root, tmp_path, epochs=1, balance=True)
     folder = run_training(cfg, verbose=False)
     assert os.path.basename(folder).startswith("balanced_")
+
+
+def test_seeded_runs_reproduce(synth_root, tmp_path):
+    """Same seed → identical epoch records (the reproducibility the
+    unseeded reference cannot provide)."""
+    import json
+
+    def run(sub):
+        cfg = _tiny_cfg(synth_root, tmp_path / sub, epochs=1)
+        folder = run_training(cfg, verbose=False)
+        json_files = [n for n in os.listdir(folder)
+                      if n.endswith(".json") and n[0].isdigit()]
+        with open(os.path.join(folder, json_files[0])) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    a = run("a")
+    b = run("b")
+    for ra, rb in zip(a, b):
+        ra.pop("epoch_time_s"), rb.pop("epoch_time_s")
+        assert ra == rb
+
+
+def test_checkpoint_every(synth_root, tmp_path):
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        _tiny_cfg(synth_root, tmp_path, epochs=2), checkpoint_every=1
+    )
+    folder = run_training(cfg, verbose=False)
+    assert os.path.isdir(os.path.join(folder, "checkpoint"))
