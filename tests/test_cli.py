@@ -1,0 +1,82 @@
+"""CLI surface tests: shared arg parsing, usage paths, predict CLI e2e."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from cli._common import parse  # noqa: E402
+
+
+def test_parse_positional_and_flags():
+    pos, opts = parse(
+        ["tone", "20", "balance", "--batch-size", "8", "--lr=0.001"],
+        {"batch-size": 16, "lr": 1e-5},
+        bool_flags={"augment"},
+    )
+    assert pos == ["tone", "20", "balance"]
+    assert opts["batch-size"] == 8
+    assert opts["lr"] == 0.001
+    assert opts["augment"] is False
+
+
+def test_parse_bool_flags():
+    pos, opts = parse(["x", "--augment"], {}, bool_flags={"augment"})
+    assert pos == ["x"] and opts["augment"] is True
+
+
+def test_parse_unknown_flag_exits():
+    with pytest.raises(SystemExit, match="unknown flag"):
+        parse(["--bogus"], {})
+
+
+def test_parse_missing_value_exits():
+    with pytest.raises(SystemExit, match="requires a value"):
+        parse(["--lr"], {"lr": 1e-5})
+
+
+def test_train_cli_usage():
+    from cli import tone_bias_train
+
+    assert tone_bias_train.main([]) == 1
+
+
+def test_test_cli_usage():
+    from cli import tone_bias_test
+
+    assert tone_bias_test.main([]) == 1
+
+
+def test_analysis_cli_no_experiments(tmp_path):
+    from cli import tone_bias_analysis
+
+    rc = tone_bias_analysis.main(
+        ["balanced", "0", "--experiments-dir", str(tmp_path)]
+    )
+    assert rc == 1
+
+
+def test_predict_cli_e2e(synth_root, tmp_path, capsys):
+    import dataclasses
+
+    from cli import tone_bias_predict
+    from tests.test_e2e_train import _tiny_cfg
+    from skin_image_analysis_tpu.train.loop import run_training
+
+    folder = run_training(_tiny_cfg(synth_root, tmp_path), verbose=False)
+    out_csv = str(tmp_path / "preds.csv")
+    rc = tone_bias_predict.main([synth_root, folder, out_csv])
+    assert rc == 0
+
+    import pandas as pd
+
+    df = pd.read_csv(out_csv)
+    assert set(df.columns) == {
+        "isic_id", "prediction", "p_malignant", "benign_malignant",
+        "skin_tone", "sex",
+    }
+    assert len(df) > 0
+    assert df["p_malignant"].between(0, 1).all()
+    assert set(df["prediction"]) <= {"benign", "malignant"}
