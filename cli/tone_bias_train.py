@@ -36,7 +36,8 @@ def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     positional, opts = parse(
         argv,
-        {"seed": 0, "batch-size": 16, "lr": 1e-5, "init-from": ""},
+        {"seed": 0, "batch-size": 16, "lr": 1e-5, "init-from": "",
+         "model": "skin_cancer_list", "image-size": 224},
         bool_flags={"augment", "fp32", "bf16"},
     )
     if len(positional) != 3:
@@ -64,9 +65,13 @@ def main(argv: list[str] | None = None) -> int:
         seed=seed,
         data=DataConfig(
             root_dir=root, balance=balance, batch_size=batch_size,
-            augment=augment, seed=seed,
+            augment=augment, seed=seed, image_size=opts["image-size"],
+            canonical_size=max(256, opts["image-size"]),
         ),
-        model=ModelConfig(compute_dtype=compute_dtype),
+        model=ModelConfig(
+            name=opts["model"], image_size=opts["image-size"],
+            compute_dtype=compute_dtype,
+        ),
         optim=OptimConfig(learning_rate=lr),
     )
     folder = run_training(cfg)

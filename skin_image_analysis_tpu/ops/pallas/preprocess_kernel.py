@@ -34,18 +34,45 @@ def _kernel(offs_ref, flips_ref, scale_ref, bias_ref, img_ref, out_ref):
     flips_ref: [B] int32 flip flags               (scalar-prefetch, SMEM)
     scale_ref/bias_ref: [C] f32 per-channel affine (scalar-prefetch, SMEM)
     img_ref: [S, S] uint8 plane in VMEM; out_ref: [T, T] f32.
+
+    Crop and (optional) horizontal flip are expressed as one-hot
+    **selection matmuls** built from iota compares:
+    ``out = A_y(y0) @ img @ A_x(x0, flip)``. Mosaic forbids dynamic
+    sublane slices at unaligned offsets and has no ``rev`` primitive; the
+    MXU does arbitrary-offset row/column selection (and lane reversal)
+    for free — this is the TPU-idiomatic gather.
     """
     b = pl.program_id(0)
     c = pl.program_id(1)
     t = out_ref.shape[0]
+    t_lanes = out_ref.shape[1]  # t rounded up to the 128-lane tiling
+    s = img_ref.shape[0]
 
     y0 = offs_ref[b, 0]
     x0 = offs_ref[b, 1]
-    # crop: dynamic sublane+lane slice out of the VMEM-resident plane
-    tile = img_ref[pl.ds(y0, t), pl.ds(x0, t)].astype(jnp.float32)
-    # horizontal flip: predicated lane reversal
-    flipped = tile[:, ::-1]
-    tile = jnp.where(flips_ref[b] != 0, flipped, tile)
+    flip = flips_ref[b]
+
+    # Mosaic has no direct u8→f32 cast; widen through int32.
+    img = img_ref[:, :].astype(jnp.int32).astype(jnp.float32)
+
+    # A_y[i, j] = 1 iff j == i + y0          ([T, S] row selector)
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (t, s), 0)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (t, s), 1)
+    a_y = (j_idx == i_idx + y0).astype(jnp.float32)
+
+    # A_x[j, k] = 1 iff j == x0 + (flip ? t-1-k : k)  ([S, T_lanes] col
+    # selector; lane-padding columns k >= t select nothing → zeros)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (s, t_lanes), 0)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (s, t_lanes), 1)
+    k_eff = jnp.where(flip != 0, t - 1 - kk, kk)
+    valid_col = kk < t
+    a_x = ((jj == x0 + k_eff) & valid_col).astype(jnp.float32)
+
+    tile = jnp.dot(
+        jnp.dot(a_y, img, preferred_element_type=jnp.float32),
+        a_x,
+        preferred_element_type=jnp.float32,
+    )
     # normalize: one FMA — folds /255 and (x - mean)/std per channel
     out_ref[:, :] = tile * scale_ref[c] + bias_ref[c]
 
@@ -67,6 +94,7 @@ def fused_preprocess_planar(
     """
     b, ch, s, _ = pixels.shape
     t = image_size
+    t_lanes = -(-t // 128) * 128  # output lane dim must be 128-tiled
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(b, ch),
@@ -74,18 +102,21 @@ def fused_preprocess_planar(
             pl.BlockSpec((1, 1, s, s), lambda i, j, *_: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, t, t), lambda i, j, *_: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, 1, t, t_lanes), lambda i, j, *_: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
     )
 
     def kernel(offs, fl, sc, bi, img, out):
         _kernel(offs, fl, sc, bi, img.at[0, 0], out.at[0, 0])
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, ch, t, t), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, ch, t, t_lanes), jnp.float32),
         grid_spec=grid_spec,
     )(offsets, flips, scale, bias, pixels)
+    return out[:, :, :, :t]
 
 
 def preprocess_planar_batch(
