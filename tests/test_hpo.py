@@ -123,3 +123,35 @@ def test_vmap_population():
     accs = out["final_accuracy"]
     assert max(accs[0], accs[1]) > 0.8
     assert max(accs[0], accs[1]) >= accs[3]
+
+
+def test_vmap_population_mesh_sharded():
+    """Population sharded over the 8-device data axis must match the
+    unsharded result (same trials, same data, same seeds)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from skin_image_analysis_tpu.config import MeshConfig
+    from skin_image_analysis_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.default_rng(3)
+    n, size = 64, 8
+    labels = rng.integers(0, 2, n).astype(np.int32)
+    pixels = (rng.random((n, size, size, 3)) * 255).astype(np.uint8)
+    model_cfg = ModelConfig(
+        conv_features=(4,), linear_features=(8,), dropout=(0.1,),
+        image_size=size, compute_dtype="float32",
+    )
+    lrs = np.geomspace(1e-4, 1e-2, 8)
+    kwargs = dict(
+        train_pixels=pixels[:48], train_labels=labels[:48],
+        valid_pixels=pixels[48:], valid_labels=labels[48:],
+        epochs=2, batch_size=16, seed=0,
+    )
+    mesh = create_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    sharded = train_population(model_cfg, lrs, mesh=mesh, **kwargs)
+    plain = train_population(model_cfg, lrs, **kwargs)
+    np.testing.assert_allclose(
+        sharded["accuracy_history"], plain["accuracy_history"], atol=1e-6
+    )
