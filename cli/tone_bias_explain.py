@@ -60,9 +60,15 @@ def main(argv: list[str] | None = None) -> int:
     from skin_image_analysis_tpu.train import checkpoint as ckpt_lib  # noqa: E402
 
     test_df = pd.read_csv(os.path.join(folder, "session_test.csv"), index_col=0)
-    model_cfg, params = ckpt_lib.load_model(
+    model_cfg, loaded = ckpt_lib.load_model(
         os.path.join(folder, ckpt_lib.MODEL_FILENAME)
     )
+    params, batch_stats = ckpt_lib.split_variables(loaded)
+    if batch_stats is not None:
+        raise SystemExit(
+            "explain currently supports the stateless CNN family; "
+            "BatchNorm-model attribution lands with the generic tail"
+        )
     model = build_model(model_cfg)
     table = LesionTable(test_df.head(n_images), root)
     store = HostImageStore(table, canonical_size=model_cfg.image_size)

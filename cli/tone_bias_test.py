@@ -60,9 +60,10 @@ def main(argv: list[str] | None = None) -> int:
         test_df = pd.read_csv(
             os.path.join(folder, "session_test.csv"), index_col=0
         )
-    model_cfg, params = ckpt_lib.load_model(
+    model_cfg, loaded = ckpt_lib.load_model(
         os.path.join(folder, ckpt_lib.MODEL_FILENAME)
     )
+    params, batch_stats = ckpt_lib.split_variables(loaded)
     model = build_model(model_cfg)
     table = LesionTable(test_df, root)
     store = HostImageStore(table, canonical_size=model_cfg.image_size)
@@ -70,6 +71,7 @@ def main(argv: list[str] | None = None) -> int:
     record = evaluate_fairness(
         params, model.apply, loader, table,
         preprocess_fn=make_preprocess_fn(model_cfg.image_size, train=False),
+        batch_stats=batch_stats,
     )
     print(json.dumps(record, indent=2))
     elapsed = time.time() - start

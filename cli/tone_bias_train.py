@@ -37,8 +37,8 @@ def main(argv: list[str] | None = None) -> int:
     positional, opts = parse(
         argv,
         {"seed": 0, "batch-size": 16, "lr": 1e-5, "init-from": "",
-         "model": "skin_cancer_list", "image-size": 224},
-        bool_flags={"augment", "fp32", "bf16"},
+         "model": "skin_cancer_list", "image-size": 224, "profile": ""},
+        bool_flags={"augment", "fp32", "bf16", "debug-nans"},
     )
     if len(positional) != 3:
         print("Usage: <root directory of ISIC images> <number of epochs> "
@@ -74,7 +74,20 @@ def main(argv: list[str] | None = None) -> int:
         ),
         optim=OptimConfig(learning_rate=lr),
     )
-    folder = run_training(cfg)
+    if opts["debug-nans"]:
+        # bring-up sanitizer (SURVEY §5: no sanitizers in the reference;
+        # jax's nan-checker is the TPU-native equivalent)
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
+    if opts["profile"]:
+        from skin_image_analysis_tpu.utils.profiling import trace
+
+        with trace(opts["profile"]):
+            folder = run_training(cfg)
+    else:
+        folder = run_training(cfg)
     print(f"Experiment folder: {folder}")
     return 0
 

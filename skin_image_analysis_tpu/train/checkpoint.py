@@ -33,12 +33,23 @@ MODEL_FILENAME = "session_model.msgpack"
 _MAGIC = b"SIAT"
 
 
-def save_model(path: str, model_cfg: ModelConfig, params: Any) -> None:
-    """Atomic write of [magic | header_len | json header | msgpack params]."""
+def save_model(
+    path: str, model_cfg: ModelConfig, params: Any, batch_stats: Any = None
+) -> None:
+    """Atomic write of [magic | header_len | json header | msgpack
+    collections]. Format 2 carries {"params", "batch_stats"} so BatchNorm
+    models (ResNet/Xception) round-trip their running statistics."""
     header = json.dumps(
-        {"format": 1, "model": config_lib.to_dict(model_cfg)}
+        {
+            "format": 2,
+            "model": config_lib.to_dict(model_cfg),
+            "has_batch_stats": batch_stats is not None,
+        }
     ).encode()
-    blob = serialization.to_bytes(jax.device_get(params))
+    payload: Any = {"params": jax.device_get(params)}
+    if batch_stats is not None:
+        payload["batch_stats"] = jax.device_get(batch_stats)
+    blob = serialization.to_bytes(payload)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(_MAGIC)
@@ -49,7 +60,9 @@ def save_model(path: str, model_cfg: ModelConfig, params: Any) -> None:
 
 
 def load_model(path: str) -> tuple[ModelConfig, Any]:
-    """Returns (model_cfg, params); architecture travels with the weights
+    """Returns (model_cfg, params) for stateless models, or
+    (model_cfg, {"params": ..., "batch_stats": ...}) when the artifact
+    carries BatchNorm statistics. Architecture travels with the weights
     like the reference's whole-model pickle, minus the pickle."""
     with open(path, "rb") as f:
         magic = f.read(4)
@@ -63,25 +76,37 @@ def load_model(path: str) -> tuple[ModelConfig, Any]:
     # model init (and no compile) is needed just to load weights. Commit
     # the tree to device memory once here — otherwise every jitted call
     # re-uploads the full parameter set from host numpy arrays.
-    params = jax.device_put(serialization.msgpack_restore(blob))
-    return model_cfg, params
+    restored = jax.device_put(serialization.msgpack_restore(blob))
+    if header.get("format", 1) == 1:
+        return model_cfg, restored
+    if header.get("has_batch_stats"):
+        return model_cfg, restored
+    return model_cfg, restored["params"]
+
+
+def split_variables(loaded: Any) -> tuple[Any, Any]:
+    """(params, batch_stats_or_None) from a load_model result."""
+    if isinstance(loaded, dict) and set(loaded) <= {"params", "batch_stats"} \
+            and "params" in loaded and (
+                "batch_stats" in loaded or len(loaded) == 1):
+        return loaded["params"], loaded.get("batch_stats")
+    return loaded, None
 
 
 def save_train_state(ckpt_dir: str, state: TrainState) -> None:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(ckpt_dir)
+    payload = {
+        "step": jax.device_get(state.step),
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "rng": jax.device_get(jax.random.key_data(state.rng)),
+    }
+    if state.batch_stats is not None:
+        payload["batch_stats"] = jax.device_get(state.batch_stats)
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(
-            path,
-            {
-                "step": jax.device_get(state.step),
-                "params": jax.device_get(state.params),
-                "opt_state": jax.device_get(state.opt_state),
-                "rng": jax.device_get(jax.random.key_data(state.rng)),
-            },
-            force=True,
-        )
+        ckptr.save(path, payload, force=True)
 
 
 def restore_train_state(ckpt_dir: str, template: TrainState) -> TrainState:
@@ -94,11 +119,16 @@ def restore_train_state(ckpt_dir: str, template: TrainState) -> TrainState:
         "opt_state": jax.device_get(template.opt_state),
         "rng": jax.device_get(jax.random.key_data(template.rng)),
     }
+    if template.batch_stats is not None:
+        target["batch_stats"] = jax.device_get(template.batch_stats)
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(path, item=target)
-    return template.replace(
+    state = template.replace(
         step=jax.numpy.asarray(restored["step"]),
         params=restored["params"],
         opt_state=restored["opt_state"],
         rng=jax.random.wrap_key_data(jax.numpy.asarray(restored["rng"])),
     )
+    if "batch_stats" in restored:
+        state = state.replace(batch_stats=restored["batch_stats"])
+    return state

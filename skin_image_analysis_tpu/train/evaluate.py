@@ -32,15 +32,17 @@ def collect_predictions(
     loader: BatchIterator,
     eval_step: Callable | None = None,
     preprocess_fn: Callable | None = None,
+    batch_stats: Any = None,
 ) -> dict[str, np.ndarray]:
     """Run the model over the loader; returns flat arrays
-    {pred, row_id, score_malignant} over valid rows only."""
+    {pred, row_id, score_malignant} over valid rows only.
+    ``batch_stats`` is required for BatchNorm models (ResNet/Xception)."""
     if eval_step is None:
         eval_step = make_eval_step(preprocess_fn=preprocess_fn)
     preds, row_ids, scores = [], [], []
     for batch in loader:
         # one host round-trip per batch: fetch the whole output dict at once
-        out = jax.device_get(eval_step(params, apply_fn, batch))
+        out = jax.device_get(eval_step(params, apply_fn, batch, batch_stats))
         valid = out.get("valid", np.ones(len(out["pred"]), bool))
         preds.append(out["pred"][valid])
         row_ids.append(out["row_id"][valid])
@@ -59,10 +61,13 @@ def predict_with_instance(
     table: LesionTable,
     eval_step: Callable | None = None,
     preprocess_fn: Callable | None = None,
+    batch_stats: Any = None,
 ) -> dict[int, dict]:
     """The reference API (tone_bias_test.py:161): index-keyed instance
     dicts with a ``'prediction'`` class-name attached."""
-    out = collect_predictions(params, apply_fn, loader, eval_step, preprocess_fn)
+    out = collect_predictions(
+        params, apply_fn, loader, eval_step, preprocess_fn, batch_stats
+    )
     instances: dict[int, dict] = {}
     for pred, row_id in zip(out["pred"], out["row_id"]):
         inst = table.instance(int(row_id))
@@ -79,11 +84,14 @@ def evaluate_fairness(
     eval_step: Callable | None = None,
     preprocess_fn: Callable | None = None,
     on_device: bool = True,
+    batch_stats: Any = None,
 ) -> dict:
     """Full per-epoch record: the reference ``analyse_predictions`` schema
     (tone_bias_test.py:546-561) plus an ``auc`` key (BASELINE.json metric,
     absent from the reference)."""
-    out = collect_predictions(params, apply_fn, loader, eval_step, preprocess_fn)
+    out = collect_predictions(
+        params, apply_fn, loader, eval_step, preprocess_fn, batch_stats
+    )
     order = np.argsort(out["row_id"])
     preds = out["pred"][order].astype(np.int32)
     row_ids = out["row_id"][order]
@@ -113,13 +121,13 @@ def evaluate_fairness(
 
 def evaluate_model(
     params: Any, apply_fn: Callable, loader: BatchIterator,
-    preprocess_fn: Callable | None = None,
+    preprocess_fn: Callable | None = None, batch_stats: Any = None,
 ) -> float:
     """Whole-set accuracy (reference: tone_bias_test.py:99-127)."""
     eval_step = make_eval_step(preprocess_fn=preprocess_fn)
     correct = total = 0
     for batch in loader:
-        out = eval_step(params, apply_fn, batch)
+        out = eval_step(params, apply_fn, batch, batch_stats)
         valid = np.asarray(out.get("valid", np.ones(len(out["pred"]), bool)))
         labels = np.asarray(batch["label"])[valid]
         preds = np.asarray(out["pred"])[valid]
@@ -134,13 +142,14 @@ def evaluate_model_by_class(
     loader: BatchIterator,
     n_classes: int = 2,
     preprocess_fn: Callable | None = None,
+    batch_stats: Any = None,
 ) -> dict[int, float]:
     """Per-class accuracy (reference: tone_bias_test.py:129-159)."""
     eval_step = make_eval_step(preprocess_fn=preprocess_fn)
     correct = np.zeros(n_classes)
     total = np.zeros(n_classes)
     for batch in loader:
-        out = eval_step(params, apply_fn, batch)
+        out = eval_step(params, apply_fn, batch, batch_stats)
         valid = np.asarray(out.get("valid", np.ones(len(out["pred"]), bool)))
         labels = np.asarray(batch["label"])[valid]
         preds = np.asarray(out["pred"])[valid]

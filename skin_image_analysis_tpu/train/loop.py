@@ -98,7 +98,8 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
             print(f"Resuming training from {folder}")
         train_df = pd.read_csv(train_csv, index_col=0)
         test_df = pd.read_csv(test_csv, index_col=0)
-        model_cfg, params = ckpt_lib.load_model(model_path)
+        model_cfg, loaded = ckpt_lib.load_model(model_path)
+        params, batch_stats = ckpt_lib.split_variables(loaded)
         state, model = create_train_state(
             model_cfg, cfg.optim, rng, batch_size=cfg.data.batch_size
         )
@@ -106,6 +107,8 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
             state = ckpt_lib.restore_train_state(ckpt_dir, state)
         else:
             state = state.replace(params=params)
+            if batch_stats is not None:
+                state = state.replace(batch_stats=batch_stats)
     else:
         if verbose:
             print(f"New run in {folder}")
@@ -125,11 +128,14 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
             source = cfg.init_from
             if os.path.isdir(source):
                 source = os.path.join(source, ckpt_lib.MODEL_FILENAME)
-            model_cfg, init_params = ckpt_lib.load_model(source)
+            model_cfg, loaded = ckpt_lib.load_model(source)
+            init_params, init_stats = ckpt_lib.split_variables(loaded)
             state, model = create_train_state(
                 model_cfg, cfg.optim, rng, batch_size=cfg.data.batch_size
             )
             state = state.replace(params=init_params)
+            if init_stats is not None:
+                state = state.replace(batch_stats=init_stats)
             if verbose:
                 print(f"Fine-tuning from {source}")
         else:
@@ -250,7 +256,7 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         if cfg.eval_every and (epoch + 1) % cfg.eval_every == 0:
             record = evaluate_fairness(
                 state.params, state.apply_fn, test_loader, test_table,
-                eval_step=eval_step,
+                eval_step=eval_step, batch_stats=state.batch_stats,
             )
             record["avg_batch_loss"] = avg_batch_loss
             record["train_accuracy"] = train_accuracy
@@ -262,13 +268,15 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
             # periodic crash-recovery snapshot (full fidelity: params +
             # optimizer + RNG); the reference only has end-of-run saves
             ckpt_lib.save_train_state(ckpt_dir, state)
-            ckpt_lib.save_model(model_path, model_cfg, state.params)
+            ckpt_lib.save_model(
+                model_path, model_cfg, state.params, state.batch_stats
+            )
 
     elapsed = time.time() - start
     if verbose:
         print(f"Training complete in {elapsed // 60:.0f}m {elapsed % 60:.0f}s")
         print(f"Average time per epoch (in mins): {elapsed / 60.0 / max(cfg.epochs, 1):.2f}")
 
-    ckpt_lib.save_model(model_path, model_cfg, state.params)
+    ckpt_lib.save_model(model_path, model_cfg, state.params, state.batch_stats)
     ckpt_lib.save_train_state(ckpt_dir, state)
     return folder

@@ -92,3 +92,55 @@ def test_train_state_resume_exact(tmp_path):
         jax.tree.leaves(state_cont.params), jax.tree.leaves(restored.params)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batchnorm_model_artifact_roundtrip(tmp_path):
+    """ResNet artifacts must carry batch_stats (format 2) and the full
+    train→save→test-CLI cycle must work for BN models."""
+    cfg = ModelConfig(name="resnet18", image_size=16, compute_dtype="float32")
+    state, model = create_train_state(
+        cfg, OptimConfig(optimizer="adamw", learning_rate=1e-3),
+        jax.random.key(0), batch_size=2,
+    )
+    assert state.batch_stats is not None
+    path = str(tmp_path / "session_model.msgpack")
+    ckpt_lib.save_model(path, cfg, state.params, state.batch_stats)
+    cfg2, loaded = ckpt_lib.load_model(path)
+    params2, stats2 = ckpt_lib.split_variables(loaded)
+    assert stats2 is not None
+    for a, b in zip(jax.tree.leaves(state.batch_stats), jax.tree.leaves(stats2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # forward with restored stats
+    out = model.apply(
+        {"params": params2, "batch_stats": stats2},
+        jnp.zeros((1, 16, 16, 3)), train=False,
+    )
+    assert out.shape == (1, 2)
+
+
+def test_batchnorm_orbax_resume(tmp_path):
+    cfg = ModelConfig(name="resnet18", image_size=16, compute_dtype="float32")
+    state, _ = create_train_state(
+        cfg, OptimConfig(optimizer="adamw", learning_rate=1e-3),
+        jax.random.key(0), batch_size=2,
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "pixels": jnp.asarray(rng.random((2, 16, 16, 3)), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 2, 2), jnp.int32),
+        "row_id": jnp.arange(2, dtype=jnp.int32),
+        "valid": jnp.ones(2, bool),
+    }
+    step = make_train_step()
+    state, _ = step(state, batch)
+    ckpt_dir = str(tmp_path / "ckpt")
+    ckpt_lib.save_train_state(ckpt_dir, state)
+    template, _ = create_train_state(
+        cfg, OptimConfig(optimizer="adamw", learning_rate=1e-3),
+        jax.random.key(5), batch_size=2,
+    )
+    restored = ckpt_lib.restore_train_state(ckpt_dir, template)
+    for a, b in zip(
+        jax.tree.leaves(state.batch_stats), jax.tree.leaves(restored.batch_stats)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
