@@ -64,28 +64,39 @@ def main(argv: list[str] | None = None) -> int:
         os.path.join(folder, ckpt_lib.MODEL_FILENAME)
     )
     params, batch_stats = ckpt_lib.split_variables(loaded)
+    variables = {"params": params}
     if batch_stats is not None:
-        raise SystemExit(
-            "explain currently supports the stateless CNN family; "
-            "BatchNorm-model attribution lands with the generic tail"
-        )
+        variables["batch_stats"] = batch_stats
     model = build_model(model_cfg)
     table = LesionTable(test_df.head(n_images), root)
     store = HostImageStore(table, canonical_size=model_cfg.image_size)
 
     x = jnp.asarray(store.images.astype(np.float32) / 255.0)
-    log_probs = model.apply({"params": params}, x, train=False)
+    log_probs = model.apply(variables, x, train=False)
     probs = np.exp(np.asarray(log_probs))  # softmax via exp of log-probs
     preds = jnp.argmax(log_probs, axis=-1)
 
+    if batch_stats is None:
+        apply_fn = model.apply
+    else:
+        # shim: gradient methods differentiate w.r.t. params only; merge
+        # the (constant) BN statistics into every apply
+        def apply_fn(v, *args, **kw):
+            return model.apply({**v, "batch_stats": batch_stats}, *args, **kw)
+
     if method == "ig":
-        attr = integrated_gradients(model.apply, params, x, preds, n_steps=n_steps)
+        attr = integrated_gradients(apply_fn, params, x, preds, n_steps=n_steps)
     elif method == "saliency":
-        attr = saliency(model.apply, params, x, preds)
+        attr = saliency(apply_fn, params, x, preds)
     elif method == "smoothgrad":
-        attr = smoothgrad(model.apply, params, x, preds, jax.random.key(0))
+        attr = smoothgrad(apply_fn, params, x, preds, jax.random.key(0))
     elif method == "gradcam":
-        cam = np.asarray(grad_cam(model, params, x, preds))
+        from skin_image_analysis_tpu.explain import grad_cam_gap_head
+
+        if batch_stats is None and hasattr(model, "conv_features"):
+            cam = np.asarray(grad_cam(model, params, x, preds))
+        else:
+            cam = np.asarray(grad_cam_gap_head(model, variables, x, preds))
         # upsample heatmap to image size, single channel
         attr = jax.image.resize(
             jnp.asarray(cam)[..., None],

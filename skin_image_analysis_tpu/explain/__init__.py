@@ -1,5 +1,6 @@
 from skin_image_analysis_tpu.explain.attribution import (  # noqa: F401
     grad_cam,
+    grad_cam_gap_head,
     integrated_gradients,
     saliency,
     smoothgrad,

@@ -142,6 +142,68 @@ def grad_cam(
     return cam
 
 
+def grad_cam_gap_head(
+    model: Any,
+    variables: dict,
+    x: jnp.ndarray,
+    target: jnp.ndarray,
+    activation_key: str | None = None,
+) -> jnp.ndarray:
+    """Grad-CAM for GAP-head models (ResNet / Xception): every such model
+    ends ``features → global-average-pool → Dropout → Dense →
+    log_softmax``, so given the captured last feature map A the head is a
+    closed-form function of A (dropout is identity at eval) and
+    d score / d A is exact without re-running the backbone.
+
+    variables: {"params", "batch_stats"?}; returns [B, h, w] in [0, 1].
+    """
+    import re
+
+    _, inter = model.apply(
+        variables, x, train=False,
+        capture_intermediates=lambda mdl, name: name == "__call__",
+        mutable=["intermediates"],
+    )
+    flat = _flatten_intermediates(inter["intermediates"])
+    if activation_key is None:
+        # last 4-D activation below the top level (final block output)
+        cands = [
+            (k, v) for k, v in flat.items()
+            if v.ndim == 4 and re.search(r"Block_\d+/__call__$", k)
+        ]
+        if not cands:
+            raise ValueError(f"no block activations found in {list(flat)}")
+        activation_key = max(
+            cands, key=lambda kv: _block_index(kv[0])
+        )[0]
+    activation = flat[activation_key]
+
+    head_params = variables["params"]["Dense_0"]
+    w = head_params["kernel"].astype(jnp.float32)
+    bias = head_params["bias"].astype(jnp.float32)
+
+    def score_from_act(act):
+        pooled = jnp.mean(act.astype(jnp.float32), axis=(1, 2))
+        logits = pooled @ w + bias
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        return jnp.sum(jnp.take_along_axis(log_probs, target[:, None], -1))
+
+    grads = jax.grad(score_from_act)(activation)
+    weights = jnp.mean(grads, axis=(1, 2), keepdims=True)
+    cam = jnp.maximum(
+        jnp.sum(weights * activation.astype(jnp.float32), axis=-1), 0.0
+    )
+    mx = jnp.max(cam.reshape(cam.shape[0], -1), axis=1)
+    return cam / jnp.maximum(mx[:, None, None], 1e-12)
+
+
+def _block_index(key: str) -> int:
+    import re
+
+    m = re.search(r"Block_(\d+)/__call__$", key)
+    return int(m.group(1)) if m else -1
+
+
 def _flatten_intermediates(tree: dict, prefix: str = "") -> dict[str, jnp.ndarray]:
     out: dict[str, jnp.ndarray] = {}
     for k, v in tree.items():

@@ -114,3 +114,18 @@ def test_viz_triptych(tmp_path, model_and_params):
     import os
 
     assert os.path.exists(out)
+
+
+def test_grad_cam_gap_head_resnet():
+    from skin_image_analysis_tpu.explain import grad_cam_gap_head
+    from skin_image_analysis_tpu.models.resnet import resnet18
+
+    model = resnet18(compute_dtype="float32")
+    x = jax.random.uniform(jax.random.key(7), (2, 32, 32, 3))
+    variables = model.init(jax.random.key(0), x, train=False)
+    target = jnp.asarray([1, 0], jnp.int32)
+    cam = grad_cam_gap_head(model, dict(variables), x, target)
+    assert cam.ndim == 3 and cam.shape[0] == 2
+    cam = np.asarray(cam)
+    assert cam.min() >= 0.0 and cam.max() <= 1.0 + 1e-6
+    assert np.isfinite(cam).all()
