@@ -36,7 +36,7 @@ def main(argv: list[str] | None = None) -> int:
         argv,
         {"trials": 100, "hours": 16.0, "sample-size": 300,
          "population": 0, "epochs": 10, "batch-size": 32, "seed": 0,
-         "image-size": 224},
+         "image-size": 224, "sampler": "tpe"},
     )
     root = positional[0] if positional else None
 
@@ -77,7 +77,13 @@ def main(argv: list[str] | None = None) -> int:
         )
         pixels = (np.clip(pixels, 0, 1) * 255).astype(np.uint8)
 
-    study = create_study("maximize", sampler=RandomSampler(cfg.seed))
+    if opts["sampler"] == "tpe":
+        from skin_image_analysis_tpu.hpo.tpe import TPESampler
+
+        sampler = TPESampler(cfg.seed)
+    else:
+        sampler = RandomSampler(cfg.seed)
+    study = create_study("maximize", sampler=sampler)
     objective = make_objective(pixels, labels, cfg, image_size=image_size)
 
     start = time.time()

@@ -36,10 +36,12 @@ def main(argv: list[str] | None = None) -> int:
     from cli._common import parse
 
     argv = list(sys.argv[1:] if argv is None else argv)
-    positional, opts = parse(argv, {"metadata": ""})
+    positional, opts = parse(
+        argv, {"metadata": "", "batch-size": 64, "grid": ""}
+    )
     if len(positional) != 2:
         print("Usage: <root directory of ISIC images> <root dir of model> "
-              "[--metadata other_metadata.csv]")
+              "[--metadata other_metadata.csv] [--grid out.png]")
         print("Example: tone results/balanced_2024-10-12_09-22-38/")
         print("--metadata evaluates the model cross-dataset against a "
               "different cohort (e.g. the HIBA subset) instead of the "
@@ -67,13 +69,41 @@ def main(argv: list[str] | None = None) -> int:
     model = build_model(model_cfg)
     table = LesionTable(test_df, root)
     store = HostImageStore(table, canonical_size=model_cfg.image_size)
-    loader = BatchIterator(store, batch_size=16, shuffle=False)
+    loader = BatchIterator(store, batch_size=opts["batch-size"], shuffle=False)
     record = evaluate_fairness(
         params, model.apply, loader, table,
         preprocess_fn=make_preprocess_fn(model_cfg.image_size, train=False),
         batch_stats=batch_stats,
     )
     print(json.dumps(record, indent=2))
+
+    if opts["grid"]:
+        # prediction-grid figure (reference visualize_model,
+        # tone_bias_test.py:69-96)
+        import numpy as np
+
+        from skin_image_analysis_tpu.explain.viz import (
+            visualize_predictions_grid,
+        )
+        from skin_image_analysis_tpu.train.evaluate import collect_predictions
+
+        out = collect_predictions(
+            params, model.apply, loader,
+            preprocess_fn=make_preprocess_fn(model_cfg.image_size, train=False),
+            batch_stats=batch_stats,
+        )
+        k = min(6, len(out["pred"]))
+        row_ids = out["row_id"][:k]
+        images = store.images[row_ids].astype(np.float32) / 255.0
+        pred_names = [table.class_names[int(p)] for p in out["pred"][:k]]
+        true_names = [
+            table.instance(int(r))["benign_malignant"] for r in row_ids
+        ]
+        visualize_predictions_grid(
+            images, pred_names, true_names, n_images=k,
+            save_path=opts["grid"],
+        )
+        print(f"wrote {opts['grid']}")
     elapsed = time.time() - start
     print(f"Evaluation complete in {elapsed // 60:.0f}m {elapsed % 60:.0f}s")
     return 0

@@ -106,19 +106,28 @@ class Trial:
         self.state = TrialState.RUNNING
 
     def suggest_int(self, name: str, low: int, high: int, log: bool = False) -> int:
-        value = self._sampler.sample_int(low, high, log)
+        if hasattr(self._sampler, "sample_int_ctx"):
+            value = self._sampler.sample_int_ctx(self.study, name, low, high, log)
+        else:
+            value = self._sampler.sample_int(low, high, log)
         self.params[name] = value
         return value
 
     def suggest_float(
         self, name: str, low: float, high: float, log: bool = False
     ) -> float:
-        value = self._sampler.sample_float(low, high, log)
+        if hasattr(self._sampler, "sample_float_ctx"):
+            value = self._sampler.sample_float_ctx(self.study, name, low, high, log)
+        else:
+            value = self._sampler.sample_float(low, high, log)
         self.params[name] = value
         return value
 
     def suggest_categorical(self, name: str, choices: Sequence[Any]) -> Any:
-        value = self._sampler.sample_categorical(choices)
+        if hasattr(self._sampler, "sample_categorical_ctx"):
+            value = self._sampler.sample_categorical_ctx(self.study, name, choices)
+        else:
+            value = self._sampler.sample_categorical(choices)
         self.params[name] = value
         return value
 

@@ -155,3 +155,60 @@ def test_vmap_population_mesh_sharded():
     np.testing.assert_allclose(
         sharded["accuracy_history"], plain["accuracy_history"], atol=1e-6
     )
+
+
+def test_tpe_beats_random_on_quadratic():
+    """TPE should concentrate samples near the optimum and out-search
+    random sampling on a smooth 2-D objective (same budget, seeds avg)."""
+    from skin_image_analysis_tpu.hpo.tpe import TPESampler
+
+    def objective(trial):
+        x = trial.suggest_float("x", -10.0, 10.0)
+        y = trial.suggest_float("y", -10.0, 10.0)
+        return -(x - 3.0) ** 2 - (y + 2.0) ** 2
+
+    def best_of(sampler_cls, seed):
+        study = create_study("maximize", sampler=sampler_cls(seed))
+        study.optimize(objective, n_trials=60)
+        return study.best_value
+
+    tpe = np.mean([best_of(TPESampler, s) for s in range(4)])
+    rand = np.mean([best_of(RandomSampler, s) for s in range(4)])
+    assert tpe >= rand  # same budget, better (or equal) optimum
+
+
+def test_tpe_categorical_and_conditional():
+    from skin_image_analysis_tpu.hpo.tpe import TPESampler
+
+    def objective(trial):
+        kind = trial.suggest_categorical("kind", ["a", "b"])
+        if kind == "a":
+            x = trial.suggest_float("xa", 0.0, 1.0)
+            return x  # best: kind=a, xa→1
+        x = trial.suggest_float("xb", 0.0, 1.0)
+        return 0.2 * x
+
+    study = create_study("maximize", sampler=TPESampler(0, n_startup_trials=8))
+    study.optimize(objective, n_trials=60)
+    assert study.best_trial.params["kind"] == "a"
+    assert study.best_value > 0.8
+
+
+def test_tpe_respects_bounds_log():
+    from skin_image_analysis_tpu.hpo.tpe import TPESampler
+
+    def objective(trial):
+        lr = trial.suggest_float("lr", 1e-5, 1e-1, log=True)
+        assert 1e-5 <= lr <= 1e-1
+        n = trial.suggest_int("n", 1, 6)
+        assert 1 <= n <= 6
+        return -abs(math_log10(lr) + 3.0)  # optimum at 1e-3
+
+    def math_log10(v):
+        import math
+
+        return math.log10(v)
+
+    study = create_study("maximize", sampler=TPESampler(1))
+    study.optimize(objective, n_trials=50)
+    assert 1e-4 < study.best_trial.params["lr"] < 1e-2
