@@ -64,3 +64,38 @@ def _bwd(residuals, g):
 
 
 max_pool_2x2.defvjp(_fwd, _bwd)
+
+
+@jax.custom_vjp
+def max_pool_2x2_hybrid(x: jnp.ndarray) -> jnp.ndarray:
+    """reduce_window forward (XLA's fast path) + elementwise equality-mask
+    backward (replacing SelectAndScatter). Same tie semantics as
+    :func:`max_pool_2x2`."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def _hfwd(x):
+    out = max_pool_2x2_hybrid(x)
+    return out, (x, out)
+
+
+def _hbwd(residuals, g):
+    x, out = residuals
+    xc = _crop_even(x)
+    b, h, w, c = xc.shape
+    up_out = jnp.broadcast_to(
+        out[:, :, None, :, None, :], (b, h // 2, 2, w // 2, 2, c)
+    ).reshape(xc.shape)
+    up_g = jnp.broadcast_to(
+        g[:, :, None, :, None, :], (b, h // 2, 2, w // 2, 2, c)
+    ).reshape(xc.shape)
+    dx = jnp.where(xc == up_out, up_g, jnp.zeros_like(up_g))
+    if xc.shape != x.shape:
+        full = jnp.zeros(x.shape, dx.dtype)
+        dx = full.at[:, : xc.shape[1], : xc.shape[2], :].set(dx)
+    return (dx,)
+
+
+max_pool_2x2_hybrid.defvjp(_hfwd, _hbwd)

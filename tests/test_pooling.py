@@ -56,3 +56,21 @@ def test_grad_shape_odd_input(rng):
     assert g.shape == x.shape
     # cropped odd row receives zero gradient
     assert np.asarray(g)[:, 4, :, :].sum() == 0
+
+
+def test_hybrid_pool_matches(rng):
+    from skin_image_analysis_tpu.ops.pooling import max_pool_2x2_hybrid
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 3)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(max_pool_2x2_hybrid(x)),
+        np.asarray(nn.max_pool(x, (2, 2), strides=(2, 2))),
+    )
+    x2 = jnp.asarray(
+        rng.permutation(8 * 8 * 3).reshape(1, 8, 8, 3), jnp.float32
+    )
+    g1 = jax.grad(lambda v: jnp.sum(max_pool_2x2_hybrid(v) ** 2))(x2)
+    g2 = jax.grad(
+        lambda v: jnp.sum(nn.max_pool(v, (2, 2), strides=(2, 2)) ** 2)
+    )(x2)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2))
