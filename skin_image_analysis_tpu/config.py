@@ -58,6 +58,8 @@ class ModelConfig:
     image_size: int = 224
     compute_dtype: str = "bfloat16"   # MXU-friendly; "float32" for parity runs
     param_dtype: str = "float32"
+    remat: bool = False               # jax.checkpoint conv/mlp blocks:
+                                      # trade recompute for activation HBM
 
     def __post_init__(self) -> None:
         if len(self.dropout) not in (1, len(self.linear_features)):
@@ -73,6 +75,7 @@ class OptimConfig:
     learning_rate: float = 1e-5    # reference production LR (train.py:376)
     weight_decay: float = 0.0
     momentum: float = 0.0
+    moment_dtype: str | None = None  # "bfloat16" halves adam moment HBM
     class_weights: tuple[float, ...] | None = None  # weighted NLL for imbalanced runs
 
 

@@ -104,19 +104,26 @@ class SkinCancerListModel(nn.Module):
     num_classes: int = 2
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        # optional rematerialization: recompute conv activations (the
+        # dominant HBM term, e.g. 224^2 x 32) in the backward pass instead
+        # of holding them; MLP activations are negligible and keep their
+        # static `train` kwarg out of jax.checkpoint
+        conv_cls = nn.remat(ConvBlock) if self.remat else ConvBlock
+        mlp_cls = MlpBlock
         x = x.astype(_dtype(self.compute_dtype))
         for i, feats in enumerate(self.conv_features):
             k = self.first_kernel if i == 0 else self.kernel
-            x = ConvBlock(feats, k, self.compute_dtype, self.param_dtype)(x)
+            x = conv_cls(feats, k, self.compute_dtype, self.param_dtype)(x)
         x = x.reshape((x.shape[0], -1))
         drops = list(self.dropout)
         if len(drops) == 1:
             drops = drops * len(self.linear_features)
         for feats, rate in zip(self.linear_features, drops):
-            x = MlpBlock(feats, rate, self.compute_dtype, self.param_dtype)(
+            x = mlp_cls(feats, rate, self.compute_dtype, self.param_dtype)(
                 x, train=train
             )
         x = nn.Dense(
@@ -163,6 +170,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             num_classes=cfg.num_classes,
             compute_dtype=cfg.compute_dtype,
             param_dtype=cfg.param_dtype,
+            remat=cfg.remat,
         )
     if cfg.name == "skin_cancer":
         return SkinCancerModel(

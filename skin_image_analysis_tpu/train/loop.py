@@ -232,21 +232,24 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         if verbose:
             print(f"Epoch {epoch + 1}/{cfg.epochs}")
             print("-" * 10)
-        running_loss = 0.0
-        corrects = 0
-        count = 0
-        n_batches = 0
+        # metric handles stay on device for the whole epoch — a host
+        # readback per batch would serialize the async dispatch pipeline;
+        # only the (optional) periodic printout forces a sync
+        epoch_metrics = []
         for i, batch in enumerate(train_loader):
             state, metrics = train_step(state, batch)
+            epoch_metrics.append(metrics)
             if verbose and cfg.log_every_batches and i % cfg.log_every_batches == 0:
                 # pulls metrics to host — matches the reference's periodic
                 # batch printout (tone_bias_train.py:149-150)
                 print(f"  batch {i}: loss={float(metrics['loss']):.4f}")
-            running_loss += float(metrics["loss"])
-            corrects += int(metrics["correct"])
-            count += int(metrics["count"])
-            n_batches += 1
-        avg_batch_loss = running_loss / max(n_batches, 1)
+        fetched = jax.device_get(epoch_metrics)  # one sync for the epoch
+        n_batches = len(fetched)
+        avg_batch_loss = (
+            float(sum(m["loss"] for m in fetched)) / max(n_batches, 1)
+        )
+        corrects = int(sum(m["correct"] for m in fetched))
+        count = int(sum(m["count"] for m in fetched))
         train_accuracy = corrects / max(count, 1)
         epoch_time = time.time() - epoch_start
         if verbose:

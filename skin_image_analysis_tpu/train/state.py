@@ -41,10 +41,16 @@ class TrainState(struct.PyTreeNode):
 
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     name = cfg.optimizer.lower()
+    mu_dtype = None
+    if cfg.moment_dtype:
+        mu_dtype = {"bfloat16": jax.numpy.bfloat16,
+                    "float32": jax.numpy.float32}[cfg.moment_dtype]
     if name == "adam":
-        return optax.adam(cfg.learning_rate)
+        return optax.adam(cfg.learning_rate, mu_dtype=mu_dtype)
     if name == "adamw":
-        return optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+        return optax.adamw(
+            cfg.learning_rate, weight_decay=cfg.weight_decay, mu_dtype=mu_dtype
+        )
     if name == "rmsprop":
         return optax.rmsprop(cfg.learning_rate)
     if name == "sgd":

@@ -83,3 +83,28 @@ def test_bfloat16_compute_fp32_params():
         assert leaf.dtype == jnp.float32
     out = model.apply({"params": params}, x, train=False)
     assert out.dtype == jnp.float32  # head always fp32
+
+
+def test_remat_matches_no_remat():
+    """Rematerialized model must be numerically identical (same params,
+    same forward, same grads at f32)."""
+    base = SkinCancerListModel(
+        conv_features=(4, 8), linear_features=(16,), dropout=(0.0,),
+        compute_dtype="float32",
+    )
+    remat = SkinCancerListModel(
+        conv_features=(4, 8), linear_features=(16,), dropout=(0.0,),
+        compute_dtype="float32", remat=True,
+    )
+    x = jax.random.uniform(jax.random.key(1), (2, 32, 32, 3))
+    params = base.init(jax.random.key(0), x, train=False)["params"]
+
+    def loss(model, p):
+        lp = model.apply({"params": p}, x, train=False)
+        return jnp.sum(lp[:, 0])
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(base, p))(params)
+    l2, g2 = jax.value_and_grad(lambda p: loss(remat, p))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
