@@ -117,7 +117,12 @@ class SkinCancerListModel(nn.Module):
         x = x.astype(_dtype(self.compute_dtype))
         for i, feats in enumerate(self.conv_features):
             k = self.first_kernel if i == 0 else self.kernel
-            x = conv_cls(feats, k, self.compute_dtype, self.param_dtype)(x)
+            # explicit name keeps the param tree identical with/without
+            # remat (checkpoints are interchangeable)
+            x = conv_cls(
+                feats, k, self.compute_dtype, self.param_dtype,
+                name=f"ConvBlock_{i}",
+            )(x)
         x = x.reshape((x.shape[0], -1))
         drops = list(self.dropout)
         if len(drops) == 1:
