@@ -30,6 +30,10 @@ class DataConfig:
     normalize_imagenet: bool = False  # ImageNet mean/std (ToneClassifier recipe)
     seed: int = 0
     cache_decoded: bool = True     # keep canonical uint8 images in RAM
+    device_cache: bool = True      # commit the uint8 arena to HBM once and
+                                   # gather batches on-device (bounded by
+                                   # device_cache_max_bytes)
+    device_cache_max_bytes: int = 8 << 30
     drop_remainder: bool = True    # static shapes for jit
 
     @property

@@ -109,6 +109,17 @@ class HostImageStore:
     def __len__(self) -> int:
         return len(self.images)
 
+    def to_device(self, sharding=None):
+        """Commit the whole uint8 arena to device memory once. Batches then
+        gather on-device — no per-epoch host→HBM transfers (the decisive
+        win when the host link is slow). ~0.2 GB per 1k images at 256²."""
+        import jax.numpy as jnp
+
+        arena = jnp.asarray(self.images)
+        if sharding is not None:
+            arena = jax.device_put(arena, sharding)
+        return arena
+
 
 def _pad_to(n: int, arr: np.ndarray, fill=0) -> np.ndarray:
     if len(arr) == n:
@@ -137,6 +148,7 @@ class BatchIterator:
         sharding=None,
         prefetch: int = 2,
         order_fn=None,
+        device_arena=None,
     ):
         self.store = store
         self.batch_size = batch_size
@@ -148,6 +160,9 @@ class BatchIterator:
         # order_fn(rng) -> index array; overrides shuffling (used for
         # weighted-with-replacement oversampling)
         self.order_fn = order_fn
+        # device-resident uint8 arena (HostImageStore.to_device()); when
+        # set, pixel batches are gathered on-device by index
+        self.device_arena = device_arena
 
     def _epoch_order(self) -> np.ndarray:
         if self.order_fn is not None:
@@ -163,17 +178,22 @@ class BatchIterator:
         bs = self.batch_size
         n = len(order)
         stop = (n // bs) * bs if self.drop_remainder else n
+        on_device = self.device_arena is not None
         for start in range(0, stop, bs):
             idx = order[start : start + bs]
-            pixels = self.store.images[idx]
             labels = table.labels[idx]
             row_ids = table.row_ids[idx]
             valid = np.ones(len(idx), bool)
             if len(idx) < bs:
-                pixels = _pad_to(bs, pixels)
+                idx = _pad_to(bs, idx)  # pad indices → valid gather rows
                 labels = _pad_to(bs, labels)
                 row_ids = _pad_to(bs, row_ids, fill=-1)
                 valid = _pad_to(bs, valid, fill=False)
+            if on_device:
+                # on-device gather: no pixels cross the host link
+                pixels = self.device_arena[idx]
+            else:
+                pixels = self.store.images[idx]
             yield {
                 "pixels": pixels,
                 "label": labels.astype(np.int32),

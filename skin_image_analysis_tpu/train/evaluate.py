@@ -39,10 +39,15 @@ def collect_predictions(
     ``batch_stats`` is required for BatchNorm models (ResNet/Xception)."""
     if eval_step is None:
         eval_step = make_eval_step(preprocess_fn=preprocess_fn)
+    # dispatch every batch asynchronously, then fetch the whole eval set
+    # in ONE host round-trip (per-batch readbacks serialize the pipeline
+    # and cost a link round-trip each)
+    outs = [
+        eval_step(params, apply_fn, batch, batch_stats) for batch in loader
+    ]
+    outs = jax.device_get(outs)
     preds, row_ids, scores = [], [], []
-    for batch in loader:
-        # one host round-trip per batch: fetch the whole output dict at once
-        out = jax.device_get(eval_step(params, apply_fn, batch, batch_stats))
+    for out in outs:
         valid = out.get("valid", np.ones(len(out["pred"]), bool))
         preds.append(out["pred"][valid])
         row_ids.append(out["row_id"][valid])

@@ -186,6 +186,17 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
                 f"parallel degree {mesh.shape[cfg.mesh.data_axis]}"
             )
 
+    # Device-resident arenas: pixels cross the host link exactly once,
+    # batches gather on-device every epoch after that.
+    train_arena = test_arena = None
+    if cfg.data.device_cache:
+        total_bytes = train_store.images.nbytes + test_store.images.nbytes
+        if total_bytes <= cfg.data.device_cache_max_bytes:
+            train_arena = train_store.to_device()
+            test_arena = test_store.to_device()
+            if verbose:
+                print(f"device-cached {total_bytes / 1e6:.0f} MB of images")
+
     train_loader = BatchIterator(
         train_store,
         cfg.data.batch_size,
@@ -194,6 +205,7 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         seed=cfg.data.seed + 1,
         prefetch=cfg.data.prefetch_depth,
         sharding=data_sharding,
+        device_arena=train_arena,
     )
     test_loader = BatchIterator(
         test_store,
@@ -203,6 +215,7 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         seed=0,
         prefetch=cfg.data.prefetch_depth,
         sharding=data_sharding,
+        device_arena=test_arena,
     )
 
     augment = (
