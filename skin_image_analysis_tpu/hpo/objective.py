@@ -34,6 +34,12 @@ class ArrayDataset:
     def __init__(self, pixels: np.ndarray, labels: np.ndarray):
         self.pixels = pixels
         self.labels = labels.astype(np.int32)
+        self._device_pixels = None
+
+    def device_pixels(self) -> jnp.ndarray:
+        if self._device_pixels is None:
+            self._device_pixels = jnp.asarray(self.pixels)
+        return self._device_pixels
 
     def __len__(self) -> int:
         return len(self.labels)
@@ -59,14 +65,17 @@ class ArrayDataset:
 
 
 def _batches(ds: ArrayDataset, batch_size: int, limit: int, rng: np.random.Generator):
+    """Batches gather from the device-resident pixel arena — per-trial
+    training never re-ships pixels over the host link."""
     order = rng.permutation(len(ds))
     stop = min(limit, (len(ds) // batch_size) * batch_size)
+    arena = ds.device_pixels()
     for start in range(0, stop, batch_size):
         idx = order[start : start + batch_size]
         if len(idx) < batch_size:
             return
         yield {
-            "pixels": jnp.asarray(ds.pixels[idx]),
+            "pixels": arena[jnp.asarray(idx)],
             "label": jnp.asarray(ds.labels[idx]),
             "row_id": jnp.asarray(idx.astype(np.int32)),
             "valid": jnp.ones((batch_size,), bool),

@@ -152,15 +152,21 @@ def train_tone_classifier(
                 logger.log({"train_loss": loss}, step=step_idx)
                 step_idx += 1
 
-            preds, labels = [], []
+            # async-dispatch all eval batches; one fetch for the pass
+            outs = []
+            host_labels = []
             for batch in test_loader:
-                out = jax.device_get(
+                outs.append(
                     eval_step(state.params, state.apply_fn, batch,
                               state.batch_stats)
                 )
+                host_labels.append(np.asarray(batch["label"]))
+            outs = jax.device_get(outs)
+            preds, labels = [], []
+            for out, lab in zip(outs, host_labels):
                 valid = out["valid"]
                 preds.append(out["pred"][valid])
-                labels.append(np.asarray(batch["label"])[valid])
+                labels.append(lab[valid])
             m = binary_metrics(np.concatenate(preds), np.concatenate(labels))
             m["epoch"] = epoch
             m["train_loss_mean"] = float(np.mean(losses)) if losses else 0.0

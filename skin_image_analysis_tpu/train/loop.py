@@ -152,17 +152,25 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
     train_table = LesionTable(train_df, cfg.data.root_dir)
     test_table = LesionTable(test_df, cfg.data.root_dir)
 
-    with Timer("decode") as t_decode:
-        train_store = HostImageStore(
+    # Decode in the background so XLA compilation (triggered further
+    # down via AOT lower/compile on dummy shapes) overlaps with it — the
+    # two dominant cold-start costs run concurrently.
+    stores: dict[str, HostImageStore] = {}
+
+    def _decode():
+        stores["train"] = HostImageStore(
             train_table, cfg.data.canonical_size, cfg.data.decode_workers
         )
-        test_store = HostImageStore(
+        stores["test"] = HostImageStore(
             test_table, cfg.data.canonical_size, cfg.data.decode_workers
         )
-    if verbose:
-        n = len(train_store) + len(test_store)
-        print(f"decoded {n} images in {t_decode.elapsed:.1f}s "
-              f"({n / max(t_decode.elapsed, 1e-9):.0f} img/s)")
+
+    import threading
+
+    t_decode = Timer("decode")
+    t_decode.__enter__()
+    decode_thread = threading.Thread(target=_decode, daemon=True)
+    decode_thread.start()
 
     # Mesh: on one chip this is a 1x1 mesh and the shardings are no-ops;
     # on a slice the same jitted step data-parallelizes (grad all-reduce
@@ -185,6 +193,68 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
                 f"batch_size {cfg.data.batch_size} not divisible by data-"
                 f"parallel degree {mesh.shape[cfg.mesh.data_axis]}"
             )
+
+    augment = (
+        AugmentConfig(brightness=0.1, contrast=0.1, saturation=0.1)
+        if cfg.data.augment
+        else None
+    )
+    train_pre = make_preprocess_fn(
+        cfg.data.image_size, train=True, augment=augment,
+        normalize_imagenet=cfg.data.normalize_imagenet,
+    )
+    eval_pre = make_preprocess_fn(
+        cfg.data.image_size, train=False,
+        normalize_imagenet=cfg.data.normalize_imagenet,
+    )
+    train_step = make_train_step(
+        class_weights=cfg.optim.class_weights, preprocess_fn=train_pre,
+        mesh=mesh, data_axis=cfg.mesh.data_axis,
+    )
+    eval_step = make_eval_step(
+        preprocess_fn=eval_pre, mesh=mesh, data_axis=cfg.mesh.data_axis
+    )
+
+    # Warm-compile both steps on dummy data while the decode thread works
+    # (compile + decode are the two cold-start costs; overlap them). A
+    # real call is required — lower().compile() does not seed the jit
+    # dispatch cache — so the train step runs once on a throwaway COPY of
+    # the state (it donates its first argument).
+    bs, s = cfg.data.batch_size, cfg.data.canonical_size
+    dummy = {
+        "pixels": jax.numpy.zeros((bs, s, s, 3), jax.numpy.uint8),
+        "label": jax.numpy.zeros((bs,), jax.numpy.int32),
+        "row_id": jax.numpy.zeros((bs,), jax.numpy.int32),
+        "valid": jax.numpy.zeros((bs,), bool),
+    }
+    if data_sharding is not None:
+        dummy = jax.device_put(dummy, data_sharding)
+    try:
+        with Timer("compile") as t_compile:
+            warm_state = jax.tree.map(
+                lambda x: x.copy() if hasattr(x, "copy") else x, state
+            )
+            warm_state, _ = train_step(warm_state, dummy)
+            _ = eval_step(
+                warm_state.params, warm_state.apply_fn, dummy,
+                warm_state.batch_stats,
+            )
+            jax.device_get(_["pred"])  # fence: compiles done
+            del warm_state
+        if verbose:
+            print(f"warm-compiled train+eval steps in {t_compile.elapsed:.1f}s")
+    except Exception as e:
+        if verbose:
+            print(f"warm compile skipped ({type(e).__name__}: {e}); first "
+                  "batch will compile instead")
+
+    decode_thread.join()
+    t_decode.__exit__(None, None, None)
+    train_store, test_store = stores["train"], stores["test"]
+    if verbose:
+        n = len(train_store) + len(test_store)
+        print(f"decoded {n} images in {t_decode.elapsed:.1f}s (overlapped "
+              f"with compilation)")
 
     # Device-resident arenas: pixels cross the host link exactly once,
     # batches gather on-device every epoch after that.
@@ -216,27 +286,6 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         prefetch=cfg.data.prefetch_depth,
         sharding=data_sharding,
         device_arena=test_arena,
-    )
-
-    augment = (
-        AugmentConfig(brightness=0.1, contrast=0.1, saturation=0.1)
-        if cfg.data.augment
-        else None
-    )
-    train_pre = make_preprocess_fn(
-        cfg.data.image_size, train=True, augment=augment,
-        normalize_imagenet=cfg.data.normalize_imagenet,
-    )
-    eval_pre = make_preprocess_fn(
-        cfg.data.image_size, train=False,
-        normalize_imagenet=cfg.data.normalize_imagenet,
-    )
-    train_step = make_train_step(
-        class_weights=cfg.optim.class_weights, preprocess_fn=train_pre,
-        mesh=mesh, data_axis=cfg.mesh.data_axis,
-    )
-    eval_step = make_eval_step(
-        preprocess_fn=eval_pre, mesh=mesh, data_axis=cfg.mesh.data_axis
     )
 
     start = time.time()
