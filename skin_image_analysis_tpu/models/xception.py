@@ -14,8 +14,6 @@ mechanism.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax.numpy as jnp
 from flax import linen as nn
 

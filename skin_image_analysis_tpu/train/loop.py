@@ -25,9 +25,7 @@ from __future__ import annotations
 import datetime
 import os
 import time
-from typing import Any
 
-import numpy as np
 import pandas as pd
 
 import jax

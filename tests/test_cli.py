@@ -59,7 +59,6 @@ def test_analysis_cli_no_experiments(tmp_path):
 
 
 def test_predict_cli_e2e(synth_root, tmp_path, capsys):
-    import dataclasses
 
     from cli import tone_bias_predict
     from tests.test_e2e_train import _tiny_cfg

@@ -1,7 +1,6 @@
 """Fairness metrics vs hand-computed confusion math and the reference
 formulas (tone_bias_test.py:292-445)."""
 
-import numpy as np
 import pytest
 
 from skin_image_analysis_tpu.metrics import (

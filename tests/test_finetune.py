@@ -1,11 +1,9 @@
 """Fine-tune warm start + cross-dataset eval (the HIBA-2022 config:
 SURVEY.md BASELINE configs; jgi_hiba_2022 model lineage)."""
 
-import dataclasses
 import os
 
 import numpy as np
-import pytest
 
 from skin_image_analysis_tpu.config import (
     DataConfig,

@@ -4,7 +4,7 @@ vmap-parallel population (reference protocol: tone_bias_optuna.py)."""
 import numpy as np
 import pytest
 
-from skin_image_analysis_tpu.config import HpoConfig, ModelConfig
+from skin_image_analysis_tpu.config import ModelConfig
 from skin_image_analysis_tpu.hpo import (
     MedianPruner,
     RandomSampler,

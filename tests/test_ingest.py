@@ -1,8 +1,6 @@
 """Data-ingest semantics vs the reference contracts
 (tone_bias_dataset.py:114-254, tone_bias_train.py:264-278)."""
 
-import numpy as np
-import pytest
 
 from skin_image_analysis_tpu.data import (
     balance_dataset,

@@ -2,7 +2,6 @@
 correctness."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
