@@ -65,7 +65,8 @@ def di_from_counts(
     tp, tn = tp_min + tp_maj, tn_min + tn_maj
     fp, fn = fp_min + fp_maj, fn_min + fn_maj
 
-    accuracy = (tp + tn) / (tp + tn + fp + fn)
+    total = tp + tn + fp + fn
+    accuracy = (tp + tn) / total if total else 0.0
     precision = recall = f1 = 0.0
     if tp > 0:
         precision = tp / (tp + fp)
@@ -77,11 +78,14 @@ def di_from_counts(
 
     min_selected = tp_min + fp_min
     maj_selected = tp_maj + fp_maj
-    selection_rate_min = min_selected / min_count
-    selection_rate_maj = maj_selected / maj_count
+    # Empty-group guard: a split can lack one group entirely on small
+    # cohorts (the reference divides by the raw group size and crashes,
+    # tone_bias_test.py:327-333); rates over an empty group report 0.0.
+    selection_rate_min = min_selected / min_count if min_count else 0.0
+    selection_rate_maj = maj_selected / maj_count if maj_count else 0.0
 
-    min_prevalence = (tp_min + fn_min) / min_count
-    maj_prevalence = (tp_maj + fn_maj) / maj_count
+    min_prevalence = (tp_min + fn_min) / min_count if min_count else 0.0
+    maj_prevalence = (tp_maj + fn_maj) / maj_count if maj_count else 0.0
 
     min_precision = min_recall = min_f1 = 0.0
     if tp_min > 0:

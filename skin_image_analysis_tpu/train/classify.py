@@ -1,0 +1,182 @@
+"""Generic image-classification trainer over LesionTables.
+
+One trainer drives every side task in the reference: the ToneClassifier's
+binary light/dark ResNet transfer (CNNTrial.py) and the HAM-10000
+notebooks' 7-class ``dx`` experiments (jgi_ham_2018_*.ipynb) — arbitrary
+``class_names``/``label_column`` via LesionTable, class-weighted NLL,
+flip/crop/ImageNet augmentation, per-epoch accuracy + macro PRF metrics,
+wandb-style logging. The main diagnosis+fairness pipeline stays in
+train.loop (it additionally owns the experiment store and fairness audit).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+
+from skin_image_analysis_tpu.config import ModelConfig, OptimConfig
+from skin_image_analysis_tpu.data.dataset import LesionTable
+from skin_image_analysis_tpu.data.loader import BatchIterator, HostImageStore
+from skin_image_analysis_tpu.ops.preprocess import AugmentConfig, make_preprocess_fn
+from skin_image_analysis_tpu.toneclassifier.class_weight import (
+    balanced_class_weights,
+)
+from skin_image_analysis_tpu.train.state import create_train_state
+from skin_image_analysis_tpu.train.step import make_eval_step, make_train_step
+from skin_image_analysis_tpu.utils.metrics_log import MetricsLogger, binary_metrics
+
+
+@dataclass(frozen=True)
+class ClassifyConfig:
+    model_name: str = "resnet50"
+    num_classes: int = 2
+    image_size: int = 224
+    canonical_size: int = 256
+    batch_size: int = 32
+    epochs: int = 10
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.01
+    optimizer: str = "adamw"
+    use_class_weights: bool = True
+    oversample: bool = False
+    augment: bool = True
+    normalize_imagenet: bool = True
+    seed: int = 0
+    compute_dtype: str = "bfloat16"
+    out_dir: str = "classify_runs"
+
+
+def multiclass_metrics(preds, labels, n_classes: int) -> dict[str, float]:
+    """Accuracy + macro-averaged precision/recall/F1 (collapses to the
+    binary report for n=2 via the positive-class convention)."""
+    preds = np.asarray(preds)
+    labels = np.asarray(labels)
+    if n_classes == 2:
+        return binary_metrics(preds, labels)
+    accuracy = float((preds == labels).mean()) if preds.size else 0.0
+    ps, rs, fs = [], [], []
+    for c in range(n_classes):
+        tp = int(((preds == c) & (labels == c)).sum())
+        fp = int(((preds == c) & (labels != c)).sum())
+        fn = int(((preds != c) & (labels == c)).sum())
+        p = tp / (tp + fp) if tp + fp else 0.0
+        r = tp / (tp + fn) if tp + fn else 0.0
+        f = 2 * p * r / (p + r) if p + r else 0.0
+        ps.append(p), rs.append(r), fs.append(f)
+    return {
+        "accuracy": accuracy,
+        "precision": float(np.mean(ps)),
+        "recall": float(np.mean(rs)),
+        "f1": float(np.mean(fs)),
+    }
+
+
+def _oversampled_order(labels: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    weights = balanced_class_weights(labels, int(labels.max()) + 1)[labels]
+    p = weights / weights.sum()
+    return rng.choice(len(labels), size=len(labels), replace=True, p=p)
+
+
+def train_classifier(
+    train_table: LesionTable,
+    test_table: LesionTable,
+    cfg: ClassifyConfig = ClassifyConfig(),
+    verbose: bool = True,
+) -> dict:
+    """Returns {state, history, test_metrics, out_dir}."""
+    train_store = HostImageStore(train_table, cfg.canonical_size)
+    test_store = HostImageStore(test_table, cfg.canonical_size)
+    train_arena = train_store.to_device()
+    test_arena = test_store.to_device()
+
+    class_weights = (
+        tuple(balanced_class_weights(train_table.labels, cfg.num_classes))
+        if cfg.use_class_weights
+        else None
+    )
+
+    model_cfg = ModelConfig(
+        name=cfg.model_name, num_classes=cfg.num_classes,
+        image_size=cfg.image_size, compute_dtype=cfg.compute_dtype,
+    )
+    optim_cfg = OptimConfig(
+        optimizer=cfg.optimizer, learning_rate=cfg.learning_rate,
+        weight_decay=cfg.weight_decay,
+    )
+    state, model = create_train_state(
+        model_cfg, optim_cfg, jax.random.key(cfg.seed),
+        batch_size=cfg.batch_size,
+    )
+
+    train_pre = make_preprocess_fn(
+        cfg.image_size, train=True,
+        augment=AugmentConfig(random_crop=True, horizontal_flip=True)
+        if cfg.augment else None,
+        normalize_imagenet=cfg.normalize_imagenet,
+    )
+    eval_pre = make_preprocess_fn(
+        cfg.image_size, train=False, normalize_imagenet=cfg.normalize_imagenet
+    )
+    train_step = make_train_step(
+        class_weights=class_weights, preprocess_fn=train_pre
+    )
+    eval_step = make_eval_step(preprocess_fn=eval_pre)
+
+    order_fn = (
+        (lambda rng: _oversampled_order(train_table.labels, rng))
+        if cfg.oversample
+        else None
+    )
+    train_loader = BatchIterator(
+        train_store, cfg.batch_size, shuffle=True, drop_remainder=True,
+        seed=cfg.seed + 1, order_fn=order_fn, device_arena=train_arena,
+    )
+    test_loader = BatchIterator(
+        test_store, cfg.batch_size, shuffle=False, drop_remainder=False,
+        device_arena=test_arena,
+    )
+
+    history = []
+    with MetricsLogger(cfg.out_dir, run_name=f"classify_{cfg.model_name}") as logger:
+        step_idx = 0
+        for epoch in range(cfg.epochs):
+            losses = []
+            for batch in train_loader:
+                state, metrics = train_step(state, batch)
+                losses.append(metrics["loss"])
+                step_idx += 1
+            losses = [float(v) for v in jax.device_get(losses)]
+
+            outs, host_labels = [], []
+            for batch in test_loader:
+                outs.append(
+                    eval_step(state.params, state.apply_fn, batch,
+                              state.batch_stats)
+                )
+                host_labels.append(np.asarray(batch["label"]))
+            outs = jax.device_get(outs)
+            preds = np.concatenate(
+                [o["pred"][o["valid"]] for o in outs]
+            )
+            labels = np.concatenate(
+                [lab[o["valid"]] for o, lab in zip(outs, host_labels)]
+            )
+            m = multiclass_metrics(preds, labels, cfg.num_classes)
+            m["epoch"] = epoch
+            m["train_loss_mean"] = float(np.mean(losses)) if losses else 0.0
+            for i, loss in enumerate(losses):
+                logger.log({"train_loss": loss}, step=step_idx - len(losses) + i)
+            logger.log(m, step=step_idx)
+            history.append(m)
+            if verbose:
+                print(f"epoch {epoch}: {m}")
+
+    return {
+        "state": state,
+        "history": history,
+        "test_metrics": history[-1] if history else {},
+        "out_dir": cfg.out_dir,
+    }

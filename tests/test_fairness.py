@@ -93,3 +93,23 @@ def test_analyse_predictions_schema(rng):
 def test_confusion_matrix_unknown_prediction_raises():
     with pytest.raises(ValueError):
         confusion_matrix({0: _inst("other", "benign")})
+
+
+def test_empty_group_does_not_crash():
+    """A cohort lacking one group entirely (possible on small splits) must
+    yield a well-formed record with zero rates, not a ZeroDivisionError."""
+    r = di_from_counts(0, 0, 0, 0, 4, 4, 1, 1)
+    assert r["min_count"] == 0
+    assert r["selection_rate_min"] == 0.0
+    assert r["min_prevalence"] == 0.0
+    assert r["di"] == 0.0
+    assert r["maj_count"] == 10
+
+    instances = {
+        i: {"prediction": "benign", "benign_malignant": "benign",
+            "skin_tone": "light", "sex": "male", "control": "poor"}
+        for i in range(5)
+    }
+    rec = analyse_predictions(instances)
+    assert rec["dark"] == 0 and rec["light"] == 5
+    assert rec["tone_di_results"]["di"] == 0.0
