@@ -34,6 +34,9 @@ class DataConfig:
                                    # gather batches on-device (bounded by
                                    # device_cache_max_bytes)
     device_cache_max_bytes: int = 8 << 30
+    streaming: bool = False        # archive-scale path: chunked decode-
+                                   # ahead instead of whole-cohort arenas
+    chunk_size: int = 2048         # images per streaming chunk
     drop_remainder: bool = True    # static shapes for jit
 
     @property

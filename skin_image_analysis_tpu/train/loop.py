@@ -151,11 +151,14 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
     test_table = LesionTable(test_df, cfg.data.root_dir)
 
     # Decode in the background so XLA compilation (triggered further
-    # down via AOT lower/compile on dummy shapes) overlaps with it — the
-    # two dominant cold-start costs run concurrently.
+    # down via a warm call on dummy shapes) overlaps with it — the two
+    # dominant cold-start costs run concurrently. The streaming path
+    # (archive-scale cohorts) decodes lazily per chunk instead.
     stores: dict[str, HostImageStore] = {}
 
     def _decode():
+        if cfg.data.streaming:
+            return
         stores["train"] = HostImageStore(
             train_table, cfg.data.canonical_size, cfg.data.decode_workers
         )
@@ -248,43 +251,74 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
 
     decode_thread.join()
     t_decode.__exit__(None, None, None)
-    train_store, test_store = stores["train"], stores["test"]
-    if verbose:
-        n = len(train_store) + len(test_store)
-        print(f"decoded {n} images in {t_decode.elapsed:.1f}s (overlapped "
-              f"with compilation)")
 
-    # Device-resident arenas: pixels cross the host link exactly once,
-    # batches gather on-device every epoch after that.
-    train_arena = test_arena = None
-    if cfg.data.device_cache:
-        total_bytes = train_store.images.nbytes + test_store.images.nbytes
-        if total_bytes <= cfg.data.device_cache_max_bytes:
-            train_arena = train_store.to_device()
-            test_arena = test_store.to_device()
-            if verbose:
-                print(f"device-cached {total_bytes / 1e6:.0f} MB of images")
+    if cfg.data.streaming:
+        # Archive-scale path (ISIC-2020 config): decode-ahead chunks, no
+        # whole-cohort arenas in RAM or HBM.
+        from skin_image_analysis_tpu.data.streaming import ChunkedBatchIterator
 
-    train_loader = BatchIterator(
-        train_store,
-        cfg.data.batch_size,
-        shuffle=True,
-        drop_remainder=cfg.data.drop_remainder,
-        seed=cfg.data.seed + 1,
-        prefetch=cfg.data.prefetch_depth,
-        sharding=data_sharding,
-        device_arena=train_arena,
-    )
-    test_loader = BatchIterator(
-        test_store,
-        cfg.data.batch_size,
-        shuffle=False,
-        drop_remainder=False,
-        seed=0,
-        prefetch=cfg.data.prefetch_depth,
-        sharding=data_sharding,
-        device_arena=test_arena,
-    )
+        train_loader = ChunkedBatchIterator(
+            train_table,
+            canonical_size=cfg.data.canonical_size,
+            batch_size=cfg.data.batch_size,
+            chunk_size=cfg.data.chunk_size,
+            shuffle=True,
+            drop_remainder=cfg.data.drop_remainder,
+            seed=cfg.data.seed + 1,
+            sharding=data_sharding,
+        )
+        test_loader = ChunkedBatchIterator(
+            test_table,
+            canonical_size=cfg.data.canonical_size,
+            batch_size=cfg.data.batch_size,
+            chunk_size=cfg.data.chunk_size,
+            shuffle=False,
+            drop_remainder=False,
+            seed=0,
+            sharding=data_sharding,
+        )
+        if verbose:
+            print(f"streaming ingest: chunks of {cfg.data.chunk_size}")
+    else:
+        train_store, test_store = stores["train"], stores["test"]
+        if verbose:
+            n = len(train_store) + len(test_store)
+            print(f"decoded {n} images in {t_decode.elapsed:.1f}s "
+                  f"(overlapped with compilation)")
+
+        # Device-resident arenas: pixels cross the host link exactly once,
+        # batches gather on-device every epoch after that.
+        train_arena = test_arena = None
+        if cfg.data.device_cache:
+            total_bytes = (
+                train_store.images.nbytes + test_store.images.nbytes
+            )
+            if total_bytes <= cfg.data.device_cache_max_bytes:
+                train_arena = train_store.to_device()
+                test_arena = test_store.to_device()
+                if verbose:
+                    print(f"device-cached {total_bytes / 1e6:.0f} MB of images")
+
+        train_loader = BatchIterator(
+            train_store,
+            cfg.data.batch_size,
+            shuffle=True,
+            drop_remainder=cfg.data.drop_remainder,
+            seed=cfg.data.seed + 1,
+            prefetch=cfg.data.prefetch_depth,
+            sharding=data_sharding,
+            device_arena=train_arena,
+        )
+        test_loader = BatchIterator(
+            test_store,
+            cfg.data.batch_size,
+            shuffle=False,
+            drop_remainder=False,
+            seed=0,
+            prefetch=cfg.data.prefetch_depth,
+            sharding=data_sharding,
+            device_arena=test_arena,
+        )
 
     start = time.time()
     for epoch in range(cfg.epochs):

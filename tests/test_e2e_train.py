@@ -136,3 +136,22 @@ def test_checkpoint_every(synth_root, tmp_path):
     )
     folder = run_training(cfg, verbose=False)
     assert os.path.isdir(os.path.join(folder, "checkpoint"))
+
+
+def test_streaming_ingest_run(synth_root, tmp_path):
+    """The archive-scale streaming path produces the same record schema
+    through the full loop."""
+    import dataclasses
+    import json
+
+    cfg = _tiny_cfg(synth_root, tmp_path, epochs=1)
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, streaming=True, chunk_size=16)
+    )
+    folder = run_training(cfg, verbose=False)
+    json_files = [n for n in os.listdir(folder)
+                  if n.endswith(".json") and n[0].isdigit()]
+    with open(os.path.join(folder, json_files[0])) as f:
+        [rec] = [json.loads(line) for line in f if line.strip()]
+    assert rec["total"] > 0
+    assert "tone_di_results" in rec and "auc" in rec
