@@ -37,8 +37,9 @@ def main(argv: list[str] | None = None) -> int:
     positional, opts = parse(
         argv,
         {"seed": 0, "batch-size": 16, "lr": 1e-5, "init-from": "",
-         "model": "skin_cancer_list", "image-size": 224, "profile": ""},
-        bool_flags={"augment", "fp32", "bf16", "debug-nans"},
+         "model": "skin_cancer_list", "image-size": 224, "profile": "",
+         "chunk-size": 2048},
+        bool_flags={"augment", "fp32", "bf16", "debug-nans", "streaming"},
     )
     if len(positional) != 3:
         print("Usage: <root directory of ISIC images> <number of epochs> "
@@ -67,6 +68,7 @@ def main(argv: list[str] | None = None) -> int:
             root_dir=root, balance=balance, batch_size=batch_size,
             augment=augment, seed=seed, image_size=opts["image-size"],
             canonical_size=max(256, opts["image-size"]),
+            streaming=opts["streaming"], chunk_size=opts["chunk-size"],
         ),
         model=ModelConfig(
             name=opts["model"], image_size=opts["image-size"],
