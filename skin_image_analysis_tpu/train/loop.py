@@ -321,6 +321,7 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         )
 
     start = time.time()
+    best_batch_loss = None
     for epoch in range(cfg.epochs):
         epoch_start = time.time()
         if verbose:
@@ -360,6 +361,17 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
             record["epoch"] = epoch
             record["epoch_time_s"] = epoch_time
             jsonl.append_record(results_path, record)
+
+        if cfg.checkpoint_best and (
+            best_batch_loss is None or avg_batch_loss < best_batch_loss
+        ):
+            # best-loss weights (the improvement the reference discusses
+            # but does not ship, tone_bias_train.py:438-442)
+            best_batch_loss = avg_batch_loss
+            ckpt_lib.save_model(
+                os.path.join(folder, "session_model_best.msgpack"),
+                model_cfg, state.params, state.batch_stats,
+            )
 
         if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
             # periodic crash-recovery snapshot (full fidelity: params +

@@ -155,3 +155,13 @@ def test_streaming_ingest_run(synth_root, tmp_path):
         [rec] = [json.loads(line) for line in f if line.strip()]
     assert rec["total"] > 0
     assert "tone_di_results" in rec and "auc" in rec
+
+
+def test_checkpoint_best(synth_root, tmp_path):
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        _tiny_cfg(synth_root, tmp_path, epochs=2), checkpoint_best=True
+    )
+    folder = run_training(cfg, verbose=False)
+    assert os.path.exists(os.path.join(folder, "session_model_best.msgpack"))
