@@ -121,6 +121,27 @@ def evaluate_fairness(
         record = analyse_predictions(instances)
 
     record["auc"] = roc_auc(labels, scores)
+
+    # Per-tone gap metrics (the BASELINE.json headline: "AUC + per-tone
+    # accuracy-gap"): group accuracies fall out of the integer confusion
+    # counts; per-group AUC is computed over each tone's score slice.
+    tone = record["tone_di_results"]
+    min_count, maj_count = tone["min_count"], tone["maj_count"]
+    acc_dark = (
+        (tone["tp_min"] + tone["tn_min"]) / min_count if min_count else 0.0
+    )
+    acc_light = (
+        (tone["tp_maj"] + tone["tn_maj"]) / maj_count if maj_count else 0.0
+    )
+    record["tone_accuracy_dark"] = acc_dark
+    record["tone_accuracy_light"] = acc_light
+    record["tone_accuracy_gap"] = acc_dark - acc_light
+    if "skin_tone" in table.group_codes:
+        codes = table.group_codes["skin_tone"][row_ids]
+        dark_mask = codes == 1
+        light_mask = codes == 0
+        record["auc_dark"] = roc_auc(labels[dark_mask], scores[dark_mask])
+        record["auc_light"] = roc_auc(labels[light_mask], scores[light_mask])
     return record
 
 

@@ -77,3 +77,21 @@ def test_device_handles_missing_group(rng):
     dev = analyse_predictions_device(preds, labels, groups, valid)
     assert dev["male"] + dev["female"] == 90
     assert dev["total"] == 100
+
+
+def test_device_matches_host_fuzz(rng):
+    """Bit-equality of host and device fairness paths across many random
+    cohorts, including missing groups and heavy padding."""
+    for trial in range(25):
+        n = int(rng.integers(3, 400))
+        instances = random_instances(rng, n)
+        # randomly blank out a group entirely sometimes
+        if trial % 5 == 0:
+            for inst in instances.values():
+                inst["skin_tone"] = "light"
+        host = analyse_predictions(instances)
+        preds, labels, groups, valid = _to_arrays(
+            instances, pad=int(rng.integers(0, 40))
+        )
+        dev = analyse_predictions_device(preds, labels, groups, valid)
+        assert host == dev, f"trial {trial} (n={n})"
