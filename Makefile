@@ -1,12 +1,9 @@
 # Developer entry points.
 
-.PHONY: test test-fast native bench dryrun clean
+.PHONY: test native bench dryrun clean
 
 test:
 	python -m pytest tests/ -x -q
-
-test-fast:
-	python -m pytest tests/ -x -q -m "not slow" -p no:cacheprovider
 
 native:
 	$(MAKE) -C native

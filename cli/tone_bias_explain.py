@@ -35,7 +35,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     if len(positional) != 2:
         print("Usage: <root directory of ISIC images> <experiment folder> "
-              "[--method ig|saliency|smoothgrad|gradcam] [--n-images N] [--steps N]")
+              "[--method ig|saliency|smoothgrad|gradientshap|occlusion|gradcam] [--n-images N] [--steps N]")
         return 1
     root, folder = positional
     method = opts["method"]
@@ -90,6 +90,25 @@ def main(argv: list[str] | None = None) -> int:
         attr = saliency(apply_fn, params, x, preds)
     elif method == "smoothgrad":
         attr = smoothgrad(apply_fn, params, x, preds, jax.random.key(0))
+    elif method == "gradientshap":
+        from skin_image_analysis_tpu.explain import gradient_shap
+
+        attr = gradient_shap(
+            apply_fn, params, x, preds, jax.random.key(0), n_steps=n_steps
+        )
+    elif method == "occlusion":
+        from skin_image_analysis_tpu.explain import occlusion_map
+
+        patch = max(4, x.shape[1] // 7)
+        occ = np.asarray(
+            occlusion_map(apply_fn, params, x, preds,
+                          patch_size=patch, stride=max(2, patch // 2))
+        )
+        attr = jax.image.resize(
+            jnp.asarray(occ)[..., None],
+            (occ.shape[0], x.shape[1], x.shape[2], 1),
+            method="bilinear",
+        )
     elif method == "gradcam":
         from skin_image_analysis_tpu.explain import grad_cam_gap_head
 

@@ -1,6 +1,7 @@
 from skin_image_analysis_tpu.explain.attribution import (  # noqa: F401
     grad_cam,
     grad_cam_gap_head,
+    gradient_shap,
     integrated_gradients,
     saliency,
     smoothgrad,

@@ -70,6 +70,40 @@ def saliency(
     return jnp.abs(jax.grad(_target_logprob, argnums=2)(apply_fn, params, x, target))
 
 
+@partial(jax.jit, static_argnames=("apply_fn", "n_steps", "n_baselines"))
+def gradient_shap(
+    apply_fn: Callable,
+    params: Any,
+    x: jnp.ndarray,
+    target: jnp.ndarray,
+    key: jax.Array,
+    baselines: jnp.ndarray | None = None,
+    n_baselines: int = 8,
+    n_steps: int = 32,
+    sigma: float = 0.09,
+) -> jnp.ndarray:
+    """GradientShap (captum import at tone_bias_explain.py:28-31, unused
+    there): expected IG over random baselines with input noise — vmapped
+    over baselines, each an IG path via lax.scan."""
+    if baselines is None:
+        kb, key = jax.random.split(key)
+        baselines = jax.random.uniform(
+            kb, (n_baselines, *x.shape[1:]), x.dtype
+        )
+
+    def one(baseline, k):
+        noise = sigma * jax.random.normal(k, x.shape, x.dtype)
+        return integrated_gradients(
+            apply_fn, params, x + noise,
+            target, baseline=jnp.broadcast_to(baseline, x.shape),
+            n_steps=n_steps,
+        )
+
+    keys = jax.random.split(key, baselines.shape[0])
+    attrs = jax.vmap(one)(baselines, keys)
+    return jnp.mean(attrs, axis=0)
+
+
 @partial(jax.jit, static_argnames=("apply_fn", "n_samples"))
 def smoothgrad(
     apply_fn: Callable,

@@ -129,3 +129,18 @@ def test_grad_cam_gap_head_resnet():
     cam = np.asarray(cam)
     assert cam.min() >= 0.0 and cam.max() <= 1.0 + 1e-6
     assert np.isfinite(cam).all()
+
+
+def test_gradient_shap(model_and_params):
+    from skin_image_analysis_tpu.explain import gradient_shap
+
+    model, params = model_and_params
+    x = jax.random.uniform(jax.random.key(8), (2, 16, 16, 3))
+    target = jnp.zeros((2,), jnp.int32)
+    attr = gradient_shap(
+        model.apply, params, x, target, jax.random.key(9),
+        n_baselines=3, n_steps=8,
+    )
+    assert attr.shape == x.shape
+    assert np.isfinite(np.asarray(attr)).all()
+    assert np.abs(np.asarray(attr)).sum() > 0
