@@ -30,6 +30,17 @@ from skin_image_analysis_tpu.config import (  # noqa: E402
 from skin_image_analysis_tpu.train.loop import run_training  # noqa: E402
 
 
+def _optim_config(lr: float, class_weights: str) -> "OptimConfig":
+    """--class-weights '' (off) | 'auto' (balanced from the train split,
+    the imbalanced-sampling config) | 'w0,w1' explicit."""
+    if not class_weights:
+        return OptimConfig(learning_rate=lr)
+    if class_weights == "auto":
+        return OptimConfig(learning_rate=lr, auto_class_weights=True)
+    weights = tuple(float(w) for w in class_weights.split(","))
+    return OptimConfig(learning_rate=lr, class_weights=weights)
+
+
 def main(argv: list[str] | None = None) -> int:
     from cli._common import parse
 
@@ -38,7 +49,7 @@ def main(argv: list[str] | None = None) -> int:
         argv,
         {"seed": 0, "batch-size": 16, "lr": 1e-5, "init-from": "",
          "model": "skin_cancer_list", "image-size": 224, "profile": "",
-         "chunk-size": 2048},
+         "chunk-size": 2048, "class-weights": ""},
         bool_flags={"augment", "fp32", "bf16", "debug-nans", "streaming"},
     )
     if len(positional) != 3:
@@ -74,7 +85,7 @@ def main(argv: list[str] | None = None) -> int:
             name=opts["model"], image_size=opts["image-size"],
             compute_dtype=compute_dtype,
         ),
-        optim=OptimConfig(learning_rate=lr),
+        optim=_optim_config(lr, opts["class-weights"]),
     )
     if opts["debug-nans"]:
         # bring-up sanitizer (SURVEY §5: no sanitizers in the reference;

@@ -84,6 +84,8 @@ class OptimConfig:
     momentum: float = 0.0
     moment_dtype: str | None = None  # "bfloat16" halves adam moment HBM
     class_weights: tuple[float, ...] | None = None  # weighted NLL for imbalanced runs
+    auto_class_weights: bool = False  # derive balanced weights from the
+                                      # train split (imbalanced config)
 
 
 @dataclasses.dataclass(frozen=True)

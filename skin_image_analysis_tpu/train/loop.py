@@ -208,8 +208,19 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         cfg.data.image_size, train=False,
         normalize_imagenet=cfg.data.normalize_imagenet,
     )
+    class_weights = cfg.optim.class_weights
+    if cfg.optim.auto_class_weights and class_weights is None:
+        # the imbalanced-sampling config: balanced class weights from the
+        # train split (sklearn 'balanced' formula, ClassWeight.py parity)
+        from skin_image_analysis_tpu.toneclassifier.class_weight import (
+            balanced_class_weights,
+        )
+
+        class_weights = tuple(balanced_class_weights(train_table.labels))
+        if verbose:
+            print(f"class weights (balanced): {class_weights}")
     train_step = make_train_step(
-        class_weights=cfg.optim.class_weights, preprocess_fn=train_pre,
+        class_weights=class_weights, preprocess_fn=train_pre,
         mesh=mesh, data_axis=cfg.mesh.data_axis,
     )
     eval_step = make_eval_step(

@@ -165,3 +165,18 @@ def test_checkpoint_best(synth_root, tmp_path):
     )
     folder = run_training(cfg, verbose=False)
     assert os.path.exists(os.path.join(folder, "session_model_best.msgpack"))
+
+
+def test_auto_class_weights_imbalanced(synth_root, tmp_path):
+    """BASELINE config 2: imbalanced sampling + class-weighted loss."""
+    import dataclasses
+
+    from skin_image_analysis_tpu.config import OptimConfig
+
+    cfg = _tiny_cfg(synth_root, tmp_path, epochs=1)
+    cfg = dataclasses.replace(
+        cfg,
+        optim=OptimConfig(learning_rate=1e-3, auto_class_weights=True),
+    )
+    folder = run_training(cfg, verbose=False)
+    assert os.path.exists(os.path.join(folder, "session_model.msgpack"))
