@@ -30,15 +30,23 @@ from skin_image_analysis_tpu.config import (  # noqa: E402
 from skin_image_analysis_tpu.train.loop import run_training  # noqa: E402
 
 
-def _optim_config(lr: float, class_weights: str) -> "OptimConfig":
+def _optim_config(lr: float, class_weights: str, opts: dict) -> "OptimConfig":
     """--class-weights '' (off) | 'auto' (balanced from the train split,
-    the imbalanced-sampling config) | 'w0,w1' explicit."""
-    if not class_weights:
-        return OptimConfig(learning_rate=lr)
+    the imbalanced-sampling config) | 'w0,w1' explicit. LR-schedule flags
+    map to OptimConfig (StepLR equivalent, tone_bias_train.py:377)."""
+    kw = dict(
+        learning_rate=lr,
+        lr_schedule=opts["lr-schedule"],
+        lr_step_size=opts["lr-step-size"],
+        lr_gamma=opts["lr-gamma"],
+        lr_decay_steps=opts["lr-decay-steps"],
+        lr_warmup_steps=opts["lr-warmup-steps"],
+    )
     if class_weights == "auto":
-        return OptimConfig(learning_rate=lr, auto_class_weights=True)
-    weights = tuple(float(w) for w in class_weights.split(","))
-    return OptimConfig(learning_rate=lr, class_weights=weights)
+        return OptimConfig(auto_class_weights=True, **kw)
+    if class_weights:
+        kw["class_weights"] = tuple(float(w) for w in class_weights.split(","))
+    return OptimConfig(**kw)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -49,7 +57,9 @@ def main(argv: list[str] | None = None) -> int:
         argv,
         {"seed": 0, "batch-size": 16, "lr": 1e-5, "init-from": "",
          "model": "skin_cancer_list", "image-size": 224, "profile": "",
-         "chunk-size": 2048, "class-weights": ""},
+         "chunk-size": 2048, "class-weights": "", "lr-schedule": "",
+         "lr-step-size": 0, "lr-gamma": 0.1, "lr-decay-steps": 0,
+         "lr-warmup-steps": 0},
         bool_flags={"augment", "fp32", "bf16", "debug-nans", "streaming"},
     )
     if len(positional) != 3:
@@ -85,7 +95,7 @@ def main(argv: list[str] | None = None) -> int:
             name=opts["model"], image_size=opts["image-size"],
             compute_dtype=compute_dtype,
         ),
-        optim=_optim_config(lr, opts["class-weights"]),
+        optim=_optim_config(lr, opts["class-weights"], opts),
     )
     if opts["debug-nans"]:
         # bring-up sanitizer (SURVEY §5: no sanitizers in the reference;

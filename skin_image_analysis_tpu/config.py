@@ -86,6 +86,13 @@ class OptimConfig:
     class_weights: tuple[float, ...] | None = None  # weighted NLL for imbalanced runs
     auto_class_weights: bool = False  # derive balanced weights from the
                                       # train split (imbalanced config)
+    # LR schedule (the reference defines-but-comments-out StepLR,
+    # tone_bias_train.py:377,:394-395). All sizes are optimizer steps.
+    lr_schedule: str = ""          # "" | "step" | "exponential" | "cosine"
+    lr_step_size: int = 0          # steps between decays (step/exponential)
+    lr_gamma: float = 0.1          # decay factor (StepLR gamma)
+    lr_decay_steps: int = 0        # cosine horizon
+    lr_warmup_steps: int = 0       # linear warmup prefix
 
 
 @dataclasses.dataclass(frozen=True)

@@ -53,12 +53,64 @@ def _decode_resize_pil(path: str, size: int) -> np.ndarray:
         return np.asarray(im, dtype=np.uint8)
 
 
-def decode_image(path: str, size: int) -> np.ndarray:
-    """Decode + exact-resize one image to uint8 [size, size, 3] RGB."""
+def decode_image(path: str, size: int, mode: str = "square") -> np.ndarray:
+    """Decode + resize one image to uint8 [size, size, 3] RGB.
+
+    ``mode="square"`` is the pipeline default (exact resize, the
+    reference's Rescale((224,224)) usage, tone_bias_train.py:313).
+    ``mode="shortest"`` resizes the shortest side to ``size`` preserving
+    aspect (reference Rescale(int), tone_bias_dataset.py:397-427) then
+    center-crops to the square the fixed-shape arenas need.
+    """
+    if mode == "shortest":
+        try:
+            import cv2
+
+            img = cv2.imread(path, cv2.IMREAD_COLOR)
+            if img is None:
+                raise IOError(f"failed to decode {path}")
+            img = img[:, :, ::-1]
+        except ImportError:
+            from PIL import Image
+
+            with Image.open(path) as im:
+                img = np.asarray(im.convert("RGB"), dtype=np.uint8)
+        img = rescale_image(img, size)
+        h, w = img.shape[:2]
+        y0, x0 = (h - size) // 2, (w - size) // 2
+        return np.ascontiguousarray(img[y0 : y0 + size, x0 : x0 + size])
     try:
         return _decode_resize_cv2(path, size)
     except ImportError:
         return _decode_resize_pil(path, size)
+
+
+def rescale_image(
+    img: np.ndarray, output_size: int | tuple[int, int]
+) -> np.ndarray:
+    """The reference's Rescale transform (tone_bias_dataset.py:397-427):
+    int → shortest side becomes ``output_size``, aspect preserved;
+    (h, w) tuple → exact resize. Host-side, uint8 in/out."""
+    h, w = img.shape[:2]
+    if isinstance(output_size, int):
+        if h < w:
+            new_h, new_w = output_size, max(round(output_size * w / h), 1)
+        else:
+            new_h, new_w = max(round(output_size * h / w), 1), output_size
+    else:
+        new_h, new_w = output_size
+    if (new_h, new_w) == (h, w):
+        return img
+    try:
+        import cv2
+
+        interp = cv2.INTER_AREA if h > new_h else cv2.INTER_LINEAR
+        return cv2.resize(img, (new_w, new_h), interpolation=interp)
+    except ImportError:
+        from PIL import Image
+
+        im = Image.fromarray(img).resize((new_w, new_h), Image.BILINEAR)
+        return np.asarray(im, dtype=np.uint8)
 
 
 class HostImageStore:
@@ -71,12 +123,20 @@ class HostImageStore:
         workers: int = 8,
         use_native: bool = True,
         layout: str = "hwc",
+        resize_mode: str = "square",
     ):
         if layout not in ("hwc", "planar"):
             raise ValueError(f"layout must be hwc|planar, got {layout!r}")
+        if resize_mode not in ("square", "shortest"):
+            raise ValueError(
+                f"resize_mode must be square|shortest, got {resize_mode!r}"
+            )
         self.table = table
         self.size = canonical_size
         self.layout = layout
+        self.resize_mode = resize_mode
+        if resize_mode != "square":
+            use_native = False  # native decoder emits exact squares only
         paths = table.file_paths()
         shape = (
             (len(paths), canonical_size, canonical_size, 3)
@@ -95,7 +155,7 @@ class HostImageStore:
                 decoded = False
         if not decoded:
             def _one(p):
-                img = decode_image(p, self.size)
+                img = decode_image(p, self.size, mode=resize_mode)
                 return np.transpose(img, (2, 0, 1)) if layout == "planar" else img
 
             if workers > 1:

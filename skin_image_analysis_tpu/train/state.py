@@ -39,24 +39,53 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+def make_lr(cfg: OptimConfig):
+    """Learning rate — a float, or an optax schedule when configured.
+
+    ``lr_schedule="step"`` is the TPU-native StepLR equivalent the
+    reference defines but comments out (tone_bias_train.py:377,:394-395):
+    lr * gamma^(step // step_size), staircased. Sizes are optimizer steps.
+    """
+    base = cfg.learning_rate
+    sched = None
+    if cfg.lr_schedule == "step":
+        sched = optax.exponential_decay(
+            base, max(cfg.lr_step_size, 1), cfg.lr_gamma, staircase=True
+        )
+    elif cfg.lr_schedule == "exponential":
+        sched = optax.exponential_decay(
+            base, max(cfg.lr_step_size, 1), cfg.lr_gamma
+        )
+    elif cfg.lr_schedule == "cosine":
+        sched = optax.cosine_decay_schedule(base, max(cfg.lr_decay_steps, 1))
+    elif cfg.lr_schedule:
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+    if cfg.lr_warmup_steps:
+        ramp = optax.linear_schedule(0.0, base, cfg.lr_warmup_steps)
+        tail = sched if sched is not None else optax.constant_schedule(base)
+        sched = optax.join_schedules([ramp, tail], [cfg.lr_warmup_steps])
+    return sched if sched is not None else base
+
+
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     name = cfg.optimizer.lower()
     mu_dtype = None
     if cfg.moment_dtype:
         mu_dtype = {"bfloat16": jax.numpy.bfloat16,
                     "float32": jax.numpy.float32}[cfg.moment_dtype]
+    lr = make_lr(cfg)
     if name == "adam":
-        return optax.adam(cfg.learning_rate, mu_dtype=mu_dtype)
+        return optax.adam(lr, mu_dtype=mu_dtype)
     if name == "adamw":
         return optax.adamw(
-            cfg.learning_rate, weight_decay=cfg.weight_decay, mu_dtype=mu_dtype
+            lr, weight_decay=cfg.weight_decay, mu_dtype=mu_dtype
         )
     if name == "rmsprop":
-        return optax.rmsprop(cfg.learning_rate)
+        return optax.rmsprop(lr)
     if name == "sgd":
         if cfg.momentum:
-            return optax.sgd(cfg.learning_rate, momentum=cfg.momentum)
-        return optax.sgd(cfg.learning_rate)
+            return optax.sgd(lr, momentum=cfg.momentum)
+        return optax.sgd(lr)
     raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
 

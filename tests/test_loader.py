@@ -149,3 +149,40 @@ def test_store_uses_native_when_available(synth_root):
         native_store.images.astype(int) - python_store.images.astype(int)
     )
     assert diff.mean() < 2.0
+
+
+def test_rescale_image_int_preserves_aspect():
+    from skin_image_analysis_tpu.data.loader import rescale_image
+
+    img = np.zeros((100, 200, 3), np.uint8)
+    out = rescale_image(img, 50)  # shortest side (h) -> 50
+    assert out.shape == (50, 100, 3)
+    out = rescale_image(np.zeros((200, 100, 3), np.uint8), 50)
+    assert out.shape == (100, 50, 3)
+
+
+def test_rescale_image_tuple_exact():
+    from skin_image_analysis_tpu.data.loader import rescale_image
+
+    out = rescale_image(np.zeros((100, 200, 3), np.uint8), (30, 40))
+    assert out.shape == (30, 40, 3)
+
+
+def test_decode_shortest_mode(synth_root):
+    # synthetic images are square, so shortest+crop == square size here;
+    # the point is the path runs and yields the canonical square
+    df = read_isic_metadata(synth_root, seed=0)
+    table = LesionTable(df, synth_root)
+    path = table.file_paths()[0]
+    img = decode_image(path, 32, mode="shortest")
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+
+
+def test_store_resize_mode_shortest(synth_root):
+    df = read_isic_metadata(synth_root, seed=0)
+    table = LesionTable(df, synth_root)
+    s = HostImageStore(table, canonical_size=32, workers=2,
+                       resize_mode="shortest")
+    assert s.images.shape[1:] == (32, 32, 3)
+    with pytest.raises(ValueError, match="resize_mode"):
+        HostImageStore(table, canonical_size=32, resize_mode="bogus")

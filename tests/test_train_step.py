@@ -99,3 +99,75 @@ def test_class_weighted_loss():
     stepu = make_train_step()
     _, mu = stepu(state, batch)
     assert float(mw["loss"]) != float(mu["loss"])
+
+
+def test_lr_schedules():
+    """StepLR-equivalent schedules (OptimConfig.lr_schedule): staircase
+    decay by gamma every step_size optimizer steps, cosine horizon, and
+    linear warmup prefix."""
+    import numpy as np
+
+    from skin_image_analysis_tpu.config import OptimConfig
+    from skin_image_analysis_tpu.train.state import make_lr
+
+    lr = make_lr(OptimConfig(learning_rate=1e-2, lr_schedule="step",
+                             lr_step_size=4, lr_gamma=0.1))
+    assert np.isclose(float(lr(0)), 1e-2)
+    assert np.isclose(float(lr(3)), 1e-2)
+    assert np.isclose(float(lr(4)), 1e-3)
+    assert np.isclose(float(lr(8)), 1e-4)
+
+    lr = make_lr(OptimConfig(learning_rate=1.0, lr_schedule="cosine",
+                             lr_decay_steps=10))
+    assert float(lr(0)) == 1.0 and float(lr(10)) < 1e-6
+
+    lr = make_lr(OptimConfig(learning_rate=1.0, lr_warmup_steps=10))
+    assert float(lr(0)) == 0.0
+    assert np.isclose(float(lr(5)), 0.5)
+    assert np.isclose(float(lr(20)), 1.0)
+
+    assert make_lr(OptimConfig(learning_rate=2e-5)) == 2e-5
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown lr_schedule"):
+        make_lr(OptimConfig(lr_schedule="bogus"))
+
+
+def test_step_schedule_trains():
+    """A scheduled optimizer steps without error and the LR actually
+    changes the update magnitude across the decay boundary."""
+    import jax
+    import jax.numpy as jnp
+
+    from skin_image_analysis_tpu.config import ModelConfig, OptimConfig
+    from skin_image_analysis_tpu.train.state import create_train_state
+    from skin_image_analysis_tpu.train.step import make_train_step
+
+    cfg = ModelConfig(conv_features=(4,), linear_features=(8,),
+                      dropout=(0.0,), image_size=8, compute_dtype="float32")
+    state, _ = create_train_state(
+        cfg, OptimConfig(optimizer="sgd", learning_rate=0.1,
+                         lr_schedule="step", lr_step_size=2, lr_gamma=0.1),
+        jax.random.key(0), batch_size=4,
+    )
+    batch = {
+        "pixels": jnp.ones((4, 8, 8, 3), jnp.float32) * 0.5,
+        "label": jnp.array([0, 1, 0, 1], jnp.int32),
+        "row_id": jnp.arange(4, dtype=jnp.int32),
+        "valid": jnp.ones((4,), bool),
+    }
+    step = make_train_step()
+
+    def delta(s):
+        before = jax.tree.leaves(s.params)[0].copy()
+        s2, _ = step(s, batch)
+        after = jax.tree.leaves(s2.params)[0]
+        return s2, float(jnp.abs(after - before).max())
+
+    state, d0 = delta(state)   # steps 0,1 at lr=0.1; steps 2+ at 0.01
+    state, d1 = delta(state)
+    state, d2 = delta(state)
+    state, d3 = delta(state)
+    # update magnitude drops ~10x after the boundary (gradients are
+    # smooth here, so the LR dominates the scale change)
+    assert d2 < d1 * 0.5 and d3 < d1 * 0.5

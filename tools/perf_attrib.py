@@ -1,0 +1,341 @@
+#!/usr/bin/env python
+"""Perf attribution rig for the production train step.
+
+xprof hangs through the axon remote relay in this environment, so this is
+the replacement: host-side micro-timing of separately jitted sub-programs
+with value-readback fences (``jax.block_until_ready`` returns early through
+the relay; only a host readback is a reliable fence), plus XLA's own
+compiled cost model.
+
+Stages (select by name on argv; default runs the cheap core set):
+
+  step     production train step (B, 224^2, fused augment), per-dispatch
+  scan     K train steps chained inside ONE program (lax.scan) -> isolates
+           per-dispatch overhead: overhead = t(step) - t(scan)/K
+  fwd      forward + loss only (no grad)
+  fwdbwd   value_and_grad (no optimizer update)
+  opt      optimizer update only (fixed grads)
+  pre      preprocess (uint8 -> augmented f32) only
+  blocks   per-layer forward timings (conv blocks / flatten+MLP)
+  cost     XLA cost_analysis of the compiled full step (flops, bytes)
+
+Every distinct program costs ~30-90s to compile through the relay; the
+default set is chosen to answer "where do the 33 ms go" with the fewest
+programs. Results print as one JSON line per stage.
+
+Usage:  python tools/perf_attrib.py [stage ...] [--batch-size N] [--iters N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from functools import partial
+
+import numpy as np
+
+
+def _fence(x) -> float:
+    """Force completion of the async chain by reading one value back."""
+    import jax
+
+    leaf = jax.tree.leaves(x)[0]
+    return float(np.asarray(leaf).reshape(-1)[0])
+
+
+def _time_call(fn, make_args, iters: int, warmup: int = 2) -> float:
+    """Median-of-3-windows ms per call. ``make_args()`` returns fresh args
+    (needed when the callee donates)."""
+    args = make_args()
+    for _ in range(warmup):
+        out = fn(*args)
+        args = _rebind(out, args)
+    _fence(out)
+    times = []
+    for _ in range(3):
+        args0 = make_args()
+        start = time.perf_counter()
+        a = args0
+        for _ in range(iters):
+            out = fn(*a)
+            a = _rebind(out, a)
+        _fence(out)
+        times.append((time.perf_counter() - start) / iters * 1e3)
+    return sorted(times)[1]
+
+
+def _rebind(out, args):
+    """If the first output looks like the first arg (state chaining), thread
+    it; else reuse args (non-donating fns)."""
+    if isinstance(out, tuple) and type(out[0]) is type(args[0]):
+        return (out[0],) + tuple(args[1:])
+    return args
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("stages", nargs="*",
+                   default=["step", "scan", "fwd", "fwdbwd", "opt", "pre"])
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--scan-len", type=int, default=16)
+    args = p.parse_args()
+    stages = args.stages or ["step", "scan", "fwd", "fwdbwd", "opt", "pre"]
+
+    import jax
+    import jax.numpy as jnp
+
+    from skin_image_analysis_tpu.config import ModelConfig, OptimConfig
+    from skin_image_analysis_tpu.ops.preprocess import (
+        AugmentConfig, make_preprocess_fn,
+    )
+    from skin_image_analysis_tpu.train.state import create_train_state
+    from skin_image_analysis_tpu.train.step import make_train_step
+
+    B, canonical, image_size = args.batch_size, 256, 224
+    results: dict[str, float] = {}
+
+    model_cfg = ModelConfig(compute_dtype="bfloat16")
+    state, model = create_train_state(
+        model_cfg, OptimConfig(learning_rate=1e-5), jax.random.key(0),
+        batch_size=B,
+    )
+    pre = make_preprocess_fn(
+        image_size, train=True,
+        augment=AugmentConfig(brightness=0.1, contrast=0.1, saturation=0.1),
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "pixels": jnp.asarray(
+            rng.integers(0, 255, (B, canonical, canonical, 3)), jnp.uint8),
+        "label": jnp.asarray(rng.integers(0, 2, B), jnp.int32),
+        "row_id": jnp.arange(B, dtype=jnp.int32),
+        "valid": jnp.ones((B,), bool),
+    }
+    batch = jax.device_put(batch)
+    state = jax.device_put(state)
+
+    def fresh_state():
+        return jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x,
+                            state)
+
+    def emit(name, ms, note=""):
+        results[name] = ms
+        print(json.dumps({"stage": name, "ms": round(ms, 3),
+                          "img_per_s": round(B / ms * 1e3, 1),
+                          "note": note}), flush=True)
+
+    # ---- full production step, per-dispatch ----
+    if "step" in stages or "scan" in stages:
+        step = make_train_step(preprocess_fn=pre)
+
+    if "step" in stages:
+        ms = _time_call(step, lambda: (fresh_state(), batch), args.iters)
+        emit("step", ms, "production train step, one dispatch per step")
+
+    # ---- K steps inside one program ----
+    if "scan" in stages:
+        K = args.scan_len
+
+        # inline step body (same math as make_train_step) so scan traces it
+        def one_step(s, _):
+            step_rng = jax.random.fold_in(s.rng, s.step)
+            dropout_rng, aug_rng = jax.random.split(step_rng)
+
+            def loss_fn(params):
+                pixels = pre(batch["pixels"], aug_rng)
+                log_probs = s.apply_fn(
+                    {"params": params}, pixels, train=True,
+                    rngs={"dropout": dropout_rng},
+                )
+                labels = batch["label"]
+                picked = jnp.take_along_axis(
+                    log_probs, labels[:, None], axis=-1)[:, 0]
+                w = batch["valid"].astype(jnp.float32)
+                loss = -jnp.sum(w * picked) / jnp.maximum(jnp.sum(w), 1.0)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(s.params)
+            s = s.apply_gradients(grads)
+            return s, loss
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def scan_steps(s):
+            s, losses = jax.lax.scan(one_step, s, None, length=K)
+            return s, losses[-1]
+
+        ms = _time_call(scan_steps, lambda: (fresh_state(),), max(args.iters // 4, 3))
+        emit("scan", ms / K, f"{K} steps in one program; per-step ms")
+
+    # ---- forward only ----
+    if "fwd" in stages:
+        @jax.jit
+        def fwd(params, b, key):
+            pixels = pre(b["pixels"], key)
+            log_probs = state.apply_fn(
+                {"params": params}, pixels, train=True,
+                rngs={"dropout": key},
+            )
+            picked = jnp.take_along_axis(
+                log_probs, b["label"][:, None], axis=-1)[:, 0]
+            return -jnp.mean(picked)
+
+        key = jax.random.key(1)
+        ms = _time_call(fwd, lambda: (state.params, batch, key), args.iters)
+        emit("fwd", ms, "preprocess + forward + loss")
+
+    # ---- forward + backward ----
+    if "fwdbwd" in stages:
+        @jax.jit
+        def fwdbwd(params, b, key):
+            def loss_fn(p):
+                pixels = pre(b["pixels"], key)
+                log_probs = state.apply_fn(
+                    {"params": p}, pixels, train=True, rngs={"dropout": key},
+                )
+                picked = jnp.take_along_axis(
+                    log_probs, b["label"][:, None], axis=-1)[:, 0]
+                return -jnp.mean(picked)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            return loss, grads
+
+        key = jax.random.key(1)
+
+        def run(params, b, key):
+            loss, grads = fwdbwd(params, b, key)
+            return loss
+
+        ms = _time_call(run, lambda: (state.params, batch, key), args.iters)
+        emit("fwdbwd", ms, "preprocess + forward + backward (no update)")
+
+    # ---- optimizer update only ----
+    if "opt" in stages:
+        grads = jax.tree.map(jnp.ones_like, state.params)
+        grads = jax.device_put(grads)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def opt_only(s, g):
+            return s.apply_gradients(g), s.step
+
+        ms = _time_call(opt_only, lambda: (fresh_state(), grads), args.iters)
+        emit("opt", ms, "adam update, 51.4M f32 params")
+
+    # ---- preprocess only ----
+    if "pre" in stages:
+        @jax.jit
+        def pre_only(px, key):
+            out = pre(px, key)
+            return jnp.sum(out[:, ::64, ::64, :])  # tiny reduction keeps it alive
+
+        key = jax.random.key(2)
+        ms = _time_call(pre_only, lambda: (batch["pixels"], key), args.iters)
+        emit("pre", ms, "uint8 crop/flip/jitter/normalize")
+
+    # ---- per-block fwd and fwd+bwd ----
+    if "blocks" in stages:
+        from skin_image_analysis_tpu.models.cnn import ConvBlock
+
+        p = state.params
+        rngx = np.random.default_rng(3)
+
+        def rand(shape):
+            return jnp.asarray(
+                rngx.standard_normal(shape, np.float32), jnp.bfloat16)
+
+        # (input side, in_ch, out_ch, kernel) per conv block
+        block_shapes = [(224, 3, 32, 7), (112, 32, 64, 3), (56, 64, 128, 3)]
+
+        for i, (s_in, c_in, c_out, k) in enumerate(block_shapes):
+            xin = rand((B, s_in, s_in, c_in))
+            blk = ConvBlock(features=c_out, kernel=k)
+            bp = {"params": p[f"ConvBlock_{i}"]}
+
+            @jax.jit
+            def blk_fwd(a, bp=bp, blk=blk):
+                return jnp.sum(blk.apply(bp, a).astype(jnp.float32))
+
+            ms = _time_call(blk_fwd, lambda xin=xin: (xin,), args.iters)
+            emit(f"conv{i}_fwd", ms)
+
+            @jax.jit
+            def blk_fwdbwd(bp, a, blk=blk):
+                def f(bp, a):
+                    return jnp.sum(blk.apply(bp, a).astype(jnp.float32))
+
+                loss, (gp, gx) = jax.value_and_grad(f, argnums=(0, 1))(bp, a)
+                return loss + jnp.sum(gx.astype(jnp.float32)[:, ::37, ::37, :])
+
+            ms = _time_call(
+                blk_fwdbwd, lambda bp=bp, xin=xin: (bp, xin), args.iters)
+            emit(f"conv{i}_fwdbwd", ms, "grads wrt params AND input")
+
+        # max-pool alone (fwd+bwd) at each post-conv shape — isolates the
+        # SelectAndScatter backward
+        import flax.linen as nn
+
+        for s_io, c in [(224, 32), (112, 64), (56, 128)]:
+            xin = rand((B, s_io, s_io, c))
+
+            @jax.jit
+            def pool_fwdbwd(a):
+                def f(a):
+                    y = nn.max_pool(a, (2, 2), strides=(2, 2))
+                    return jnp.sum(y.astype(jnp.float32))
+
+                loss, gx = jax.value_and_grad(f)(a)
+                return loss + jnp.sum(gx.astype(jnp.float32)[:, ::37, ::37, :])
+
+            ms = _time_call(pool_fwdbwd, lambda xin=xin: (xin,), args.iters)
+            emit(f"pool{s_io}x{c}_fwdbwd", ms)
+
+        # MLP stack (flatten -> 512 -> 256 -> head) fwd+bwd
+        flat = rand((B, 28 * 28 * 128))
+        mlp_params = {k: v for k, v in p.items() if not k.startswith("Conv")}
+
+        @jax.jit
+        def mlp_fwdbwd(mp, a):
+            def f(mp, a):
+                h = a
+                import flax.linen as nn_
+                from skin_image_analysis_tpu.models.cnn import MlpBlock
+                for j in range(2):
+                    h = MlpBlock(
+                        features=(512, 256)[j], dropout=0.5
+                    ).apply({"params": mp[f"MlpBlock_{j}"]}, h, train=False)
+                h = nn_.Dense(2).apply({"params": mp["Dense_0"]}, h)
+                return jnp.sum(nn_.log_softmax(h.astype(jnp.float32)))
+
+            loss, gp = jax.value_and_grad(f)(mp, a)
+            return loss
+
+        ms = _time_call(
+            mlp_fwdbwd, lambda: (mlp_params, flat), args.iters)
+        emit("mlp_fwdbwd", ms, "flatten MLP + head, grads wrt params")
+
+    # ---- XLA cost model ----
+    if "cost" in stages:
+        step2 = make_train_step(preprocess_fn=pre)
+        lowered = step2.lower(fresh_state(), batch)
+        compiled = lowered.compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        keep = {k: v for k, v in ca.items()
+                if k in ("flops", "bytes accessed", "transcendentals",
+                         "optimal_seconds")
+                or k.startswith("bytes accessed")}
+        print(json.dumps(
+            {"stage": "cost", **{k: float(v) for k, v in keep.items()}}
+        ), flush=True)
+
+    if results:
+        print(json.dumps({"stage": "summary", "batch_size": B, **{
+            k: round(v, 3) for k, v in results.items()}}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())
