@@ -47,16 +47,20 @@ def main() -> int:
         model_cfg, OptimConfig(learning_rate=1e-5), jax.random.key(0),
         batch_size=batch_size,
     )
+    # the production input path: planar uint8 arenas + the Pallas fused
+    # preprocess kernel inside the train step (train/loop.py wires the
+    # same thing via DataConfig.pallas_preprocess)
     pre = make_preprocess_fn(
         image_size, train=True,
         augment=AugmentConfig(brightness=0.1, contrast=0.1, saturation=0.1),
+        layout="planar", pallas="on",
     )
     step = make_train_step(preprocess_fn=pre)
 
     rng = np.random.default_rng(0)
     batch = {
         "pixels": jnp.asarray(
-            rng.integers(0, 255, (batch_size, canonical, canonical, 3)),
+            rng.integers(0, 255, (batch_size, 3, canonical, canonical)),
             jnp.uint8,
         ),
         "label": jnp.asarray(rng.integers(0, 2, batch_size), jnp.int32),

@@ -38,6 +38,10 @@ class DataConfig:
                                    # ahead instead of whole-cohort arenas
     chunk_size: int = 2048         # images per streaming chunk
     drop_remainder: bool = True    # static shapes for jit
+    pallas_preprocess: str = "auto"  # "auto"|"on"|"off": planar arenas +
+                                   # the Pallas fused preprocess kernel in
+                                   # the train step (auto = on for TPU
+                                   # backends when augmenting)
 
     @property
     def num_classes(self) -> int:
@@ -67,6 +71,9 @@ class ModelConfig:
     param_dtype: str = "float32"
     remat: bool = False               # jax.checkpoint conv/mlp blocks:
                                       # trade recompute for activation HBM
+    fused_pool: bool = True           # fused ReLU+pool, selector-saving VJP
+                                      # (ops.pooling.relu_max_pool_2x2);
+                                      # identical forward, cheap backward
 
     def __post_init__(self) -> None:
         if len(self.dropout) not in (1, len(self.linear_features)):

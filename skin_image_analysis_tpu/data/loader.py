@@ -221,8 +221,27 @@ class BatchIterator:
         # weighted-with-replacement oversampling)
         self.order_fn = order_fn
         # device-resident uint8 arena (HostImageStore.to_device()); when
-        # set, pixel batches are gathered on-device by index
+        # set, pixel batches are gathered on-device by index. With a mesh
+        # the arena is replicated (see run_training) and the gather is a
+        # jitted program with the batch output-sharding: every device
+        # gathers its own batch shard locally — no cross-device pixel
+        # traffic per batch.
         self.device_arena = device_arena
+        self._idx_sharding = None
+        self._gather = None
+        if device_arena is not None:
+            if sharding is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                self._idx_sharding = NamedSharding(
+                    sharding.mesh, PartitionSpec()
+                )
+            import jax.numpy as jnp
+
+            self._gather = jax.jit(
+                lambda arena, idx: jnp.take(arena, idx, axis=0),
+                out_shardings=sharding,
+            )
 
     def _epoch_order(self) -> np.ndarray:
         if self.order_fn is not None:
@@ -251,7 +270,10 @@ class BatchIterator:
                 valid = _pad_to(bs, valid, fill=False)
             if on_device:
                 # on-device gather: no pixels cross the host link
-                pixels = self.device_arena[idx]
+                gidx = idx.astype(np.int32)
+                if self._idx_sharding is not None:
+                    gidx = jax.device_put(gidx, self._idx_sharding)
+                pixels = self._gather(self.device_arena, gidx)
             else:
                 pixels = self.store.images[idx]
             yield {

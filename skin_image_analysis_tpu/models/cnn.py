@@ -46,6 +46,10 @@ class ConvBlock(nn.Module):
     kernel: int
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # fused ReLU+pool with a selector-saving VJP: identical forward
+    # (max∘relu == relu∘max), ~3x less backward HBM traffic than
+    # SelectAndScatter (docs/PERF.md). Off -> stock relu + max_pool.
+    fused_pool: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -58,10 +62,11 @@ class ConvBlock(nn.Module):
             dtype=_dtype(self.compute_dtype),
             param_dtype=_dtype(self.param_dtype),
         )(x)
+        if self.fused_pool:
+            from skin_image_analysis_tpu.ops.pooling import relu_max_pool_2x2
+
+            return relu_max_pool_2x2(x)
         x = nn.relu(x)
-        # measured on v5e: XLA's reduce_window fwd + SelectAndScatter bwd
-        # slightly beats the reshape-max custom-VJP pool (ops.pooling) for
-        # this model, so the stock pool stays
         x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
         return x
 
@@ -105,6 +110,7 @@ class SkinCancerListModel(nn.Module):
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     remat: bool = False
+    fused_pool: bool = True
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -121,7 +127,7 @@ class SkinCancerListModel(nn.Module):
             # remat (checkpoints are interchangeable)
             x = conv_cls(
                 feats, k, self.compute_dtype, self.param_dtype,
-                name=f"ConvBlock_{i}",
+                self.fused_pool, name=f"ConvBlock_{i}",
             )(x)
         x = x.reshape((x.shape[0], -1))
         drops = list(self.dropout)
@@ -176,6 +182,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             compute_dtype=cfg.compute_dtype,
             param_dtype=cfg.param_dtype,
             remat=cfg.remat,
+            fused_pool=cfg.fused_pool,
         )
     if cfg.name == "skin_cancer":
         return SkinCancerModel(

@@ -32,7 +32,8 @@ def _kernel(offs_ref, flips_ref, scale_ref, bias_ref, img_ref, out_ref):
 
     offs_ref: [B, 2] int32 (y0, x0) crop offsets  (scalar-prefetch, SMEM)
     flips_ref: [B] int32 flip flags               (scalar-prefetch, SMEM)
-    scale_ref/bias_ref: [C] f32 per-channel affine (scalar-prefetch, SMEM)
+    scale_ref/bias_ref: [B, C] f32 per-image, per-channel affine
+      (scalar-prefetch, SMEM — per-image so brightness jitter folds in)
     img_ref: [S, S] uint8 plane in VMEM; out_ref: [T, T] f32.
 
     Crop and (optional) horizontal flip are expressed as one-hot
@@ -73,11 +74,12 @@ def _kernel(offs_ref, flips_ref, scale_ref, bias_ref, img_ref, out_ref):
         a_x,
         preferred_element_type=jnp.float32,
     )
-    # normalize: one FMA — folds /255 and (x - mean)/std per channel
-    out_ref[:, :] = tile * scale_ref[c] + bias_ref[c]
+    # normalize: one FMA — folds /255, per-image brightness, and
+    # (x - mean)/std per channel
+    out_ref[:, :] = tile * scale_ref[b, c] + bias_ref[b, c]
 
 
-@partial(jax.jit, static_argnames=("image_size",))
+@partial(jax.jit, static_argnames=("image_size", "interpret"))
 def fused_preprocess_planar(
     pixels: jnp.ndarray,
     offsets: jnp.ndarray,
@@ -86,11 +88,13 @@ def fused_preprocess_planar(
     bias: jnp.ndarray,
     *,
     image_size: int = 224,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """[B, C, S, S] uint8 → [B, C, T, T] float32, fused on-device.
 
     offsets: [B, 2] int32 top-left crops; flips: [B] int32; scale/bias:
-    [C] float32 per-channel affine (e.g. scale=1/255/std, bias=-mean/std).
+    [B, C] float32 per-image/channel affine (e.g. scale=1/255/std,
+    bias=-mean/std, with brightness jitter folded into scale).
     """
     b, ch, s, _ = pixels.shape
     t = image_size
@@ -115,6 +119,7 @@ def fused_preprocess_planar(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, ch, t, t_lanes), jnp.float32),
         grid_spec=grid_spec,
+        interpret=interpret,
     )(offsets, flips, scale, bias, pixels)
     return out[:, :, :, :t]
 
@@ -125,20 +130,39 @@ def preprocess_planar_batch(
     *,
     image_size: int = 224,
     train: bool = False,
+    augment=None,
     normalize_imagenet: bool = False,
 ) -> jnp.ndarray:
-    """High-level wrapper: derives crop offsets + flips from ``key``
-    (center crop / no flip at eval), builds the per-channel affine, runs
-    the kernel, and returns NHWC float32 for the conv stack."""
-    from skin_image_analysis_tpu.ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
+    """High-level wrapper: derives crop offsets + flips (+ jitter factors)
+    from ``key`` (center crop / no flip / no jitter at eval), builds the
+    per-image affine, runs the kernel, and returns NHWC float32 for the
+    conv stack.
 
+    Augmentation semantics match ops.preprocess.preprocess_batch (same
+    distributions; the PRNG streams differ bitwise between the two
+    backends): brightness folds into the kernel's per-image scale;
+    contrast/saturation need cross-channel stats so they run as one
+    fused elementwise pass over the small cropped tile, followed by the
+    [0,1] clip and the optional ImageNet normalize.
+    """
     b, ch, s, _ = pixels.shape
     t = image_size
-    if train and key is not None and s > t:
-        ky, kx, kf = jax.random.split(key, 3)
-        ys = jax.random.randint(ky, (b,), 0, s - t + 1, dtype=jnp.int32)
-        xs = jax.random.randint(kx, (b,), 0, s - t + 1, dtype=jnp.int32)
-        flips = jax.random.bernoulli(kf, 0.5, (b,)).astype(jnp.int32)
+    augmenting = bool(
+        train and key is not None and augment is not None
+    )
+    if augmenting:
+        ky, kx, kf, kb, kc, ks = jax.random.split(key, 6)
+        if augment.random_crop and s > t:
+            ys = jax.random.randint(ky, (b,), 0, s - t + 1, dtype=jnp.int32)
+            xs = jax.random.randint(kx, (b,), 0, s - t + 1, dtype=jnp.int32)
+        else:
+            c0 = (s - t) // 2
+            ys = jnp.full((b,), c0, jnp.int32)
+            xs = jnp.full((b,), c0, jnp.int32)
+        if augment.horizontal_flip:
+            flips = jax.random.bernoulli(kf, 0.5, (b,)).astype(jnp.int32)
+        else:
+            flips = jnp.zeros((b,), jnp.int32)
     else:
         c0 = (s - t) // 2
         ys = jnp.full((b,), c0, jnp.int32)
@@ -146,16 +170,65 @@ def preprocess_planar_batch(
         flips = jnp.zeros((b,), jnp.int32)
     offsets = jnp.stack([ys, xs], axis=1)
 
-    if normalize_imagenet:
-        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    # per-image affine: /255 always; brightness jitter multiplies in
+    scale = jnp.full((b, ch), 1.0 / 255.0, jnp.float32)
+    bias = jnp.zeros((b, ch), jnp.float32)
+    jitter_tail = False
+    if augmenting:
+        if augment.brightness > 0:
+            f = jax.random.uniform(
+                kb, (b, 1), minval=1 - augment.brightness,
+                maxval=1 + augment.brightness,
+            )
+            scale = scale * f
+            jitter_tail = True
+        if augment.contrast > 0 or augment.saturation > 0:
+            jitter_tail = True
+
+    interpret = jax.default_backend() == "cpu"  # CPU tests: interpreter
+
+    fold_normalize = normalize_imagenet and not jitter_tail
+    if fold_normalize:
+        from skin_image_analysis_tpu.ops.preprocess import (
+            IMAGENET_MEAN, IMAGENET_STD,
+        )
+
         std = jnp.asarray(IMAGENET_STD, jnp.float32)
-        scale = 1.0 / (255.0 * std)
-        bias = -mean / std
-    else:
-        scale = jnp.full((ch,), 1.0 / 255.0, jnp.float32)
-        bias = jnp.zeros((ch,), jnp.float32)
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        scale = scale / std
+        bias = bias - mean / std
 
     out = fused_preprocess_planar(
-        pixels, offsets, flips, scale, bias, image_size=t
+        pixels, offsets, flips, scale, bias, image_size=t,
+        interpret=interpret,
     )
-    return jnp.transpose(out, (0, 2, 3, 1))  # NCHW → NHWC for the convs
+    x = jnp.transpose(out, (0, 2, 3, 1))  # NCHW → NHWC for the convs
+
+    if jitter_tail:
+        # contrast/saturation on the small cropped tile + the [0,1] clip
+        # (same op order as ops.preprocess._color_jitter)
+        if augment.contrast > 0:
+            f = jax.random.uniform(
+                kc, (b, 1, 1, 1), minval=1 - augment.contrast,
+                maxval=1 + augment.contrast,
+            )
+            m = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+            x = (x - m) * f + m
+        if augment.saturation > 0:
+            f = jax.random.uniform(
+                ks, (b, 1, 1, 1), minval=1 - augment.saturation,
+                maxval=1 + augment.saturation,
+            )
+            gray = (0.299 * x[..., 0:1] + 0.587 * x[..., 1:2]
+                    + 0.114 * x[..., 2:3])
+            x = (x - gray) * f + gray
+        x = jnp.clip(x, 0.0, 1.0)
+        if normalize_imagenet:
+            from skin_image_analysis_tpu.ops.preprocess import (
+                IMAGENET_MEAN, IMAGENET_STD,
+            )
+
+            mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+            std = jnp.asarray(IMAGENET_STD, jnp.float32)
+            x = (x - mean) / std
+    return x

@@ -99,3 +99,70 @@ def _hbwd(residuals, g):
 
 
 max_pool_2x2_hybrid.defvjp(_hfwd, _hbwd)
+
+
+@jax.custom_vjp
+def relu_max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """Fused ReLU + 2x2/stride-2 max-pool with a selector-saving VJP.
+
+    ``max(relu(window)) == relu(max(window))`` (ReLU is monotone), so the
+    fused forward pools the raw pre-activation and clamps once. The VJP
+    saves only a **uint8 selector** per pooled element (argmax position
+    0-3, or 4 = "window max ≤ 0, no gradient"): the backward reads the
+    selector (u8) + cotangent and writes dx — it never re-reads the
+    full-resolution activation. Per perf attribution (docs/PERF.md) the
+    stock path (SelectAndScatter, or an equality-mask VJP that re-reads
+    the activation) costs ~3x more HBM traffic and dominated the train
+    step's backward.
+
+    Tie semantics: first maximal position in (0,0),(0,1),(1,0),(1,1)
+    order wins — the torch MaxPool2d convention. Ties among *positive*
+    equal values are the only divergence from the equality-mask
+    subgradient, and they are measure-zero for conv outputs.
+
+    H and W must be even (the model family halves 224 -> 28 exactly,
+    tone_bias_model.py:77-97).
+    """
+    y, _ = _relu_pool_fwd_impl(x)
+    return y
+
+
+def _relu_pool_fwd_impl(x):
+    b, h, w, c = x.shape
+    xr = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    a = xr[:, :, 0, :, 0, :]
+    bb = xr[:, :, 0, :, 1, :]
+    cc = xr[:, :, 1, :, 0, :]
+    d = xr[:, :, 1, :, 1, :]
+    m = jnp.maximum(jnp.maximum(a, bb), jnp.maximum(cc, d))
+    sel = jnp.where(
+        m == a, jnp.uint8(0),
+        jnp.where(m == bb, jnp.uint8(1),
+                  jnp.where(m == cc, jnp.uint8(2), jnp.uint8(3))),
+    )
+    sel = jnp.where(m > 0, sel, jnp.uint8(4))
+    y = jnp.maximum(m, jnp.zeros_like(m))
+    return y, sel
+
+
+def _relu_pool_fwd(x):
+    y, sel = _relu_pool_fwd_impl(x)
+    return y, (sel, x.shape)
+
+
+def _relu_pool_bwd(residuals, g):
+    sel, in_shape = residuals
+    b, h, w, c = in_shape
+    # position grid 2*dy + dx over the window axes; route g to the saved
+    # argmax (selector 4 = ReLU-dead window -> zero gradient)
+    gb = g[:, :, None, :, None, :]
+    selb = sel[:, :, None, :, None, :]
+    dy = jax.lax.broadcasted_iota(jnp.uint8, (1, 1, 2, 1, 1, 1), 2)
+    dxp = jax.lax.broadcasted_iota(jnp.uint8, (1, 1, 1, 1, 2, 1), 4)
+    pos = 2 * dy + dxp
+    dxr = jnp.where(selb == pos, gb, jnp.zeros_like(gb))
+    return (jnp.broadcast_to(dxr, (b, h // 2, 2, w // 2, 2, c))
+            .reshape(in_shape),)
+
+
+relu_max_pool_2x2.defvjp(_relu_pool_fwd, _relu_pool_bwd)

@@ -150,6 +150,21 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
     train_table = LesionTable(train_df, cfg.data.root_dir)
     test_table = LesionTable(test_df, cfg.data.root_dir)
 
+    # Planar arenas + the Pallas fused preprocess kernel: on TPU backends
+    # the augmented train path preprocesses inside one VMEM pass
+    # (docs/PERF.md — the jnp path alone cost ~6.7 ms of the 33 ms step).
+    use_planar = not cfg.data.streaming and (
+        cfg.data.pallas_preprocess == "on"
+        or (
+            cfg.data.pallas_preprocess == "auto"
+            and cfg.data.augment
+            and jax.default_backend() != "cpu"
+        )
+    )
+    layout = "planar" if use_planar else "hwc"
+    if use_planar and verbose:
+        print("pallas fused preprocess: on (planar arenas)")
+
     # Decode in the background so XLA compilation (triggered further
     # down via a warm call on dummy shapes) overlaps with it — the two
     # dominant cold-start costs run concurrently. The streaming path
@@ -160,10 +175,12 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         if cfg.data.streaming:
             return
         stores["train"] = HostImageStore(
-            train_table, cfg.data.canonical_size, cfg.data.decode_workers
+            train_table, cfg.data.canonical_size, cfg.data.decode_workers,
+            layout=layout,
         )
         stores["test"] = HostImageStore(
-            test_table, cfg.data.canonical_size, cfg.data.decode_workers
+            test_table, cfg.data.canonical_size, cfg.data.decode_workers,
+            layout=layout,
         )
 
     import threading
@@ -203,10 +220,13 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
     train_pre = make_preprocess_fn(
         cfg.data.image_size, train=True, augment=augment,
         normalize_imagenet=cfg.data.normalize_imagenet,
+        layout=layout, pallas=cfg.data.pallas_preprocess,
     )
     eval_pre = make_preprocess_fn(
         cfg.data.image_size, train=False,
         normalize_imagenet=cfg.data.normalize_imagenet,
+        layout=layout,  # eval keeps the jnp resize path (reference
+                        # Rescale semantics); planar just transposes
     )
     class_weights = cfg.optim.class_weights
     if cfg.optim.auto_class_weights and class_weights is None:
@@ -233,8 +253,9 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
     # dispatch cache — so the train step runs once on a throwaway COPY of
     # the state (it donates its first argument).
     bs, s = cfg.data.batch_size, cfg.data.canonical_size
+    px_shape = (bs, 3, s, s) if layout == "planar" else (bs, s, s, 3)
     dummy = {
-        "pixels": jax.numpy.zeros((bs, s, s, 3), jax.numpy.uint8),
+        "pixels": jax.numpy.zeros(px_shape, jax.numpy.uint8),
         "label": jax.numpy.zeros((bs,), jax.numpy.int32),
         "row_id": jax.numpy.zeros((bs,), jax.numpy.int32),
         "valid": jax.numpy.zeros((bs,), bool),
@@ -298,15 +319,23 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
                   f"(overlapped with compilation)")
 
         # Device-resident arenas: pixels cross the host link exactly once,
-        # batches gather on-device every epoch after that.
+        # batches gather on-device every epoch after that. With a mesh the
+        # arena is replicated across devices so each device gathers its
+        # batch shard locally (the jitted gather in BatchIterator carries
+        # the batch output-sharding) — no per-batch cross-device traffic.
         train_arena = test_arena = None
         if cfg.data.device_cache:
             total_bytes = (
                 train_store.images.nbytes + test_store.images.nbytes
             )
             if total_bytes <= cfg.data.device_cache_max_bytes:
-                train_arena = train_store.to_device()
-                test_arena = test_store.to_device()
+                arena_sharding = None
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    arena_sharding = NamedSharding(mesh, PartitionSpec())
+                train_arena = train_store.to_device(arena_sharding)
+                test_arena = test_store.to_device(arena_sharding)
                 if verbose:
                     print(f"device-cached {total_bytes / 1e6:.0f} MB of images")
 

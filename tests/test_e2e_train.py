@@ -180,3 +180,20 @@ def test_auto_class_weights_imbalanced(synth_root, tmp_path):
     )
     folder = run_training(cfg, verbose=False)
     assert os.path.exists(os.path.join(folder, "session_model.msgpack"))
+
+
+def test_pallas_planar_pipeline_run(synth_root, tmp_path):
+    """The production input path — planar arenas + the Pallas fused
+    preprocess (interpreter on CPU) — through the full training loop,
+    on the 8-virtual-device mesh with the replicated-arena gather."""
+    import dataclasses
+    import json
+
+    cfg = _tiny_cfg(synth_root, tmp_path, epochs=1,
+                    augment=True, pallas_preprocess="on")
+    folder = run_training(cfg, verbose=False)
+    json_files = [n for n in os.listdir(folder)
+                  if n.endswith(".json") and n[0].isdigit()]
+    with open(os.path.join(folder, json_files[0])) as f:
+        [rec] = [json.loads(line) for line in f if line.strip()]
+    assert rec["total"] > 0 and "auc" in rec

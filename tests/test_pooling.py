@@ -73,3 +73,81 @@ def test_hybrid_pool_matches(rng):
         lambda v: jnp.sum(nn.max_pool(v, (2, 2), strides=(2, 2)) ** 2)
     )(x2)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2))
+
+
+class TestReluMaxPool:
+    """Fused ReLU+pool with the selector-saving VJP
+    (ops.pooling.relu_max_pool_2x2)."""
+
+    def test_forward_matches_relu_then_pool(self):
+        import flax.linen as nn
+
+        from skin_image_analysis_tpu.ops.pooling import relu_max_pool_2x2
+
+        x = jax.random.normal(jax.random.key(0), (3, 8, 10, 5), jnp.float32)
+        ref = nn.max_pool(nn.relu(x), (2, 2), strides=(2, 2))
+        out = relu_max_pool_2x2(x)
+        assert jnp.allclose(out, ref)
+
+    def test_grad_matches_stock_when_no_ties(self):
+        import flax.linen as nn
+
+        from skin_image_analysis_tpu.ops.pooling import relu_max_pool_2x2
+
+        # continuous random input: no exact ties, so the selector VJP and
+        # SelectAndScatter route identical gradients
+        x = jax.random.normal(jax.random.key(1), (2, 6, 6, 4), jnp.float32)
+
+        def f_fused(x):
+            return jnp.sum(relu_max_pool_2x2(x) ** 2)
+
+        def f_stock(x):
+            return jnp.sum(nn.max_pool(nn.relu(x), (2, 2), strides=(2, 2)) ** 2)
+
+        g1 = jax.grad(f_fused)(x)
+        g2 = jax.grad(f_stock)(x)
+        assert jnp.allclose(g1, g2, atol=1e-6)
+
+    def test_dead_window_gets_zero_grad(self):
+        from skin_image_analysis_tpu.ops.pooling import relu_max_pool_2x2
+
+        x = -jnp.ones((1, 2, 2, 1), jnp.float32)  # all-negative window
+        out, vjp = jax.vjp(relu_max_pool_2x2, x)
+        assert float(out[0, 0, 0, 0]) == 0.0
+        (dx,) = vjp(jnp.ones_like(out))
+        assert jnp.all(dx == 0)
+
+    def test_positive_tie_first_match_wins(self):
+        from skin_image_analysis_tpu.ops.pooling import relu_max_pool_2x2
+
+        x = jnp.array([[[[2.0], [2.0]], [[1.0], [2.0]]]])  # 1x2x2x1, tie
+        out, vjp = jax.vjp(relu_max_pool_2x2, x)
+        (dx,) = vjp(jnp.ones_like(out))
+        # full cotangent to position (0,0) only — grad mass is conserved
+        assert float(dx.sum()) == 1.0
+        assert float(dx[0, 0, 0, 0]) == 1.0
+
+    def test_bf16_and_odd_free_shapes(self):
+        from skin_image_analysis_tpu.ops.pooling import relu_max_pool_2x2
+
+        x = jax.random.normal(jax.random.key(2), (2, 4, 4, 3), jnp.bfloat16)
+        out = relu_max_pool_2x2(x)
+        assert out.shape == (2, 2, 2, 3) and out.dtype == jnp.bfloat16
+
+    def test_model_fused_flag_forward_parity(self):
+        """fused_pool=True/False give identical forward log-probs."""
+        from skin_image_analysis_tpu.config import ModelConfig
+        from skin_image_analysis_tpu.models.cnn import build_model
+
+        x = jax.random.uniform(jax.random.key(3), (2, 16, 16, 3))
+        cfgs = [
+            ModelConfig(conv_features=(4, 8), linear_features=(16,),
+                        dropout=(0.0,), image_size=16,
+                        compute_dtype="float32", fused_pool=fp)
+            for fp in (True, False)
+        ]
+        models = [build_model(c) for c in cfgs]
+        v = models[0].init({"params": jax.random.key(4)}, x, train=False)
+        out_fused = models[0].apply(v, x, train=False)
+        out_stock = models[1].apply(v, x, train=False)
+        assert jnp.allclose(out_fused, out_stock, atol=1e-6)

@@ -130,6 +130,34 @@ def main() -> int:
     if "step" in stages or "scan" in stages:
         step = make_train_step(preprocess_fn=pre)
 
+    # ---- production step with the planar Pallas preprocess ----
+    if "stepp" in stages:
+        from skin_image_analysis_tpu.ops.preprocess import AugmentConfig
+        pre_p = make_preprocess_fn(
+            image_size, train=True,
+            augment=AugmentConfig(
+                brightness=0.1, contrast=0.1, saturation=0.1),
+            layout="planar", pallas="on",
+        )
+        batch_p = dict(batch)
+        batch_p["pixels"] = jnp.asarray(
+            np.random.default_rng(0).integers(
+                0, 255, (B, 3, canonical, canonical)), jnp.uint8)
+        batch_p = jax.device_put(batch_p)
+        step_p = make_train_step(preprocess_fn=pre_p)
+        ms = _time_call(step_p, lambda: (fresh_state(), batch_p), args.iters)
+        emit("stepp", ms, "planar batch + Pallas fused preprocess in-step")
+
+        @jax.jit
+        def pre_p_only(px, key):
+            out = pre_p(px, key)
+            return jnp.sum(out[:, ::64, ::64, :])
+
+        key = jax.random.key(2)
+        ms = _time_call(
+            pre_p_only, lambda: (batch_p["pixels"], key), args.iters)
+        emit("prep", ms, "Pallas fused preprocess standalone")
+
     if "step" in stages:
         ms = _time_call(step, lambda: (fresh_state(), batch), args.iters)
         emit("step", ms, "production train step, one dispatch per step")
@@ -313,6 +341,46 @@ def main() -> int:
         ms = _time_call(
             mlp_fwdbwd, lambda: (mlp_params, flat), args.iters)
         emit("mlp_fwdbwd", ms, "flatten MLP + head, grads wrt params")
+
+    # ---- pool variant micro-bench ----
+    if "pools2" in stages:
+        import flax.linen as nn
+
+        from skin_image_analysis_tpu.ops.pooling import relu_max_pool_2x2
+
+        rngx = np.random.default_rng(5)
+
+        for s_io, c in [(224, 32), (112, 64), (56, 128)]:
+            xin = jnp.asarray(
+                rngx.standard_normal((B, s_io, s_io, c), np.float32),
+                jnp.bfloat16)
+
+            @jax.jit
+            def fused_fwd(a):
+                return jnp.sum(
+                    relu_max_pool_2x2(a).astype(jnp.float32)[:, ::37, ::37, :])
+
+            ms = _time_call(fused_fwd, lambda xin=xin: (xin,), args.iters)
+            emit(f"fusedpool{s_io}x{c}_fwd", ms)
+
+            @jax.jit
+            def fused_fwdbwd(a):
+                def f(a):
+                    return jnp.sum(relu_max_pool_2x2(a).astype(jnp.float32))
+
+                loss, gx = jax.value_and_grad(f)(a)
+                return loss + jnp.sum(gx.astype(jnp.float32)[:, ::37, ::37, :])
+
+            ms = _time_call(fused_fwdbwd, lambda xin=xin: (xin,), args.iters)
+            emit(f"fusedpool{s_io}x{c}_fwdbwd", ms)
+
+            @jax.jit
+            def stock_fwd(a):
+                y = nn.max_pool(nn.relu(a), (2, 2), strides=(2, 2))
+                return jnp.sum(y.astype(jnp.float32)[:, ::37, ::37, :])
+
+            ms = _time_call(stock_fwd, lambda xin=xin: (xin,), args.iters)
+            emit(f"stockpool{s_io}x{c}_fwd", ms)
 
     # ---- XLA cost model ----
     if "cost" in stages:
