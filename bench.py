@@ -1,7 +1,12 @@
 #!/usr/bin/env python
 """Headline benchmark: training throughput (images/sec/chip) on a
 HAM-2018-style workload — the production SkinCancerListModel at 224x224,
-batch uint8 inputs with device-side augmentation fused into the train step.
+through the production hot path: planar uint8 device arena, Pallas fused
+preprocess + augmentation inside the step, pool-phase-packed first conv
+block + selector-VJP pools, bf16 compute with bf16 adam moments
+(OptimConfig(moment_dtype="bfloat16"), exposed on the train CLI), and
+multi-step dispatch (train.step.make_multi_train_step — the same program
+run_training uses with DataConfig.steps_per_dispatch).
 
 Baseline: the reference trains at ~6 img/s on Apple M2 Max MPS (derived in
 SURVEY.md §6 from tone_bias_train.py:336 / tone_bias_dataset.py:607:
@@ -35,58 +40,68 @@ def main() -> int:
         make_preprocess_fn,
     )
     from skin_image_analysis_tpu.train.state import create_train_state
-    from skin_image_analysis_tpu.train.step import make_train_step
+    from skin_image_analysis_tpu.train.step import make_multi_train_step
 
     batch_size = 256  # measured best on v5e (amortizes per-step overhead)
     image_size = 224
     canonical = 256
+    k = 8  # steps per dispatch (DataConfig.steps_per_dispatch default)
+    arena_n = 2048
     n_devices = len(jax.devices())
 
     model_cfg = ModelConfig(compute_dtype="bfloat16")
     state, _ = create_train_state(
-        model_cfg, OptimConfig(learning_rate=1e-5), jax.random.key(0),
+        model_cfg,
+        OptimConfig(learning_rate=1e-5, moment_dtype="bfloat16"),
+        jax.random.key(0),
         batch_size=batch_size,
     )
-    # the production input path: planar uint8 arenas + the Pallas fused
-    # preprocess kernel inside the train step (train/loop.py wires the
-    # same thing via DataConfig.pallas_preprocess)
     pre = make_preprocess_fn(
         image_size, train=True,
         augment=AugmentConfig(brightness=0.1, contrast=0.1, saturation=0.1),
         layout="planar", pallas="on",
     )
-    step = make_train_step(preprocess_fn=pre)
+    multi_step = make_multi_train_step(k, preprocess_fn=pre)
 
     rng = np.random.default_rng(0)
-    batch = {
-        "pixels": jnp.asarray(
-            rng.integers(0, 255, (batch_size, 3, canonical, canonical)),
+    # decode-once planar uint8 arena, committed to HBM exactly once — the
+    # production data path (train/loop.py device_cache)
+    arena = jax.device_put(
+        jnp.asarray(
+            rng.integers(0, 255, (arena_n, 3, canonical, canonical)),
             jnp.uint8,
-        ),
-        "label": jnp.asarray(rng.integers(0, 2, batch_size), jnp.int32),
-        "row_id": jnp.arange(batch_size, dtype=jnp.int32),
-        "valid": jnp.ones((batch_size,), bool),
-    }
-    batch = jax.device_put(batch)
+        )
+    )
+    labels_all = rng.integers(0, 2, arena_n).astype(np.int32)
 
+    def super_step_args(seed):
+        r = np.random.default_rng(seed)
+        idx = r.integers(0, arena_n, (k, batch_size)).astype(np.int32)
+        return (
+            jnp.asarray(idx),
+            jnp.asarray(labels_all[idx]),
+            jnp.ones((k, batch_size), bool),
+        )
+
+    args = super_step_args(1)
     # warmup / compile; sync via value readback (block_until_ready returns
     # early through the axon relay, so a host readback is the only
     # reliable fence)
-    for _ in range(3):
-        state, metrics = step(state, batch)
-    float(metrics["loss"])
+    for _ in range(2):
+        state, metrics = multi_step(state, arena, *args)
+    float(metrics["loss"][-1])
 
-    iters = 40
+    iters = 6  # super-steps per window (6 * 8 = 48 train steps)
     best = float("inf")
-    for _ in range(2):  # two timed windows; keep the better (less jitter)
+    for w in range(2):  # two timed windows; keep the better (less jitter)
         start = time.perf_counter()
-        for _ in range(iters):
-            state, metrics = step(state, batch)
-        float(metrics["loss"])  # forces completion of the whole chain
+        for i in range(iters):
+            state, metrics = multi_step(state, arena, *super_step_args(w * iters + i))
+        float(metrics["loss"][-1])  # forces completion of the whole chain
         best = min(best, time.perf_counter() - start)
     elapsed = best
 
-    imgs_per_sec = batch_size * iters / elapsed
+    imgs_per_sec = batch_size * k * iters / elapsed
     per_chip = imgs_per_sec / n_devices
     baseline = 6.0  # reference img/s (SURVEY.md §6)
     print(

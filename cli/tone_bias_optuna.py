@@ -36,7 +36,7 @@ def main(argv: list[str] | None = None) -> int:
         argv,
         {"trials": 100, "hours": 16.0, "sample-size": 300,
          "population": 0, "epochs": 10, "batch-size": 32, "seed": 0,
-         "image-size": 224, "sampler": "tpe"},
+         "image-size": 224, "sampler": "tpe", "parallel": 0},
     )
     root = positional[0] if positional else None
 
@@ -84,12 +84,26 @@ def main(argv: list[str] | None = None) -> int:
     else:
         sampler = RandomSampler(cfg.seed)
     study = create_study("maximize", sampler=sampler)
-    objective = make_objective(pixels, labels, cfg, image_size=image_size)
 
     start = time.time()
-    study.optimize(
-        objective, n_trials=cfg.trials, timeout=cfg.time_limit_hours * 3600
-    )
+    wave_size = int(opts["parallel"])
+    if wave_size > 1:
+        # wave-structured parallel sweep over the FULL search space:
+        # K padded-super-network trials per wave in one XLA program
+        # (hpo/wave.py — the TPU replacement for MPI ranks, README.md:54)
+        from skin_image_analysis_tpu.hpo.wave import run_wave_study
+
+        study, stats = run_wave_study(
+            pixels, labels, cfg, image_size=image_size,
+            study=study, wave_size=wave_size,
+        )
+        print(f"waves: {stats['waves']}  trials: {stats['trials']}")
+    else:
+        objective = make_objective(pixels, labels, cfg, image_size=image_size)
+        study.optimize(
+            objective, n_trials=cfg.trials,
+            timeout=cfg.time_limit_hours * 3600,
+        )
     elapsed = time.time() - start
 
     print(f"Study statistics:  ({elapsed:.1f}s)")

@@ -41,6 +41,7 @@ def _optim_config(lr: float, class_weights: str, opts: dict) -> "OptimConfig":
         lr_gamma=opts["lr-gamma"],
         lr_decay_steps=opts["lr-decay-steps"],
         lr_warmup_steps=opts["lr-warmup-steps"],
+        moment_dtype=opts["moment-dtype"] or None,
     )
     if class_weights == "auto":
         return OptimConfig(auto_class_weights=True, **kw)
@@ -59,7 +60,8 @@ def main(argv: list[str] | None = None) -> int:
          "model": "skin_cancer_list", "image-size": 224, "profile": "",
          "chunk-size": 2048, "class-weights": "", "lr-schedule": "",
          "lr-step-size": 0, "lr-gamma": 0.1, "lr-decay-steps": 0,
-         "lr-warmup-steps": 0},
+         "lr-warmup-steps": 0, "moment-dtype": "",
+         "steps-per-dispatch": 8},
         bool_flags={"augment", "fp32", "bf16", "debug-nans", "streaming"},
     )
     if len(positional) != 3:
@@ -90,6 +92,7 @@ def main(argv: list[str] | None = None) -> int:
             augment=augment, seed=seed, image_size=opts["image-size"],
             canonical_size=max(256, opts["image-size"]),
             streaming=opts["streaming"], chunk_size=opts["chunk-size"],
+            steps_per_dispatch=opts["steps-per-dispatch"],
         ),
         model=ModelConfig(
             name=opts["model"], image_size=opts["image-size"],

@@ -42,6 +42,10 @@ class DataConfig:
                                    # the Pallas fused preprocess kernel in
                                    # the train step (auto = on for TPU
                                    # backends when augmenting)
+    steps_per_dispatch: int = 8    # scan this many train steps per XLA
+                                   # dispatch when the device arena is
+                                   # resident (amortizes ~2 ms/dispatch
+                                   # relay latency); 1 = per-batch steps
 
     @property
     def num_classes(self) -> int:
@@ -71,9 +75,11 @@ class ModelConfig:
     param_dtype: str = "float32"
     remat: bool = False               # jax.checkpoint conv/mlp blocks:
                                       # trade recompute for activation HBM
-    fused_pool: bool = True           # fused ReLU+pool, selector-saving VJP
-                                      # (ops.pooling.relu_max_pool_2x2);
-                                      # identical forward, cheap backward
+    fused_pool: bool = True           # False -> stock relu + max_pool
+                                      # (SelectAndScatter backward)
+    pool_mode: str = "auto"           # auto|phase|selector|stock: conv+
+                                      # relu+pool lowering (see ConvBlock;
+                                      # all bit-equal forward)
 
     def __post_init__(self) -> None:
         if len(self.dropout) not in (1, len(self.linear_features)):

@@ -322,3 +322,35 @@ class BatchIterator:
         if self.drop_remainder:
             return n // self.batch_size
         return -(-n // self.batch_size)
+
+    def super_batches(self, k: int):
+        """Epoch as [k, B] index/label/valid super-steps for the scanned
+        multi-train-step (train.step.make_multi_train_step): only these
+        small arrays cross the host link — pixels stay in the device
+        arena. The tail super-step is padded with valid=False steps
+        (inert: the scan skips their optimizer update)."""
+        order = self._epoch_order()
+        table = self.store.table
+        bs = self.batch_size
+        n_batches = len(order) // bs if self.drop_remainder else -(
+            -len(order) // bs
+        )
+        idx_all = order[: n_batches * bs] if self.drop_remainder else _pad_to(
+            n_batches * bs, order
+        )
+        valid_all = np.ones(n_batches * bs, bool)
+        if not self.drop_remainder and len(order) < n_batches * bs:
+            valid_all[len(order):] = False
+        idx_all = idx_all.reshape(n_batches, bs).astype(np.int32)
+        valid_all = valid_all.reshape(n_batches, bs)
+        labels_all = table.labels[idx_all].astype(np.int32)
+        for start in range(0, n_batches, k):
+            ib = idx_all[start : start + k]
+            lb = labels_all[start : start + k]
+            vd = valid_all[start : start + k]
+            if len(ib) < k:  # pad tail with inert steps
+                pad = k - len(ib)
+                ib = np.concatenate([ib, np.zeros((pad, bs), np.int32)])
+                lb = np.concatenate([lb, np.zeros((pad, bs), np.int32)])
+                vd = np.concatenate([vd, np.zeros((pad, bs), bool)])
+            yield ib, lb, vd

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -38,21 +39,73 @@ def _dtype(name: str):
             "float16": jnp.float16}[name]
 
 
-class ConvBlock(nn.Module):
-    """Conv + ReLU + 2x2 max-pool (one reference 'conv block',
-    tone_bias_model.py:77-97)."""
+class _PackedConvPool(nn.Module):
+    """Pool-phase-packed conv+relu+pool (ops.pooling.phase_packed_conv_
+    block): declares the SAME parameters as nn.Conv (kernel [k,k,Cin,Cout]
+    Xavier, bias zeros) so checkpoints are interchangeable with the
+    unpacked block."""
 
     features: int
     kernel: int
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
-    # fused ReLU+pool with a selector-saving VJP: identical forward
-    # (max∘relu == relu∘max), ~3x less backward HBM traffic than
-    # SelectAndScatter (docs/PERF.md). Off -> stock relu + max_pool.
-    fused_pool: bool = True
 
     @nn.compact
     def __call__(self, x):
+        from skin_image_analysis_tpu.ops.pooling import (
+            phase_packed_conv_block,
+        )
+
+        k = self.kernel
+        kernel = self.param(
+            "kernel", _XAVIER,
+            (k, k, x.shape[-1], self.features), _dtype(self.param_dtype),
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(),
+            (self.features,), _dtype(self.param_dtype),
+        )
+        dt = _dtype(self.compute_dtype)
+        return phase_packed_conv_block(
+            x.astype(dt), kernel.astype(dt), bias.astype(dt)
+        )
+
+
+class ConvBlock(nn.Module):
+    """Conv + ReLU + 2x2 max-pool (one reference 'conv block',
+    tone_bias_model.py:77-97).
+
+    ``pool_mode`` selects the TPU lowering (all bit-equal forward):
+
+    - "phase": pool-phase-packed stride-2 conv + channel-group max
+      (ops.pooling.phase_packed_conv_block) — full MXU lanes on the
+      3->32 first block, channel-local pool backward;
+    - "selector": stride-1 conv + fused ReLU+pool with the u8-selector
+      VJP (ops.pooling.relu_max_pool_2x2);
+    - "stock": nn.relu + nn.max_pool (SelectAndScatter backward).
+    - "auto": the measured-best per docs/PERF.md.
+    """
+
+    features: int
+    kernel: int
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+    pool_mode: str = "auto"
+
+    @nn.compact
+    def __call__(self, x):
+        mode = self.pool_mode
+        if mode == "auto":
+            # measured (docs/PERF.md): phase-packing wins when the packed
+            # channel count still fits one 128-lane tile (the stride-1
+            # conv ran under-utilized); above that the 4x channel stack
+            # only inflates FLOPs — use the selector VJP there.
+            mode = "phase" if self.features * 4 <= 128 else "selector"
+        if mode == "phase":
+            return _PackedConvPool(
+                self.features, self.kernel, self.compute_dtype,
+                self.param_dtype, name="Conv_0",
+            )(x)
         x = nn.Conv(
             self.features,
             kernel_size=(self.kernel, self.kernel),
@@ -62,10 +115,12 @@ class ConvBlock(nn.Module):
             dtype=_dtype(self.compute_dtype),
             param_dtype=_dtype(self.param_dtype),
         )(x)
-        if self.fused_pool:
+        if mode == "selector":
             from skin_image_analysis_tpu.ops.pooling import relu_max_pool_2x2
 
             return relu_max_pool_2x2(x)
+        if mode != "stock":
+            raise ValueError(f"unknown pool_mode {self.pool_mode!r}")
         x = nn.relu(x)
         x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
         return x
@@ -73,7 +128,11 @@ class ConvBlock(nn.Module):
 
 class MlpBlock(nn.Module):
     """Dense + ReLU + Dropout (one reference 'linear block',
-    tone_bias_model.py:107-118)."""
+    tone_bias_model.py:107-118).
+
+    ``rate_override``: a *traced* dropout rate replacing the static one —
+    lets vmap-stacked HPO trial populations vary dropout per trial inside
+    one XLA program (hpo.population)."""
 
     features: int
     dropout: float
@@ -81,7 +140,7 @@ class MlpBlock(nn.Module):
     param_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, *, train: bool, rate_override=None):
         x = nn.Dense(
             self.features,
             kernel_init=_XAVIER,
@@ -89,7 +148,16 @@ class MlpBlock(nn.Module):
             param_dtype=_dtype(self.param_dtype),
         )(x)
         x = nn.relu(x)
-        x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+        if rate_override is not None:
+            if train:
+                keep = 1.0 - rate_override
+                key = self.make_rng("dropout")
+                mask = jax.random.bernoulli(key, keep, x.shape)
+                x = jnp.where(mask, x / keep.astype(x.dtype), 0.0).astype(
+                    x.dtype
+                )
+        else:
+            x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
         return x
 
 
@@ -111,15 +179,17 @@ class SkinCancerListModel(nn.Module):
     param_dtype: str = "float32"
     remat: bool = False
     fused_pool: bool = True
+    pool_mode: str = "auto"
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False, dropout_rates=None):
         # optional rematerialization: recompute conv activations (the
         # dominant HBM term, e.g. 224^2 x 32) in the backward pass instead
         # of holding them; MLP activations are negligible and keep their
         # static `train` kwarg out of jax.checkpoint
         conv_cls = nn.remat(ConvBlock) if self.remat else ConvBlock
         mlp_cls = MlpBlock
+        mode = "stock" if not self.fused_pool else self.pool_mode
         x = x.astype(_dtype(self.compute_dtype))
         for i, feats in enumerate(self.conv_features):
             k = self.first_kernel if i == 0 else self.kernel
@@ -127,15 +197,18 @@ class SkinCancerListModel(nn.Module):
             # remat (checkpoints are interchangeable)
             x = conv_cls(
                 feats, k, self.compute_dtype, self.param_dtype,
-                self.fused_pool, name=f"ConvBlock_{i}",
+                mode, name=f"ConvBlock_{i}",
             )(x)
         x = x.reshape((x.shape[0], -1))
         drops = list(self.dropout)
         if len(drops) == 1:
             drops = drops * len(self.linear_features)
-        for feats, rate in zip(self.linear_features, drops):
+        for j, (feats, rate) in enumerate(zip(self.linear_features, drops)):
             x = mlp_cls(feats, rate, self.compute_dtype, self.param_dtype)(
-                x, train=train
+                x, train=train,
+                rate_override=(
+                    None if dropout_rates is None else dropout_rates[j]
+                ),
             )
         x = nn.Dense(
             self.num_classes,
@@ -183,6 +256,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             param_dtype=cfg.param_dtype,
             remat=cfg.remat,
             fused_pool=cfg.fused_pool,
+            pool_mode=cfg.pool_mode,
         )
     if cfg.name == "skin_cancer":
         return SkinCancerModel(

@@ -166,3 +166,103 @@ def _relu_pool_bwd(residuals, g):
 
 
 relu_max_pool_2x2.defvjp(_relu_pool_fwd, _relu_pool_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pool-phase packing: conv(k, stride 1) + relu + 2x2 pool as ONE stride-2
+# conv with (k+1)^2 taps and 4x the output channels, + a channel-group max.
+#
+# For pooled output (i, j), the four pre-pool conv values live at
+# (2i+di, 2j+dj), di,dj in {0,1}. A stride-2 conv whose kernel W' stacks
+# the four phase-shifted copies of W along the output-channel axis
+# (W'[a, b, c, p*Cout+co] = W[a-di_p, b-dj_p, c, co]) computes all four in
+# one pass. Why this is the TPU-native shape (docs/PERF.md):
+#
+# - the first conv block (3->32 channels) runs at ~25% MXU lane
+#   utilization; packed it is an 8x8/s2 conv with 128 output channels —
+#   exactly the ResNet-stem shape XLA is tuned for, full lanes;
+# - the max becomes a max over 4 *channel groups* at pooled resolution,
+#   and its backward a channel-local mask — no spatial scatter, no
+#   SelectAndScatter, no full-resolution gradient interleave;
+# - the parameter stays the reference-shaped [k, k, Cin, Cout]; packing
+#   is a weight-sized differentiable op inside the step.
+# ---------------------------------------------------------------------------
+
+_PHASES = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+
+def phase_pack_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """[k, k, Cin, Cout] -> [k+1, k+1, Cin, 4*Cout] phase-stacked kernel."""
+    k = w.shape[0]
+    cin, cout = w.shape[2], w.shape[3]
+    wp = jnp.zeros((k + 1, k + 1, cin, 4, cout), w.dtype)
+    for p, (di, dj) in enumerate(_PHASES):
+        wp = wp.at[di : di + k, dj : dj + k, :, p, :].add(w)
+    return wp.reshape(k + 1, k + 1, cin, 4 * cout)
+
+
+@jax.custom_vjp
+def relu_max_phase(y4: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, 4*C] phase-packed conv output -> [B, H, W, C]
+    relu(max over the 4 phase groups); selector-saving VJP (u8 per
+    output: winning phase 0-3, or 4 = max <= 0)."""
+    y, _ = _phase_fwd_impl(y4)
+    return y
+
+
+def _phase_fwd_impl(y4):
+    b, h, w, c4 = y4.shape
+    c = c4 // 4
+    yr = y4.reshape(b, h, w, 4, c)
+    a0, a1, a2, a3 = yr[..., 0, :], yr[..., 1, :], yr[..., 2, :], yr[..., 3, :]
+    m = jnp.maximum(jnp.maximum(a0, a1), jnp.maximum(a2, a3))
+    sel = jnp.where(
+        m == a0, jnp.uint8(0),
+        jnp.where(m == a1, jnp.uint8(1),
+                  jnp.where(m == a2, jnp.uint8(2), jnp.uint8(3))),
+    )
+    sel = jnp.where(m > 0, sel, jnp.uint8(4))
+    return jnp.maximum(m, jnp.zeros_like(m)), sel
+
+
+def _phase_fwd(y4):
+    y, sel = _phase_fwd_impl(y4)
+    return y, (sel, y4.shape)
+
+
+def _phase_bwd(residuals, g):
+    sel, shape = residuals
+    b, h, w, c4 = shape
+    c = c4 // 4
+    phase = jax.lax.broadcasted_iota(jnp.uint8, (1, 1, 1, 4, 1), 3)
+    dyr = jnp.where(sel[:, :, :, None, :] == phase, g[:, :, :, None, :],
+                    jnp.zeros_like(g[:, :, :, None, :]))
+    return (jnp.broadcast_to(dyr, (b, h, w, 4, c)).reshape(shape),)
+
+
+relu_max_phase.defvjp(_phase_fwd, _phase_bwd)
+
+
+def phase_packed_conv_block(
+    x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None
+) -> jnp.ndarray:
+    """The full fused block: x [B,H,W,Cin], w [k,k,Cin,Cout] (reference
+    parameter shape) -> [B, H/2, W/2, Cout] pooled activations.
+
+    Bit-equal forward to conv(SAME, stride 1) + ReLU + 2x2 max-pool for
+    even H, W; backward routes through the phase selector (channel-local)
+    and the strided conv's own dW/dx — no full-resolution pool scatter.
+    """
+    k = w.shape[0]
+    p0 = (k - 1) // 2  # SAME padding of the stride-1 conv
+    wp = phase_pack_kernel(w)
+    y4 = jax.lax.conv_general_dilated(
+        x, wp,
+        window_strides=(2, 2),
+        padding=((p0, p0 + 1), (p0, p0 + 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    if bias is not None:
+        y4 = y4 + jnp.tile(bias, 4).astype(y4.dtype)
+    return relu_max_phase(y4)

@@ -48,7 +48,11 @@ from skin_image_analysis_tpu.parallel.sharding import (
 from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
 from skin_image_analysis_tpu.train.evaluate import evaluate_fairness
 from skin_image_analysis_tpu.train.state import create_train_state
-from skin_image_analysis_tpu.train.step import make_eval_step, make_train_step
+from skin_image_analysis_tpu.train.step import (
+    make_eval_step,
+    make_multi_train_step,
+    make_train_step,
+)
 from skin_image_analysis_tpu.utils import jsonl
 from skin_image_analysis_tpu.utils.profiling import Timer
 
@@ -284,6 +288,7 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
     decode_thread.join()
     t_decode.__exit__(None, None, None)
 
+    multi_step = None
     if cfg.data.streaming:
         # Archive-scale path (ISIC-2020 config): decode-ahead chunks, no
         # whole-cohort arenas in RAM or HBM.
@@ -349,6 +354,49 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
             sharding=data_sharding,
             device_arena=train_arena,
         )
+        # Multi-step dispatch: scan k train steps per XLA program with
+        # on-device arena gathers — only [k,B] index/label arrays cross
+        # the host link, and the ~2 ms/dispatch relay latency amortizes
+        # (docs/PERF.md).
+        k_spd = cfg.data.steps_per_dispatch
+        if train_arena is not None and k_spd > 1:
+            multi_step = make_multi_train_step(
+                k_spd, class_weights=class_weights, mesh=mesh,
+                data_axis=cfg.mesh.data_axis, preprocess_fn=train_pre,
+            )
+            try:
+                import jax.numpy as jnp
+
+                rep = None
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    rep = NamedSharding(mesh, PartitionSpec())
+                zi = jnp.zeros((k_spd, cfg.data.batch_size), jnp.int32)
+                zv = jnp.zeros((k_spd, cfg.data.batch_size), bool)
+                if rep is not None:
+                    zi, zv = jax.device_put((zi, zv), rep)
+                with Timer("compile-multi") as t_multi:
+                    warm_state = jax.tree.map(
+                        lambda x: x.copy() if hasattr(x, "copy") else x, state
+                    )
+                    warm_state, _m = multi_step(
+                        warm_state, train_arena, zi, zi.copy(), zv
+                    )
+                    jax.device_get(_m["loss"])
+                    del warm_state
+                if verbose:
+                    print(
+                        f"multi-step dispatch: {k_spd} steps/program "
+                        f"(compiled in {t_multi.elapsed:.1f}s)"
+                    )
+            except Exception as e:
+                if verbose:
+                    print(f"multi-step dispatch disabled "
+                          f"({type(e).__name__}: {e})")
+                multi_step = None
+        else:
+            multi_step = None
         test_loader = BatchIterator(
             test_store,
             cfg.data.batch_size,
@@ -371,20 +419,52 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         # readback per batch would serialize the async dispatch pipeline;
         # only the (optional) periodic printout forces a sync
         epoch_metrics = []
-        for i, batch in enumerate(train_loader):
-            state, metrics = train_step(state, batch)
-            epoch_metrics.append(metrics)
-            if verbose and cfg.log_every_batches and i % cfg.log_every_batches == 0:
-                # pulls metrics to host — matches the reference's periodic
-                # batch printout (tone_bias_train.py:149-150)
-                print(f"  batch {i}: loss={float(metrics['loss']):.4f}")
-        fetched = jax.device_get(epoch_metrics)  # one sync for the epoch
-        n_batches = len(fetched)
-        avg_batch_loss = (
-            float(sum(m["loss"] for m in fetched)) / max(n_batches, 1)
-        )
-        corrects = int(sum(m["correct"] for m in fetched))
-        count = int(sum(m["count"] for m in fetched))
+        if multi_step is not None:
+            import numpy as _np
+
+            import jax.numpy as jnp
+
+            rep = None
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                rep = NamedSharding(mesh, PartitionSpec())
+            for i, (ib, lb, vd) in enumerate(
+                train_loader.super_batches(cfg.data.steps_per_dispatch)
+            ):
+                args = (jnp.asarray(ib), jnp.asarray(lb), jnp.asarray(vd))
+                if rep is not None:
+                    args = jax.device_put(args, rep)
+                state, metrics = multi_step(state, train_arena, *args)
+                epoch_metrics.append(metrics)
+                if verbose and cfg.log_every_batches and i == 0:
+                    print(
+                        f"  batch 0: loss={float(metrics['loss'][0]):.4f}"
+                    )
+            fetched = jax.device_get(epoch_metrics)
+            losses = _np.concatenate([m["loss"] for m in fetched])
+            counts = _np.concatenate([m["count"] for m in fetched])
+            corr = _np.concatenate([m["correct"] for m in fetched])
+            live = counts > 0  # padded tail super-steps are inert
+            n_batches = int(live.sum())
+            avg_batch_loss = float(losses[live].mean()) if n_batches else 0.0
+            corrects = int(corr.sum())
+            count = int(counts.sum())
+        else:
+            for i, batch in enumerate(train_loader):
+                state, metrics = train_step(state, batch)
+                epoch_metrics.append(metrics)
+                if verbose and cfg.log_every_batches and i % cfg.log_every_batches == 0:
+                    # pulls metrics to host — matches the reference's
+                    # periodic batch printout (tone_bias_train.py:149-150)
+                    print(f"  batch {i}: loss={float(metrics['loss']):.4f}")
+            fetched = jax.device_get(epoch_metrics)  # one sync for the epoch
+            n_batches = len(fetched)
+            avg_batch_loss = (
+                float(sum(m["loss"] for m in fetched)) / max(n_batches, 1)
+            )
+            corrects = int(sum(m["correct"] for m in fetched))
+            count = int(sum(m["count"] for m in fetched))
         train_accuracy = corrects / max(count, 1)
         epoch_time = time.time() - epoch_start
         if verbose:

@@ -113,6 +113,64 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_multi_train_step(
+    k: int,
+    class_weights=None,
+    mesh: Mesh | None = None,
+    data_axis: str = "data",
+    preprocess_fn: Callable | None = None,
+) -> Callable:
+    """k train steps inside ONE compiled program (lax.scan), gathering
+    pixel batches from the device-resident uint8 arena by index.
+
+    Every dispatch through the remote relay costs ~2 ms (docs/PERF.md);
+    scanning k steps per dispatch amortizes it and keeps the whole epoch
+    on device — the arena never moves, only [k, B] index/label arrays
+    cross the host link per super-step.
+
+    Signature: ``multi(state, arena, idx [k,B] i32, label [k,B] i32,
+    valid [k,B] bool) -> (state, {"loss" [k], "correct" [k], "count"
+    [k]})``. Steps whose ``valid`` row is all-False are inert: gradients
+    are computed but the update is skipped (lax.cond), so padded tail
+    super-steps neither move parameters nor advance the RNG step.
+    """
+    cw = None if class_weights is None else jnp.asarray(class_weights)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def multi(state, arena, idx, label, valid):
+        def one_step(state: TrainState, xs):
+            i, lb, vd = xs
+            pixels = jnp.take(arena, i, axis=0)
+            batch = {"pixels": pixels, "label": lb, "valid": vd}
+            if mesh is not None:
+                batch = jax.lax.with_sharding_constraint(
+                    batch, NamedSharding(mesh, P(data_axis))
+                )
+            step_rng = jax.random.fold_in(state.rng, state.step)
+            dropout_rng, aug_rng = jax.random.split(step_rng)
+            grad_fn = jax.value_and_grad(
+                partial(_loss_and_metrics, state.apply_fn), has_aux=True
+            )
+            (loss, (correct, count, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, batch, dropout_rng, cw,
+                preprocess_fn, aug_rng,
+            )
+
+            def apply(s):
+                s = s.apply_gradients(grads)
+                if new_stats is not None:
+                    s = s.replace(batch_stats=new_stats)
+                return s
+
+            state = jax.lax.cond(jnp.any(vd), apply, lambda s: s, state)
+            return state, {"loss": loss, "correct": correct, "count": count}
+
+        state, metrics = jax.lax.scan(one_step, state, (idx, label, valid))
+        return state, metrics
+
+    return multi
+
+
 def make_eval_step(
     mesh: Mesh | None = None,
     data_axis: str = "data",

@@ -151,3 +151,97 @@ class TestReluMaxPool:
         out_fused = models[0].apply(v, x, train=False)
         out_stock = models[1].apply(v, x, train=False)
         assert jnp.allclose(out_fused, out_stock, atol=1e-6)
+
+
+class TestPhasePacking:
+    """Pool-phase-packed conv block (ops.pooling.phase_packed_conv_block):
+    a stride-2 conv with phase-stacked kernels + channel-group max must be
+    bit-equal to conv(stride 1, SAME) + ReLU + 2x2 max-pool."""
+
+    def _stock(self, x, w, b):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+        return nn.max_pool(nn.relu(y), (2, 2), strides=(2, 2))
+
+    @staticmethod
+    def _rand(key, shape):
+        return jax.random.normal(key, shape, jnp.float32)
+
+    def test_forward_parity_k7_and_k3(self):
+        from skin_image_analysis_tpu.ops.pooling import phase_packed_conv_block
+
+        for k, cin, cout, size in [(7, 3, 8, 16), (3, 8, 16, 12)]:
+            kx, kw = jax.random.split(jax.random.key(k))
+            x = self._rand(kx, (2, size, size, cin))
+            w = self._rand(kw, (k, k, cin, cout)) * 0.2
+            b = jnp.linspace(-0.1, 0.1, cout)
+            got = phase_packed_conv_block(x, w, b)
+            want = self._stock(x, w, b)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+            )
+
+    def test_grad_parity(self):
+        from skin_image_analysis_tpu.ops.pooling import phase_packed_conv_block
+
+        kx, kw = jax.random.split(jax.random.key(0))
+        x = self._rand(kx, (2, 12, 12, 4))
+        w = self._rand(kw, (3, 3, 4, 6)) * 0.3
+        b = jnp.zeros((6,))
+
+        def f_packed(x, w):
+            return jnp.sum(phase_packed_conv_block(x, w, b) ** 2)
+
+        def f_stock(x, w):
+            return jnp.sum(self._stock(x, w, b) ** 2)
+
+        gx1, gw1 = jax.grad(f_packed, argnums=(0, 1))(x, w)
+        gx2, gw2 = jax.grad(f_stock, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_model_pool_modes_forward_parity(self):
+        """phase / selector / stock ConvBlock lowerings share parameters
+        and produce identical forward outputs."""
+        from skin_image_analysis_tpu.config import ModelConfig
+        from skin_image_analysis_tpu.models.cnn import build_model
+
+        x = jax.random.uniform(jax.random.key(3), (2, 16, 16, 3))
+        outs = []
+        variables = None
+        for mode in ("phase", "selector", "stock"):
+            cfg = ModelConfig(conv_features=(4, 8), linear_features=(16,),
+                              dropout=(0.0,), image_size=16,
+                              compute_dtype="float32", pool_mode=mode)
+            m = build_model(cfg)
+            if variables is None:
+                variables = m.init({"params": jax.random.key(4)}, x,
+                                   train=False)
+            outs.append(m.apply(variables, x, train=False))
+        np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[1]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[2]),
+                                   atol=1e-5)
+
+    def test_relu_max_phase_dead_and_tie(self):
+        from skin_image_analysis_tpu.ops.pooling import relu_max_phase
+
+        # all-negative groups -> zero output, zero grad
+        y4 = -jnp.ones((1, 1, 1, 8), jnp.float32)
+        out, vjp = jax.vjp(relu_max_phase, y4)
+        assert jnp.all(out == 0)
+        (d,) = vjp(jnp.ones_like(out))
+        assert jnp.all(d == 0)
+        # positive tie -> first phase wins, grad mass conserved
+        y4 = jnp.array([2.0, 2.0, 1.0, 2.0, 1.0, 1.0, 1.0, 1.0]).reshape(
+            1, 1, 1, 8)  # C=2: phases for ch0 = [2,1,1,1], ch1 = [2,2,1,1]... 
+        # layout [.., 4, C]: values per (phase, ch)
+        y4 = jnp.arange(8, dtype=jnp.float32).reshape(1, 1, 1, 8) * 0 + \
+            jnp.array([5.0, 1.0, 5.0, 1.0, 3.0, 1.0, 2.0, 1.0]).reshape(1, 1, 1, 8)
+        out, vjp = jax.vjp(relu_max_phase, y4)
+        (d,) = vjp(jnp.ones_like(out))
+        assert float(d.sum()) == float(out.shape[-1] * 1.0)

@@ -80,6 +80,7 @@ def main() -> int:
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--scan-len", type=int, default=16)
+    p.add_argument("--moments", default="", help="adam moment dtype override")
     args = p.parse_args()
     stages = args.stages or ["step", "scan", "fwd", "fwdbwd", "opt", "pre"]
 
@@ -98,7 +99,10 @@ def main() -> int:
 
     model_cfg = ModelConfig(compute_dtype="bfloat16")
     state, model = create_train_state(
-        model_cfg, OptimConfig(learning_rate=1e-5), jax.random.key(0),
+        model_cfg,
+        OptimConfig(learning_rate=1e-5,
+                    moment_dtype=args.moments or None),
+        jax.random.key(0),
         batch_size=B,
     )
     pre = make_preprocess_fn(
