@@ -62,7 +62,8 @@ def main(argv: list[str] | None = None) -> int:
          "lr-step-size": 0, "lr-gamma": 0.1, "lr-decay-steps": 0,
          "lr-warmup-steps": 0, "moment-dtype": "",
          "steps-per-dispatch": 8},
-        bool_flags={"augment", "fp32", "bf16", "debug-nans", "streaming"},
+        bool_flags={"augment", "fp32", "bf16", "debug-nans", "streaming",
+                    "stream-cache"},
     )
     if len(positional) != 3:
         print("Usage: <root directory of ISIC images> <number of epochs> "
@@ -92,6 +93,7 @@ def main(argv: list[str] | None = None) -> int:
             augment=augment, seed=seed, image_size=opts["image-size"],
             canonical_size=max(256, opts["image-size"]),
             streaming=opts["streaming"], chunk_size=opts["chunk-size"],
+            stream_cache=opts["stream-cache"],
             steps_per_dispatch=opts["steps-per-dispatch"],
         ),
         model=ModelConfig(

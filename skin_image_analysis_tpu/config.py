@@ -37,6 +37,10 @@ class DataConfig:
     streaming: bool = False        # archive-scale path: chunked decode-
                                    # ahead instead of whole-cohort arenas
     chunk_size: int = 2048         # images per streaming chunk
+    stream_cache: bool = False     # spill canonical uint8 frames to a
+                                   # disk memmap during epoch 1; later
+                                   # epochs stream at disk speed (the
+                                   # 1-core JPEG decode is the wall)
     drop_remainder: bool = True    # static shapes for jit
     pallas_preprocess: str = "auto"  # "auto"|"on"|"off": planar arenas +
                                    # the Pallas fused preprocess kernel in

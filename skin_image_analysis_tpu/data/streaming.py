@@ -8,6 +8,16 @@ the 3.7k-image tone dataset, wrong for the 33k+-image ISIC-2020 archive
   chunks of ``chunk_size`` images;
 - a background thread decodes chunk i+1 (native C++ decoder) while the
   training loop consumes chunk i's batches — decode hides behind compute;
+- each decoded chunk is committed to the device ONCE as a uint8 arena
+  and batches gather on-device by index (``device_chunks=True``) — the
+  slow host link sees one large contiguous transfer per chunk instead of
+  per-batch puts;
+- with a ``cache_path``, the canonical uint8 frames are spilled to a
+  disk memmap while epoch 1 decodes; later epochs stream chunks straight
+  from the memmap at disk speed and never touch a JPEG again (the
+  single-core JPEG decode is ~20x slower than the TPU step — see
+  docs/PERF.md §streaming — so the cache is what makes multi-epoch
+  archive-scale training device-bound);
 - batches look exactly like BatchIterator's ``{pixels, label, row_id,
   valid}`` dicts, so the train loop is unchanged.
 
@@ -17,6 +27,7 @@ mix fully within a chunk and chunk order is reshuffled per epoch.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 
@@ -40,6 +51,8 @@ class ChunkedBatchIterator:
         seed: int = 0,
         sharding=None,
         decode_ahead: int = 1,
+        device_chunks: bool = True,
+        cache_path: str | None = None,
     ):
         if chunk_size % batch_size:
             raise ValueError(
@@ -55,9 +68,35 @@ class ChunkedBatchIterator:
         self.rng = np.random.default_rng(seed)
         self.sharding = sharding
         self.decode_ahead = decode_ahead
+        self.device_chunks = device_chunks
         self._paths = table.file_paths()
+        self._gather = None
+        # decode-once disk cache: canonical uint8 memmap [N, S, S, 3]
+        self._cache = None
+        self._cache_ready = None
+        if cache_path:
+            os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+            n = len(self._paths)
+            shape = (n, self.size, self.size, 3)
+            mode = "r+" if os.path.exists(cache_path) else "w+"
+            self._cache = np.lib.format.open_memmap(
+                cache_path, mode=mode, dtype=np.uint8, shape=shape
+            ) if mode == "w+" else np.lib.format.open_memmap(
+                cache_path, mode="r+"
+            )
+            if self._cache.shape != shape:
+                raise ValueError(
+                    f"cache {cache_path} shape {self._cache.shape} != {shape}"
+                )
+            flag = cache_path + ".ready"
+            self._cache_flag = flag
+            self._cache_ready = np.zeros(n, bool)
+            if os.path.exists(flag):
+                self._cache_ready[:] = np.fromfile(flag, bool)[:n]
 
     def _decode_chunk(self, idx: np.ndarray) -> np.ndarray:
+        if self._cache is not None and self._cache_ready[idx].all():
+            return np.ascontiguousarray(self._cache[idx])
         out = np.empty((len(idx), self.size, self.size, 3), np.uint8)
         paths = [self._paths[i] for i in idx]
         try:
@@ -67,6 +106,12 @@ class ChunkedBatchIterator:
         except Exception:
             for j, p in enumerate(paths):
                 out[j] = decode_image(p, self.size)
+        if self._cache is not None:
+            self._cache[idx] = out
+            self._cache_ready[idx] = True
+            if self._cache_ready.all():
+                self._cache.flush()
+                self._cache_ready.tofile(self._cache_flag)
         return out
 
     def _chunk_indices(self):
@@ -100,24 +145,52 @@ class ChunkedBatchIterator:
                 raise item
             idx, pixels = item
             n = len(idx)
+            chunk_arena = None
+            if self.device_chunks:
+                # one contiguous host->HBM transfer per chunk; batches
+                # then gather on-device (the slow-link win, same design
+                # as the whole-cohort device cache). Pad the tail chunk to
+                # chunk_size so the gather program compiles once.
+                if n < self.chunk_size:
+                    pixels = np.concatenate([
+                        pixels,
+                        np.zeros((self.chunk_size - n, *pixels.shape[1:]),
+                                 np.uint8),
+                    ])
+                if self.sharding is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    rep = NamedSharding(self.sharding.mesh, PartitionSpec())
+                    chunk_arena = jax.device_put(pixels, rep)
+                else:
+                    chunk_arena = jax.device_put(pixels)
+                if self._gather is None:
+                    import jax.numpy as jnp
+
+                    self._gather = jax.jit(
+                        lambda arena, i: jnp.take(arena, i, axis=0),
+                        out_shardings=self.sharding,
+                    )
             stop = (n // bs) * bs if self.drop_remainder else n
             for start in range(0, stop, bs):
                 sel = slice(start, min(start + bs, n))
                 b_idx = idx[sel]
-                b_pix = pixels[sel]
+                local = np.arange(sel.start, min(sel.stop, n), dtype=np.int32)
                 labels = self.table.labels[b_idx]
                 row_ids = self.table.row_ids[b_idx]
                 valid = np.ones(len(b_idx), bool)
                 if len(b_idx) < bs:  # pad the cohort's final partial batch
                     pad = bs - len(b_idx)
-                    b_pix = np.concatenate(
-                        [b_pix, np.zeros((pad, *b_pix.shape[1:]), np.uint8)]
-                    )
+                    local = np.concatenate([local, np.zeros(pad, np.int32)])
                     labels = np.concatenate([labels, np.zeros(pad, np.int32)])
                     row_ids = np.concatenate(
                         [row_ids, -np.ones(pad, np.int32)]
                     )
                     valid = np.concatenate([valid, np.zeros(pad, bool)])
+                if chunk_arena is not None:
+                    b_pix = self._gather(chunk_arena, local)
+                else:
+                    b_pix = pixels[local]
                 batch = {
                     "pixels": b_pix,
                     "label": labels.astype(np.int32),
@@ -129,6 +202,7 @@ class ChunkedBatchIterator:
                 else:
                     batch = jax.device_put(batch)
                 yield batch
+            del chunk_arena
         t.join()
 
     def __len__(self) -> int:

@@ -92,10 +92,37 @@ class WaveSkeleton:
         return total * 4
 
 
-def max_population(skel: WaveSkeleton, budget_bytes: int = 6 << 30) -> int:
-    """Largest power-of-two K whose params+moments+grads fit the budget
-    (~4x the parameter bytes with adam moments and transient grads)."""
-    per_trial = 4 * skel.padded_param_bytes()
+def activation_bytes(skel: WaveSkeleton, microbatch: int) -> int:
+    """Peak transient activation footprint of ONE trial's forward+backward
+    at the padded width, for a microbatch: the first conv's full-res
+    output dominates (microbatch x image^2 x PAD x bf16), with ~3x
+    headroom for the cotangent + fusion workspace."""
+    first_conv = microbatch * skel.image_size ** 2 * PAD_WIDTH * 2
+    return 3 * first_conv
+
+
+def default_microbatch(skel: WaveSkeleton, batch_size: int) -> int:
+    """Split each batch into exact-gradient microbatches when the padded
+    activations at full batch would dwarf HBM (224^2 x 256-wide supernet
+    is ~0.8 GB of conv0 output per 32-batch trial)."""
+    if skel.image_size >= 128:
+        return max(4, batch_size // 8)
+    return batch_size
+
+
+def max_population(
+    skel: WaveSkeleton,
+    batch_size: int = 32,
+    microbatch: int | None = None,
+    budget_bytes: int = 8 << 30,
+) -> int:
+    """Largest power-of-two K fitting the budget: params+grads+adam
+    moments (~4x param bytes) plus the microbatch activation transient."""
+    if microbatch is None:
+        microbatch = default_microbatch(skel, batch_size)
+    per_trial = 4 * skel.padded_param_bytes() + activation_bytes(
+        skel, microbatch
+    )
     k = max(1, budget_bytes // max(per_trial, 1))
     return 1 << min(int(math.log2(k)), 5)  # cap at 32 per wave
 
@@ -227,9 +254,16 @@ def train_wave(
     train_limit: int | None = None,
     valid_limit: int | None = None,
     seed: int = 0,
+    microbatch: int | None = None,
 ) -> dict[str, Any]:
     """Train one wave of K padded trials in lockstep; returns per-epoch
-    validation accuracy [epochs, K]."""
+    validation accuracy [epochs, K].
+
+    ``microbatch``: gradients are accumulated over exact microbatches of
+    this size (scan) so the padded supernet's full-resolution conv
+    activations never exist for the whole batch at once — identical
+    gradients (the mean-NLL decomposes linearly), per-microbatch dropout
+    masks."""
     k = len(lrs)
     model = build_model(skel.padded_model_config())
     conv_w = jnp.asarray(conv_widths, jnp.int32)
@@ -239,17 +273,14 @@ def train_wave(
 
     rng = np.random.default_rng(seed)
 
-    def stack(pixels, labels, limit):
+    def stack(pixels, labels, limit, bsz):
         order = rng.permutation(len(labels))
-        n_batches = len(labels) // batch_size
+        n_batches = len(labels) // bsz
         if limit is not None:
-            n_batches = min(n_batches, max(limit // batch_size, 1))
-        idx = order[: n_batches * batch_size].reshape(n_batches, batch_size)
+            n_batches = min(n_batches, max(limit // bsz, 1))
+        idx = order[: n_batches * bsz].reshape(n_batches, bsz)
         return jnp.asarray(pixels[idx]), jnp.asarray(
             labels[idx].astype(np.int32))
-
-    tb_px, tb_lb = stack(train_pixels, train_labels, train_limit)
-    vb_px, vb_lb = stack(valid_pixels, valid_labels, valid_limit)
 
     def to_f32(px):
         x = px.astype(jnp.float32)
@@ -264,6 +295,18 @@ def train_wave(
     keys = jax.random.split(jax.random.key(seed), k)
     params, opt_state = jax.vmap(init_one)(keys, conv_w, lin_w)
 
+    if microbatch is None:
+        microbatch = default_microbatch(skel, batch_size)
+    microbatch = min(microbatch, batch_size)
+    while batch_size % microbatch:
+        microbatch -= 1
+    n_micro = batch_size // microbatch
+
+    tb_px, tb_lb = stack(train_pixels, train_labels, train_limit, batch_size)
+    # eval in microbatch-sized slices too: the padded supernet's forward
+    # at full batch x K trials is the same OOM risk as training
+    vb_px, vb_lb = stack(valid_pixels, valid_labels, valid_limit, microbatch)
+
     def loss_fn(p, cw, lw, dr, pixels, labels, dkey):
         log_probs = model.apply(
             {"params": p}, to_f32(pixels), train=True,
@@ -273,7 +316,21 @@ def train_wave(
         return -jnp.mean(picked)
 
     def one_trial_step(p, opt, cw, lw, dr, lr, pixels, labels, dkey):
-        grads = jax.grad(loss_fn)(p, cw, lw, dr, pixels, labels, dkey)
+        # exact-gradient microbatching: mean of per-microbatch mean-NLL
+        # grads == full-batch grad; scan keeps one microbatch's padded
+        # activations live at a time
+        mpx = pixels.reshape(n_micro, microbatch, *pixels.shape[1:])
+        mlb = labels.reshape(n_micro, microbatch)
+        mkeys = jax.random.split(dkey, n_micro)
+
+        def micro(acc, mb):
+            px, lb, key = mb
+            g = jax.grad(loss_fn)(p, cw, lw, dr, px, lb, key)
+            return jax.tree.map(jnp.add, acc, g), None
+
+        zero = jax.tree.map(jnp.zeros_like, p)
+        grads, _ = jax.lax.scan(micro, zero, (mpx, mlb, mkeys))
+        grads = jax.tree.map(lambda g: g / n_micro, grads)
         masks = trial_param_masks(skel, cw, lw)
         grads = jax.tree.map(lambda g, m: g * m, grads, masks)
         updates, opt = tx.update(grads, opt)

@@ -98,7 +98,7 @@ def run_wave_study(
         # the probe trial becomes the wave's first member
         k = min(
             wave_size or cfg.population or 8,
-            max_population(skel),
+            max_population(skel, cfg.batch_size),
             cfg.trials - len(study.trials) + 1,
         )
         k = max(k, 1)

@@ -101,6 +101,10 @@ class ConvBlock(nn.Module):
             # conv ran under-utilized); above that the 4x channel stack
             # only inflates FLOPs — use the selector VJP there.
             mode = "phase" if self.features * 4 <= 128 else "selector"
+        if mode == "phase" and (x.shape[1] % 2 or x.shape[2] % 2):
+            # the packed stride-2 conv assumes even H, W (VALID pool crops
+            # odd tails, which changes boundary conv outputs) — fall back
+            mode = "selector"
         if mode == "phase":
             return _PackedConvPool(
                 self.features, self.kernel, self.compute_dtype,

@@ -120,14 +120,15 @@ def relu_max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     equal values are the only divergence from the equality-mask
     subgradient, and they are measure-zero for conv outputs.
 
-    H and W must be even (the model family halves 224 -> 28 exactly,
-    tone_bias_model.py:77-97).
+    Odd trailing rows/cols are cropped (nn.max_pool VALID semantics —
+    the HPO search space pools 224 down to 7, tone_bias_optuna.py:138).
     """
     y, _ = _relu_pool_fwd_impl(x)
     return y
 
 
 def _relu_pool_fwd_impl(x):
+    x = _crop_even(x)
     b, h, w, c = x.shape
     xr = x.reshape(b, h // 2, 2, w // 2, 2, c)
     a = xr[:, :, 0, :, 0, :]
@@ -152,7 +153,9 @@ def _relu_pool_fwd(x):
 
 def _relu_pool_bwd(residuals, g):
     sel, in_shape = residuals
-    b, h, w, c = in_shape
+    b = in_shape[0]
+    c = in_shape[3]
+    he, we = in_shape[1] - in_shape[1] % 2, in_shape[2] - in_shape[2] % 2
     # position grid 2*dy + dx over the window axes; route g to the saved
     # argmax (selector 4 = ReLU-dead window -> zero gradient)
     gb = g[:, :, None, :, None, :]
@@ -161,8 +164,13 @@ def _relu_pool_bwd(residuals, g):
     dxp = jax.lax.broadcasted_iota(jnp.uint8, (1, 1, 1, 1, 2, 1), 4)
     pos = 2 * dy + dxp
     dxr = jnp.where(selb == pos, gb, jnp.zeros_like(gb))
-    return (jnp.broadcast_to(dxr, (b, h // 2, 2, w // 2, 2, c))
-            .reshape(in_shape),)
+    dx = (jnp.broadcast_to(dxr, (b, he // 2, 2, we // 2, 2, c))
+          .reshape(b, he, we, c))
+    if (he, we) != (in_shape[1], in_shape[2]):
+        # cropped odd edge: zero gradient there (VALID pool never saw it)
+        full = jnp.zeros(in_shape, dx.dtype)
+        dx = full.at[:, :he, :we, :].set(dx)
+    return (dx,)
 
 
 relu_max_pool_2x2.defvjp(_relu_pool_fwd, _relu_pool_bwd)

@@ -294,6 +294,11 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         # whole-cohort arenas in RAM or HBM.
         from skin_image_analysis_tpu.data.streaming import ChunkedBatchIterator
 
+        cache_train = cache_test = None
+        if cfg.data.stream_cache:
+            s = cfg.data.canonical_size
+            cache_train = os.path.join(folder, f"stream_cache_train_{s}.npy")
+            cache_test = os.path.join(folder, f"stream_cache_test_{s}.npy")
         train_loader = ChunkedBatchIterator(
             train_table,
             canonical_size=cfg.data.canonical_size,
@@ -303,6 +308,7 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
             drop_remainder=cfg.data.drop_remainder,
             seed=cfg.data.seed + 1,
             sharding=data_sharding,
+            cache_path=cache_train,
         )
         test_loader = ChunkedBatchIterator(
             test_table,
@@ -313,6 +319,7 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
             drop_remainder=False,
             seed=0,
             sharding=data_sharding,
+            cache_path=cache_test,
         )
         if verbose:
             print(f"streaming ingest: chunks of {cfg.data.chunk_size}")

@@ -245,3 +245,38 @@ class TestPhasePacking:
         out, vjp = jax.vjp(relu_max_phase, y4)
         (d,) = vjp(jnp.ones_like(out))
         assert float(d.sum()) == float(out.shape[-1] * 1.0)
+
+
+def test_relu_max_pool_odd_dims_match_stock():
+    """Odd trailing rows/cols: VALID crop semantics + zero grads there
+    (the HPO space pools down to 7x7, tone_bias_optuna.py:138)."""
+    from skin_image_analysis_tpu.ops.pooling import relu_max_pool_2x2
+
+    x = jax.random.normal(jax.random.key(9), (2, 7, 9, 4), jnp.float32)
+    want = nn.max_pool(nn.relu(x), (2, 2), strides=(2, 2))
+    got = relu_max_pool_2x2(x)
+    assert got.shape == want.shape == (2, 3, 4, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+    def f(x):
+        return jnp.sum(relu_max_pool_2x2(x) ** 2)
+
+    g = jax.grad(f)(x)
+    assert g.shape == x.shape
+    # cropped tail gets zero gradient
+    assert jnp.all(g[:, 6, :, :] == 0) and jnp.all(g[:, :, 8, :] == 0)
+
+
+def test_convblock_auto_falls_back_on_odd_input():
+    """pool_mode='auto' must not route odd spatial inputs through the
+    packed stride-2 conv (boundary semantics differ)."""
+    from skin_image_analysis_tpu.models.cnn import ConvBlock
+
+    x = jax.random.uniform(jax.random.key(1), (2, 7, 7, 3))
+    blk = ConvBlock(features=8, kernel=3, compute_dtype="float32")
+    v = blk.init(jax.random.key(2), x)
+    out = blk.apply(v, x)
+    ref = ConvBlock(features=8, kernel=3, compute_dtype="float32",
+                    pool_mode="stock").apply(v, x)
+    assert out.shape == (2, 3, 3, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

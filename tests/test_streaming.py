@@ -68,3 +68,62 @@ def test_pixels_match_direct_decode(table, synth_root):
 def test_chunk_batch_divisibility_enforced(table):
     with pytest.raises(ValueError, match="multiple"):
         ChunkedBatchIterator(table, batch_size=7, chunk_size=16)
+
+
+def test_device_chunks_match_host_path(table):
+    """device_chunks=True (chunk arena + on-device gather) must yield the
+    same pixels/labels as the host path."""
+    def collect(device_chunks):
+        it = ChunkedBatchIterator(
+            table, canonical_size=24, batch_size=8, chunk_size=16,
+            shuffle=True, drop_remainder=False, seed=3,
+            device_chunks=device_chunks,
+        )
+        out = []
+        for b in it:
+            out.append((np.asarray(b["pixels"]), np.asarray(b["label"]),
+                        np.asarray(b["valid"])))
+        return out
+
+    a, b = collect(True), collect(False)
+    assert len(a) == len(b)
+    for (pa, la, va), (pb, lb, vb) in zip(a, b):
+        np.testing.assert_array_equal(va, vb)
+        np.testing.assert_array_equal(la, lb)
+        np.testing.assert_array_equal(pa[va], pb[vb])
+
+
+def test_stream_cache_roundtrip(table, tmp_path):
+    """Epoch 1 decodes + fills the disk memmap; epoch 2 streams from it
+    with identical pixels and no JPEG decodes."""
+    from skin_image_analysis_tpu.data import streaming as streaming_mod
+
+    cache = str(tmp_path / "cache.npy")
+    it = ChunkedBatchIterator(
+        table, canonical_size=24, batch_size=8, chunk_size=16,
+        shuffle=False, drop_remainder=False, seed=0,
+        device_chunks=False, cache_path=cache,
+    )
+    epoch1 = [np.asarray(b["pixels"]).copy() for b in it]
+    assert it._cache_ready.all()
+    import os
+    assert os.path.exists(cache + ".ready")
+
+    # epoch 2: poison decode_image to prove no decode happens
+    orig = streaming_mod.decode_image
+    streaming_mod.decode_image = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("decoded during cached epoch"))
+    try:
+        epoch2 = [np.asarray(b["pixels"]).copy() for b in it]
+    finally:
+        streaming_mod.decode_image = orig
+    for p1, p2 in zip(epoch1, epoch2):
+        np.testing.assert_array_equal(p1, p2)
+
+    # a fresh iterator (resume) picks the cache up from the .ready flag
+    it2 = ChunkedBatchIterator(
+        table, canonical_size=24, batch_size=8, chunk_size=16,
+        shuffle=False, drop_remainder=False, seed=0,
+        device_chunks=False, cache_path=cache,
+    )
+    assert it2._cache_ready.all()

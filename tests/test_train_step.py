@@ -171,3 +171,70 @@ def test_step_schedule_trains():
     # update magnitude drops ~10x after the boundary (gradients are
     # smooth here, so the LR dominates the scale change)
     assert d2 < d1 * 0.5 and d3 < d1 * 0.5
+
+
+def test_multi_step_matches_sequential_steps():
+    """make_multi_train_step(k) must be numerically identical to k
+    sequential make_train_step calls on the same batches (same RNG
+    folding, same gather, same update)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from skin_image_analysis_tpu.config import ModelConfig, OptimConfig
+    from skin_image_analysis_tpu.train.state import create_train_state
+    from skin_image_analysis_tpu.train.step import (
+        make_multi_train_step,
+        make_train_step,
+    )
+
+    cfg = ModelConfig(conv_features=(4,), linear_features=(8,),
+                      dropout=(0.0,), image_size=8, compute_dtype="float32")
+    rng = np.random.default_rng(0)
+    arena = jnp.asarray(rng.integers(0, 255, (32, 8, 8, 3)), jnp.uint8)
+    labels = rng.integers(0, 2, 32).astype(np.int32)
+    k, bs = 3, 4
+    idx = rng.integers(0, 32, (k, bs)).astype(np.int32)
+    lab = labels[idx]
+    valid = np.ones((k, bs), bool)
+
+    def fresh():
+        state, _ = create_train_state(
+            cfg, OptimConfig(learning_rate=1e-2), jax.random.key(0),
+            batch_size=bs,
+        )
+        return state
+
+    # path A: one scanned program
+    multi = make_multi_train_step(k)
+    sa, ma = multi(fresh(), arena, jnp.asarray(idx), jnp.asarray(lab),
+                   jnp.asarray(valid))
+
+    # path B: k sequential dispatches
+    step = make_train_step()
+    sb = fresh()
+    losses = []
+    for i in range(k):
+        batch = {
+            "pixels": arena[idx[i]],
+            "label": jnp.asarray(lab[i]),
+            "row_id": jnp.asarray(idx[i]),
+            "valid": jnp.asarray(valid[i]),
+        }
+        sb, m = step(sb, batch)
+        losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(np.asarray(ma["loss"]), np.asarray(losses),
+                               rtol=1e-6)
+    for la, lb in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=1e-6)
+
+    # inert (all-invalid) steps change nothing
+    sa2, _ = multi(
+        sa, arena, jnp.asarray(idx), jnp.asarray(lab),
+        jnp.zeros_like(jnp.asarray(valid)),
+    )
+    for la, lb in zip(jax.tree.leaves(sa2.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-6)
+    assert int(sa2.step) == int(sb.step)
