@@ -69,110 +69,161 @@ def _row_plan():
 _PLAN = _row_plan()
 
 
-def _build_phase_planes(x_ref, h2: int, w2: int, dtype):
-    """[3, H, W] -> list of 12 padded phase planes [h2+2PAD, w2+2PAD]."""
-    planes = []
-    for c in range(_CIN):
-        for va in range(2):
-            for vb in range(2):
-                plane = x_ref[c, va::2, vb::2].astype(dtype)
-                planes.append(
-                    jnp.pad(plane, ((_PAD, _PAD), (_PAD, _PAD)))
-                )
-    return planes
+_LANES = 128  # padded lane width of the pre-shifted phase planes
 
 
-def _plane(planes, c, va, vb):
-    return planes[(c * 2 + va) * 2 + vb]
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """XLA-side phase split: [B, 3, H, W] -> [B, 12, H/2, 128] bf16 with
+    plane index (c*2 + v_row)*2 + v_col — one fused transpose, done
+    outside the kernel because Mosaic cannot lower stride-2 lane slices.
+    Lanes are zero-padded to 128 (Mosaic tiled loads assume full tiles).
+    """
+    b, c, h, w = x.shape
+    xs = x.astype(jnp.bfloat16).reshape(b, c, h // 2, 2, w // 2, 2)
+    xs = jnp.transpose(xs, (0, 1, 3, 5, 2, 4)).reshape(
+        b, c * 4, h // 2, w // 2
+    )
+    return jnp.pad(xs, ((0, 0), (0, 0), (0, 0), (0, _LANES - w // 2)))
 
 
-def _patch_rows(planes, r0: int, rows: int, w2: int, dtype):
-    """P [192, rows*w2]: contraction row k = shifted slab of its phase
-    plane, flattened to lanes."""
+def _used_ubs(vb: int) -> list[int]:
+    """The 4 horizontal plane-shifts that phase vb actually uses."""
+    return sorted({_uv(bb - 3)[0] for bb in range(_KP) if _uv(bb - 3)[1] == vb})
+
+
+_SLOTS: dict[tuple[int, int, int, int], int] = {}
+for _c in range(_CIN):
+    for _va in range(2):
+        for _vb in range(2):
+            for _ub in _used_ubs(_vb):
+                _SLOTS[(_c, _va, _vb, _ub)] = len(_SLOTS)
+_N_SLOTS = len(_SLOTS)  # 48
+
+
+def _rows_padded(h2: int) -> int:
+    # last chunk's aligned superset read spans [h2 - chunk, h2 + 8)
+    return -(-(h2 + 8) // 8) * 8
+
+
+def _fill_shifted_planes(xs_ref, planes_ref, h2: int):
+    """Fill the VMEM scratch with the 48 pre-shifted phase planes
+    ([rows_padded, 128] each): row-padded by the vertical halo,
+    lane-shifted so output column j reads lane j directly. Once per
+    image; the chunk loop then only does aligned dynamic reads."""
+    rs = _rows_padded(h2)
+    for (c, va, vb, ub), slot in _SLOTS.items():
+        base = xs_ref[(c * 2 + va) * 2 + vb, :, :].astype(jnp.bfloat16)
+        base = jnp.pad(base, ((_PAD, rs - h2 - _PAD), (0, 0)))
+        if ub >= 0:
+            shifted = jnp.pad(base[:, ub:], ((0, 0), (0, ub)))
+        else:
+            shifted = jnp.pad(base[:, :ub], ((0, 0), (-ub, 0)))
+        planes_ref[slot, :, :] = shifted
+
+
+def _patch_rows_from_scratch(planes_ref, r8, chunk: int, dtype):
+    """P [192, chunk*128] for output rows [r8, r8+chunk) (r8 8-aligned,
+    dynamic): one aligned superset read per (c,va,vb,ub) slot, then 4
+    static row-slices per superset — tile-aligned flattens only."""
+    supersets = {}
+    for key, slot in _SLOTS.items():
+        supersets[key] = planes_ref[slot, pl.ds(r8, chunk + 8), :]
     cols = []
     for (c, va, vb, ua, ub) in _PLAN:
-        slab = jax.lax.dynamic_slice(
-            _plane(planes, c, va, vb),
-            (r0 + _PAD + ua, _PAD + ub),
-            (rows, w2),
-        )
-        cols.append(slab.reshape(1, rows * w2))
+        sup = supersets[(c, va, vb, ub)]
+        r = _PAD + ua
+        slab = sup[r : r + chunk, :]
+        cols.append(slab.reshape(1, chunk * _LANES))
     return jnp.concatenate(cols, axis=0).astype(dtype)
 
 
-def _fwd_kernel(wp2_ref, bias_ref, x_ref, out_ref, sel_ref, *, h2, w2,
-                chunk):
-    """Grid (B,): one image -> pooled [h2, w2*COUT] bf16 + sel u8."""
-    planes = _build_phase_planes(x_ref.at[0], h2, w2, jnp.bfloat16)
+def _patch_rows(planes, r0: int, rows: int, dtype):
+    """P [192, rows*128]: contraction row k = full-lane row slab of its
+    pre-shifted phase plane (tile-aligned flatten)."""
+    cols = []
+    for (c, va, vb, ua, ub) in _PLAN:
+        r = r0 + _PAD + ua
+        slab = planes[(c, va, vb, ub)][r : r + rows, :]
+        cols.append(slab.reshape(1, rows * _LANES))
+    return jnp.concatenate(cols, axis=0).astype(dtype)
+
+
+def _fwd_kernel(wp2_ref, bias_ref, xs_ref, out_ref, sel_ref, planes_ref,
+                *, h2, w2, chunk):
+    """Grid (B,): one image -> pooled [COUT, h2, 128] bf16 + sel u8
+    (planar, lane-padded; lanes >= w2 are junk and sliced off in XLA).
+    fori_loop over row chunks so VMEM buffers are reused (an unrolled
+    loop blows the 16 MB scoped-vmem stack)."""
+    _fill_shifted_planes(xs_ref.at[0], planes_ref, h2)
     wp2 = wp2_ref[:, :]
     bias = bias_ref[:, :]  # [PC, 1]
-    for q in range(h2 // chunk):
-        p = _patch_rows(planes, q * chunk, chunk, w2, jnp.bfloat16)
+
+    def body(q, _):
+        r8 = pl.multiple_of(q * chunk, 8)
+        p = _patch_rows_from_scratch(planes_ref, r8, chunk, jnp.bfloat16)
         acc = (
             jnp.dot(wp2, p, preferred_element_type=jnp.float32)
             + bias
-        )  # [PC, chunk*w2]
+        )  # [PC, chunk*128]
         a0 = acc[0 * _COUT : 1 * _COUT]
         a1 = acc[1 * _COUT : 2 * _COUT]
         a2 = acc[2 * _COUT : 3 * _COUT]
         a3 = acc[3 * _COUT : 4 * _COUT]
         m = jnp.maximum(jnp.maximum(a0, a1), jnp.maximum(a2, a3))
+        # selector math stays in i32 (Mosaic cannot relayout f32-compare
+        # masks into the (32,128) u8 tiling); one cast at the store
         sel = jnp.where(
-            m == a0, jnp.uint8(0),
-            jnp.where(m == a1, jnp.uint8(1),
-                      jnp.where(m == a2, jnp.uint8(2), jnp.uint8(3))),
+            m == a0, jnp.int32(0),
+            jnp.where(m == a1, jnp.int32(1),
+                      jnp.where(m == a2, jnp.int32(2), jnp.int32(3))),
         )
-        sel = jnp.where(m > 0, sel, jnp.uint8(4))
+        sel = jnp.where(m > 0, sel, jnp.int32(4))
         pooled = jnp.maximum(m, 0.0)
-        # [COUT, chunk*w2] -> [chunk, w2*COUT] (NHWC-merged lanes)
-        pooled = (
-            pooled.reshape(_COUT, chunk, w2)
-            .transpose(1, 2, 0)
-            .reshape(chunk, w2 * _COUT)
+        # [COUT, chunk*128] -> [COUT, chunk, 128]: tile-aligned lane split
+        out_ref[0, :, pl.ds(r8, chunk), :] = (
+            pooled.reshape(_COUT, chunk, _LANES).astype(out_ref.dtype)
         )
-        sel = (
-            sel.reshape(_COUT, chunk, w2)
-            .transpose(1, 2, 0)
-            .reshape(chunk, w2 * _COUT)
+        sel_ref[0, :, pl.ds(r8, chunk), :] = (
+            sel.reshape(_COUT, chunk, _LANES).astype(jnp.uint8)
         )
-        out_ref[0, q * chunk : (q + 1) * chunk, :] = pooled.astype(
-            out_ref.dtype
-        )
-        sel_ref[0, q * chunk : (q + 1) * chunk, :] = sel
+        return 0
+
+    jax.lax.fori_loop(0, h2 // chunk, body, 0)
 
 
-def _dw_kernel(x_ref, g_ref, sel_ref, dwp_ref, *, h2, w2, chunk):
+def _dw_kernel(xs_ref, g_ref, sel_ref, dwp_ref, planes_ref, *, h2,
+               w2, chunk):
     """Grid (B,): per-image dWp partial [PC, KDIM] f32 from (x, g, sel).
 
-    dy4[pc, pos] = g[co, pos] * (sel[co, pos] == phase(pc)), built in
-    VMEM per chunk; dWp += dy4 @ P^T.
+    g/sel arrive planar lane-padded [COUT, h2, 128] (junk lanes >= w2
+    carry g == 0). dy4[pc, pos] = g[co, pos] * (sel[co, pos] == phase);
+    dWp += dy4 @ P^T — the full-resolution dy4 never leaves VMEM.
     """
-    planes = _build_phase_planes(x_ref.at[0], h2, w2, jnp.bfloat16)
-    acc = jnp.zeros((_PC, _KDIM), jnp.float32)
-    for q in range(h2 // chunk):
-        p = _patch_rows(planes, q * chunk, chunk, w2, jnp.bfloat16)
-        g = (
-            g_ref[0, q * chunk : (q + 1) * chunk, :]
-            .reshape(chunk, w2, _COUT)
-            .transpose(2, 0, 1)
-            .reshape(_COUT, chunk * w2)
-            .astype(jnp.float32)
+    _fill_shifted_planes(xs_ref.at[0], planes_ref, h2)
+
+    def body(q, acc):
+        r8 = pl.multiple_of(q * chunk, 8)
+        p = _patch_rows_from_scratch(planes_ref, r8, chunk, jnp.bfloat16)
+        g = g_ref[0, :, pl.ds(r8, chunk), :].reshape(
+            _COUT, chunk * _LANES
         )
-        sel = (
-            sel_ref[0, q * chunk : (q + 1) * chunk, :]
-            .reshape(chunk, w2, _COUT)
-            .transpose(2, 0, 1)
-            .reshape(_COUT, chunk * w2)
-        )
+        sel = sel_ref[0, :, pl.ds(r8, chunk), :].astype(
+            jnp.int32
+        ).reshape(_COUT, chunk * _LANES)
         parts = []
         for phase in range(4):
-            parts.append(jnp.where(sel == phase, g, 0.0))
-        dy4 = jnp.concatenate(parts, axis=0).astype(jnp.bfloat16)
-        acc = acc + jax.lax.dot_general(
+            mask = (sel == phase).astype(g.dtype)
+            parts.append(g * mask)
+        dy4 = jnp.concatenate(parts, axis=0)
+        return acc + jax.lax.dot_general(
             dy4, p,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    acc = jax.lax.fori_loop(
+        0, h2 // chunk, body, jnp.zeros((_PC, _KDIM), jnp.float32)
+    )
     dwp_ref[0, :, :] = acc
 
 
@@ -181,9 +232,8 @@ def _interpret() -> bool:
 
 
 @partial(jax.jit, static_argnames=("chunk",))
-def _fwd_call(x, wp2, bias4, chunk=28):
-    b, cin, h, w = x.shape
-    h2, w2 = h // 2, w // 2
+def _fwd_call(xs, wp2, bias4, chunk=8):
+    b, planes_n, h2, lanes = xs.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(b,),
@@ -192,55 +242,60 @@ def _fwd_call(x, wp2, bias4, chunk=28):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_PC, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cin, h, w), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, planes_n, h2, lanes), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, h2, w2 * _COUT), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, _COUT, h2, _LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h2, w2 * _COUT), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, _COUT, h2, _LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_N_SLOTS, _rows_padded(h2), _LANES), jnp.bfloat16),
         ],
     )
     return pl.pallas_call(
-        partial(_fwd_kernel, h2=h2, w2=w2, chunk=chunk),
+        partial(_fwd_kernel, h2=h2, w2=lanes, chunk=chunk),
         out_shape=[
-            jax.ShapeDtypeStruct((b, h2, w2 * _COUT), jnp.bfloat16),
-            jax.ShapeDtypeStruct((b, h2, w2 * _COUT), jnp.uint8),
+            jax.ShapeDtypeStruct((b, _COUT, h2, _LANES), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, _COUT, h2, _LANES), jnp.uint8),
         ],
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(wp2, bias4, x)
+    )(wp2, bias4, xs)
 
 
 @partial(jax.jit, static_argnames=("chunk",))
-def _dw_call(x, g, sel, chunk=28):
-    b, cin, h, w = x.shape
-    h2, w2 = h // 2, w // 2
+def _dw_call(xs, g, sel, chunk=8):
+    b, planes_n, h2, lanes = xs.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, cin, h, w), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, planes_n, h2, lanes), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h2, w2 * _COUT), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, _COUT, h2, _LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h2, w2 * _COUT), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, _COUT, h2, _LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, _PC, _KDIM), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((_N_SLOTS, _rows_padded(h2), _LANES), jnp.bfloat16),
+        ],
     )
     [dwp] = pl.pallas_call(
-        partial(_dw_kernel, h2=h2, w2=w2, chunk=chunk),
+        partial(_dw_kernel, h2=h2, w2=lanes, chunk=chunk),
         out_shape=[
             jax.ShapeDtypeStruct((b, _PC, _KDIM), jnp.float32),
         ],
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(x, g, sel)
+    )(xs, g, sel)
     return dwp
 
 
@@ -281,15 +336,18 @@ def fused_phase_conv0(x: jnp.ndarray, w: jnp.ndarray,
 def _fused_fwd_impl(x, w, bias):
     b, _, h, w_dim = x.shape
     h2, w2 = h // 2, w_dim // 2
+    xs = space_to_depth(x)
     wp2 = _pack_w(w)
     bias4 = jnp.tile(bias.astype(jnp.float32), 4).reshape(_PC, 1)
     chunk = _pick_chunk(h2)
-    pooled, sel = _fwd_call(x, wp2, bias4, chunk=chunk)
-    return pooled.reshape(b, h2, w2, _COUT), sel
+    pooled, sel = _fwd_call(xs, wp2, bias4, chunk=chunk)  # noqa: E501
+    # planar lane-padded -> NHWC (one fused slice+transpose in XLA)
+    y = jnp.transpose(pooled[:, :, :, :w2], (0, 2, 3, 1))
+    return y, sel
 
 
 def _pick_chunk(h2: int) -> int:
-    for c in (28, 14, 8, 7, 4, 2, 1):
+    for c in (8, 7, 4, 2, 1):
         if h2 % c == 0:
             return c
     return 1
@@ -297,20 +355,23 @@ def _pick_chunk(h2: int) -> int:
 
 def _fused_fwd(x, w, bias):
     y, sel = _fused_fwd_impl(x, w, bias)
-    return y, (x, w, sel)
+    return y, (space_to_depth(x), w, sel)
 
 
 def _fused_bwd(residuals, g):
-    x, w, sel = residuals
-    b, _, h, w_dim = x.shape
-    h2, w2 = h // 2, w_dim // 2
-    gm = g.astype(jnp.bfloat16).reshape(b, h2, w2 * _COUT)
+    xs, w, sel = residuals
+    b = xs.shape[0]
+    h2 = xs.shape[2]
+    w2 = g.shape[2]  # NHWC cotangent carries the true pooled width
+    # NHWC cotangent -> planar lane-padded (junk lanes get g == 0)
+    gp = jnp.transpose(g.astype(jnp.bfloat16), (0, 3, 1, 2))
+    gp = jnp.pad(gp, ((0, 0), (0, 0), (0, 0), (0, _LANES - w2)))
     chunk = _pick_chunk(h2)
-    dwp = _dw_call(x, gm, sel, chunk=chunk)  # [B, PC, KDIM]
+    dwp = _dw_call(xs, gp, sel, chunk=chunk)  # [B, PC, KDIM]
     dw = _unpack_dw(jnp.sum(dwp, axis=0)).astype(w.dtype)
 
     # bias: dy4 sums over phases to g where the window is live (sel < 4)
-    sel4 = sel.reshape(b, h2, w2, _COUT)
+    sel4 = jnp.transpose(sel[:, :, :, :w2], (0, 2, 3, 1))
     live = (sel4 != 4).astype(jnp.float32)
     db = jnp.sum(g.astype(jnp.float32) * live, axis=(0, 1, 2)).astype(
         jnp.float32
@@ -335,7 +396,8 @@ def _fused_bwd(residuals, g):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         transpose_kernel=True,
     )
-    dx = jnp.transpose(dx_nhwc, (0, 3, 1, 2)).astype(x.dtype)
+    # dx dtype: the preprocess path feeds f32 planar frames
+    dx = jnp.transpose(dx_nhwc, (0, 3, 1, 2)).astype(jnp.float32)
     return dx, dw, db
 
 

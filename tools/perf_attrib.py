@@ -162,6 +162,42 @@ def main() -> int:
             pre_p_only, lambda: (batch_p["pixels"], key), args.iters)
         emit("prep", ms, "Pallas fused preprocess standalone")
 
+        @jax.jit
+        def fwd_p(params, px, key):
+            pixels = pre_p(px, key)
+            log_probs = state.apply_fn(
+                {"params": params}, pixels, train=True,
+                rngs={"dropout": key},
+            )
+            picked = jnp.take_along_axis(
+                log_probs, batch["label"][:, None], axis=-1)[:, 0]
+            return -jnp.mean(picked)
+
+        ms = _time_call(
+            fwd_p, lambda: (state.params, batch_p["pixels"], key),
+            args.iters)
+        emit("fwdp", ms, "planar pre + fwd + loss (production)")
+
+        @jax.jit
+        def fwdbwd_p(params, px, key):
+            def loss_fn(p):
+                pixels = pre_p(px, key)
+                log_probs = state.apply_fn(
+                    {"params": p}, pixels, train=True,
+                    rngs={"dropout": key},
+                )
+                picked = jnp.take_along_axis(
+                    log_probs, batch["label"][:, None], axis=-1)[:, 0]
+                return -jnp.mean(picked)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            return loss
+
+        ms = _time_call(
+            fwdbwd_p, lambda: (state.params, batch_p["pixels"], key),
+            args.iters)
+        emit("fwdbwdp", ms, "planar pre + fwd + bwd (production)")
+
     if "step" in stages:
         ms = _time_call(step, lambda: (fresh_state(), batch), args.iters)
         emit("step", ms, "production train step, one dispatch per step")
@@ -385,6 +421,68 @@ def main() -> int:
 
             ms = _time_call(stock_fwd, lambda xin=xin: (xin,), args.iters)
             emit(f"stockpool{s_io}x{c}_fwd", ms)
+
+    # ---- fused phase-conv0 Pallas kernel vs XLA packed path ----
+    if "pconv0" in stages:
+        from skin_image_analysis_tpu.ops.pallas.convblock_kernel import (
+            fused_phase_conv0,
+        )
+        from skin_image_analysis_tpu.ops.pooling import (
+            phase_packed_conv_block,
+        )
+
+        rngx = np.random.default_rng(7)
+        xp = jnp.asarray(
+            rngx.standard_normal((B, 3, 224, 224), np.float32))
+        xh = jnp.transpose(xp, (0, 2, 3, 1)).astype(jnp.bfloat16)
+        w = jnp.asarray(
+            rngx.standard_normal((7, 7, 3, 32), np.float32) * 0.1)
+        bias = jnp.zeros((32,), jnp.float32)
+
+        @jax.jit
+        def pallas_fwd(xp, w, bias):
+            return jnp.sum(
+                fused_phase_conv0(xp, w, bias).astype(jnp.float32)
+                [:, ::37, ::37, :])
+
+        ms = _time_call(pallas_fwd, lambda: (xp, w, bias), args.iters)
+        emit("pconv0_fwd", ms, "fused Pallas phase-conv0 fwd")
+
+        @jax.jit
+        def pallas_fwdbwd(xp, w, bias):
+            def f(w, bias):
+                return jnp.sum(
+                    fused_phase_conv0(xp, w, bias).astype(jnp.float32))
+
+            loss, g = jax.value_and_grad(f, argnums=(0, 1))(w, bias)
+            return loss + jnp.sum(g[0].astype(jnp.float32))
+
+        ms = _time_call(pallas_fwdbwd, lambda: (xp, w, bias), args.iters)
+        emit("pconv0_fwdbwd", ms, "fused Pallas fwd + dW/db (no dx)")
+
+        @jax.jit
+        def xla_fwd(xh, w, bias):
+            return jnp.sum(
+                phase_packed_conv_block(
+                    xh, w.astype(jnp.bfloat16), bias.astype(jnp.bfloat16)
+                ).astype(jnp.float32)[:, ::37, ::37, :])
+
+        ms = _time_call(xla_fwd, lambda: (xh, w, bias), args.iters)
+        emit("xconv0_fwd", ms, "XLA phase-packed fwd (current prod)")
+
+        @jax.jit
+        def xla_fwdbwd(xh, w, bias):
+            def f(w, bias):
+                return jnp.sum(
+                    phase_packed_conv_block(
+                        xh, w.astype(jnp.bfloat16),
+                        bias.astype(jnp.bfloat16)).astype(jnp.float32))
+
+            loss, g = jax.value_and_grad(f, argnums=(0, 1))(w, bias)
+            return loss + jnp.sum(g[0].astype(jnp.float32))
+
+        ms = _time_call(xla_fwdbwd, lambda: (xh, w, bias), args.iters)
+        emit("xconv0_fwdbwd", ms, "XLA phase-packed fwd + dW/db")
 
     # ---- XLA cost model ----
     if "cost" in stages:
