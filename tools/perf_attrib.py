@@ -191,10 +191,16 @@ def main() -> int:
                 return -jnp.mean(picked)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
+            # grads MUST be program outputs or XLA dead-code-eliminates
+            # the whole backward (burned once: fwdbwdp == fwdp)
+            return loss, grads
+
+        def run_p(params, px, key):
+            loss, _grads = fwdbwd_p(params, px, key)
             return loss
 
         ms = _time_call(
-            fwdbwd_p, lambda: (state.params, batch_p["pixels"], key),
+            run_p, lambda: (state.params, batch_p["pixels"], key),
             args.iters)
         emit("fwdbwdp", ms, "planar pre + fwd + bwd (production)")
 
