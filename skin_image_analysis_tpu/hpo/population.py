@@ -255,6 +255,7 @@ def train_wave(
     valid_limit: int | None = None,
     seed: int = 0,
     microbatch: int | None = None,
+    epoch_callback=None,
 ) -> dict[str, Any]:
     """Train one wave of K padded trials in lockstep; returns per-epoch
     validation accuracy [epochs, K].
@@ -339,23 +340,31 @@ def train_wave(
         )
         return p, opt
 
+    # per-trial batch ORDER: each trial walks the wave's batches in its
+    # own permutation (a [K]-gather per step), restoring the batch-order
+    # independence the reference's fully independent trials had — the
+    # 300-row sample itself is still wave-shared (documented).
     vstep = jax.vmap(
-        one_trial_step, in_axes=(0, 0, 0, 0, 0, 0, None, None, 0)
+        one_trial_step, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0)
     )
+    n_batches = tb_px.shape[0]
 
     @jax.jit
-    def train_epoch(params, opt_state, epoch_key):
-        def body(carry, batch):
+    def train_epoch(params, opt_state, epoch_key, perms):
+        def body(carry, i):
             p, opt, key = carry
             key, sub = jax.random.split(key)
             dkeys = jax.random.split(sub, k)
-            pixels, labels = batch
+            bidx = perms[:, i]
+            pixels = tb_px[bidx]   # [K, B, ...]
+            labels = tb_lb[bidx]
             p, opt = vstep(p, opt, conv_w, lin_w, drops, lr_arr,
                            pixels, labels, dkeys)
             return (p, opt, key), None
 
         (params, opt_state, _), _ = jax.lax.scan(
-            body, (params, opt_state, epoch_key), (tb_px, tb_lb)
+            body, (params, opt_state, epoch_key),
+            jnp.arange(n_batches),
         )
         return params, opt_state
 
@@ -379,12 +388,22 @@ def train_wave(
     root = jax.random.key(seed + 17)
     history = []
     for epoch in range(epochs):
+        perms = jnp.asarray(
+            np.stack([rng.permutation(n_batches) for _ in range(k)]),
+            jnp.int32,
+        )
         params, opt_state = train_epoch(
-            params, opt_state, jax.random.fold_in(root, epoch)
+            params, opt_state, jax.random.fold_in(root, epoch), perms
         )
         history.append(np.asarray(valid_accuracy(params)))
+        if epoch_callback is not None and not epoch_callback(
+            epoch, history[-1]
+        ):
+            # every trial in the wave pruned: stop the wave early (the
+            # lockstep analogue of optuna's per-trial TrialPruned)
+            break
 
     return {
-        "accuracy_history": np.stack(history),  # [epochs, K]
+        "accuracy_history": np.stack(history),  # [<=epochs, K]
         "final_accuracy": history[-1],
     }

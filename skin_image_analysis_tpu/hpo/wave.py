@@ -138,6 +138,23 @@ def run_wave_study(
         cut = int(2 / 3 * n)
         tr_idx, va_idx = idx[:cut], idx[cut:]
 
+        # --- report / prune per epoch as the wave trains; if every trial
+        # in the wave prunes, the wave itself stops early (lockstep
+        # trials ride along for free only while at least one is alive)
+        pruned_at: list[int | None] = [None] * len(wave_trials)
+
+        def epoch_cb(epoch, accs):
+            alive = False
+            for ti, trial in enumerate(wave_trials):
+                if pruned_at[ti] is not None:
+                    continue
+                trial.report(float(accs[ti]), epoch)
+                if trial.should_prune():
+                    pruned_at[ti] = epoch
+                else:
+                    alive = True
+            return alive
+
         t0 = time.time()
         out = train_wave(
             skel, conv_w, lin_w, drops, lrs,
@@ -147,23 +164,17 @@ def run_wave_study(
             train_limit=cfg.n_train_examples,
             valid_limit=cfg.n_valid_examples,
             seed=cfg.seed + waves,
+            epoch_callback=epoch_cb,
         )
         wave_s = time.time() - t0
-        history = out["accuracy_history"]  # [epochs, K]
+        history = out["accuracy_history"]  # [<=epochs, K]
 
-        # --- report / prune / tell (protocol parity) ---
         for ti, trial in enumerate(wave_trials):
-            pruned_at = None
-            for epoch in range(history.shape[0]):
-                trial.report(float(history[epoch, ti]), epoch)
-                if trial.should_prune():
-                    pruned_at = epoch
-                    break
-            if pruned_at is None:
+            if pruned_at[ti] is None:
                 study.tell(trial, float(history[-1, ti]),
                            TrialState.COMPLETE)
             else:
-                study.tell(trial, float(history[pruned_at, ti]),
+                study.tell(trial, float(history[pruned_at[ti], ti]),
                            TrialState.PRUNED)
         waves += 1
         if verbose:

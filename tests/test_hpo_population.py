@@ -232,3 +232,23 @@ def test_run_wave_study_full_space():
         assert t.state in ("COMPLETE", "PRUNED")
         assert t.intermediate_values  # per-epoch reports happened
     assert study.best_trial.value is not None
+
+
+def test_wave_early_stop_when_all_pruned():
+    """If the callback reports no live trials, the wave stops before
+    running all epochs."""
+    pixels, labels = _tiny_data(n=64)
+    calls = []
+
+    def cb(epoch, accs):
+        calls.append(epoch)
+        return False  # everyone pruned immediately
+
+    out = train_wave(
+        SKEL, np.array([[8, 8]]), np.array([[8, 8]]),
+        np.array([[0.2, 0.2]]), np.array([1e-3]),
+        pixels[:48], labels[:48], pixels[48:], labels[48:],
+        epochs=5, batch_size=8, seed=0, epoch_callback=cb,
+    )
+    assert calls == [0]
+    assert out["accuracy_history"].shape[0] == 1
