@@ -45,7 +45,8 @@ def main() -> int:
     batch_size = 256  # measured best on v5e (amortizes per-step overhead)
     image_size = 224
     canonical = 256
-    k = 8  # steps per dispatch (DataConfig.steps_per_dispatch default)
+    k = 16  # steps per dispatch (large-cohort setting; measured +1.7%
+    # over 8 — DataConfig.steps_per_dispatch / --steps-per-dispatch)
     arena_n = 2048
     n_devices = len(jax.devices())
 
@@ -59,7 +60,7 @@ def main() -> int:
     pre = make_preprocess_fn(
         image_size, train=True,
         augment=AugmentConfig(brightness=0.1, contrast=0.1, saturation=0.1),
-        layout="planar", pallas="on",
+        layout="planar", pallas="on", out_dtype="bfloat16",
     )
     multi_step = make_multi_train_step(k, preprocess_fn=pre)
 

@@ -27,39 +27,46 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(offs_ref, flips_ref, scale_ref, bias_ref, img_ref, out_ref):
-    """Grid (B, C): one [S, S] uint8 plane → [T, T] float32 tile.
+def _kernel_body(
+    offs_ref, flips_ref, scale_ref, bias_ref, img_ref, out_ref,
+    fc_ref=None, fs_ref=None, ps_ref=None, pb_ref=None,
+):
+    """Grid (B,): one [C, S, S] uint8 image → [C, T, T] output tiles.
 
     offs_ref: [B, 2] int32 (y0, x0) crop offsets  (scalar-prefetch, SMEM)
     flips_ref: [B] int32 flip flags               (scalar-prefetch, SMEM)
     scale_ref/bias_ref: [B, C] f32 per-image, per-channel affine
       (scalar-prefetch, SMEM — per-image so brightness jitter folds in)
-    img_ref: [S, S] uint8 plane in VMEM; out_ref: [T, T] f32.
+    fc_ref/fs_ref: [B] f32 contrast/saturation jitter factors and
+    ps_ref/pb_ref: [B, C] f32 post-clip normalize affine — the full
+      color-jitter tail runs in-kernel (one VMEM pass, no XLA tail
+      fusions over the cropped batch).
+    img_ref: [C, S, S] uint8 image in VMEM; out_ref: [C, T, T_lanes].
 
     Crop and (optional) horizontal flip are expressed as one-hot
     **selection matmuls** built from iota compares:
     ``out = A_y(y0) @ img @ A_x(x0, flip)``. Mosaic forbids dynamic
     sublane slices at unaligned offsets and has no ``rev`` primitive; the
     MXU does arbitrary-offset row/column selection (and lane reversal)
-    for free — this is the TPU-idiomatic gather.
+    for free — this is the TPU-idiomatic gather. The selectors are built
+    once per image (shared across channels) in bfloat16: one-hot times
+    uint8 values (≤ 255, exact in bf16) with float32 accumulation is
+    bit-exact and runs the MXU at 2x the f32 rate.
     """
     b = pl.program_id(0)
-    c = pl.program_id(1)
-    t = out_ref.shape[0]
-    t_lanes = out_ref.shape[1]  # t rounded up to the 128-lane tiling
-    s = img_ref.shape[0]
+    ch = out_ref.shape[0]
+    t = out_ref.shape[1]
+    t_lanes = out_ref.shape[2]  # t rounded up to the 128-lane tiling
+    s = img_ref.shape[1]
 
     y0 = offs_ref[b, 0]
     x0 = offs_ref[b, 1]
     flip = flips_ref[b]
 
-    # Mosaic has no direct u8→f32 cast; widen through int32.
-    img = img_ref[:, :].astype(jnp.int32).astype(jnp.float32)
-
     # A_y[i, j] = 1 iff j == i + y0          ([T, S] row selector)
     i_idx = jax.lax.broadcasted_iota(jnp.int32, (t, s), 0)
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (t, s), 1)
-    a_y = (j_idx == i_idx + y0).astype(jnp.float32)
+    a_y = (j_idx == i_idx + y0).astype(jnp.bfloat16)
 
     # A_x[j, k] = 1 iff j == x0 + (flip ? t-1-k : k)  ([S, T_lanes] col
     # selector; lane-padding columns k >= t select nothing → zeros)
@@ -67,60 +74,121 @@ def _kernel(offs_ref, flips_ref, scale_ref, bias_ref, img_ref, out_ref):
     kk = jax.lax.broadcasted_iota(jnp.int32, (s, t_lanes), 1)
     k_eff = jnp.where(flip != 0, t - 1 - kk, kk)
     valid_col = kk < t
-    a_x = ((jj == x0 + k_eff) & valid_col).astype(jnp.float32)
+    a_x = ((jj == x0 + k_eff) & valid_col).astype(jnp.bfloat16)
 
-    tile = jnp.dot(
-        jnp.dot(a_y, img, preferred_element_type=jnp.float32),
-        a_x,
-        preferred_element_type=jnp.float32,
-    )
-    # normalize: one FMA — folds /255, per-image brightness, and
-    # (x - mean)/std per channel
-    out_ref[:, :] = tile * scale_ref[b, c] + bias_ref[b, c]
+    tiles = []
+    for c in range(ch):
+        # Mosaic has no direct u8→f32 cast; widen through int32. The
+        # intermediate crop rows hold raw uint8 values — exact in bf16.
+        img = (img_ref[c].astype(jnp.int32).astype(jnp.float32)
+               .astype(jnp.bfloat16))
+        rows = jnp.dot(
+            a_y, img, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)
+        tile = jnp.dot(rows, a_x, preferred_element_type=jnp.float32)
+        # one FMA folds /255, per-image brightness, and (when there is no
+        # jitter tail) the (x - mean)/std per channel
+        tiles.append(tile * scale_ref[b, c] + bias_ref[b, c])
+
+    if fc_ref is not None:
+        # contrast: (x - mean)·f + mean over the whole cropped image.
+        # Padding lanes hold exact zeros here (bias is 0 when the tail is
+        # on), so the full-tile sum equals the T×T crop sum.
+        m = tiles[0] + tiles[1] + tiles[2] if ch == 3 else sum(tiles)
+        m = jnp.sum(m) * (1.0 / (ch * t * t))
+        fcv = fc_ref[b]
+        tiles = [(tt - m) * fcv + m for tt in tiles]
+        # saturation: Rec.601 luma mix
+        gray = 0.299 * tiles[0] + 0.587 * tiles[1] + 0.114 * tiles[2]
+        fsv = fs_ref[b]
+        tiles = [(tt - gray) * fsv + gray for tt in tiles]
+        tiles = [jnp.clip(tt, 0.0, 1.0) for tt in tiles]
+        tiles = [
+            tt * ps_ref[b, c] + pb_ref[b, c] for c, tt in enumerate(tiles)
+        ]
+
+    for c in range(ch):
+        # cast at the store (bf16 output halves the kernel's HBM write
+        # and every downstream read)
+        out_ref[c] = tiles[c].astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("image_size", "interpret"))
+@partial(jax.jit, static_argnames=("image_size", "interpret", "out_dtype"))
 def fused_preprocess_planar(
     pixels: jnp.ndarray,
     offsets: jnp.ndarray,
     flips: jnp.ndarray,
     scale: jnp.ndarray,
     bias: jnp.ndarray,
+    rows: jnp.ndarray | None = None,
+    contrast: jnp.ndarray | None = None,
+    saturation: jnp.ndarray | None = None,
+    post_scale: jnp.ndarray | None = None,
+    post_bias: jnp.ndarray | None = None,
     *,
     image_size: int = 224,
     interpret: bool = False,
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """[B, C, S, S] uint8 → [B, C, T, T] float32, fused on-device.
+    """[B, C, S, S] uint8 → [B, C, T, T] ``out_dtype``, fused on-device.
 
     offsets: [B, 2] int32 top-left crops; flips: [B] int32; scale/bias:
     [B, C] float32 per-image/channel affine (e.g. scale=1/255/std,
     bias=-mean/std, with brightness jitter folded into scale).
+    ``out_dtype=bfloat16`` matches the model compute dtype so the cast
+    that the conv stack would do anyway happens at the kernel's store.
+
+    ``rows`` ([B] int32) fuses the batch gather into the kernel: pixels
+    may be the WHOLE device arena [N, C, S, S] and the grid-step DMA
+    fetches plane ``rows[i]`` directly (scalar-prefetch block index) —
+    the materialized ``jnp.take`` batch copy disappears.
+
+    ``contrast``/``saturation`` ([B] f32 jitter factors) with
+    ``post_scale``/``post_bias`` ([B, C] f32, the post-clip normalize)
+    run the whole color-jitter tail in-kernel (all four together).
     """
-    b, ch, s, _ = pixels.shape
+    ch, s = pixels.shape[1], pixels.shape[2]
+    b = offsets.shape[0]
+    if rows is None:
+        rows = jnp.arange(b, dtype=jnp.int32)
+    tail = contrast is not None
     t = image_size
     t_lanes = -(-t // 128) * 128  # output lane dim must be 128-tiled
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(b, ch),
+        num_scalar_prefetch=9 if tail else 5,
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 1, s, s), lambda i, j, *_: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, ch, s, s),
+                lambda i, *sref: (sref[-1][i], 0, 0, 0),  # rows is last
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, t, t_lanes), lambda i, j, *_: (i, j, 0, 0),
+            (1, ch, t, t_lanes), lambda i, *_: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
 
-    def kernel(offs, fl, sc, bi, img, out):
-        _kernel(offs, fl, sc, bi, img.at[0, 0], out.at[0, 0])
+    if tail:
+        def kernel(offs, fl, sc, bi, fc, fs, ps, pb, rws, img, out):
+            _kernel_body(offs, fl, sc, bi, img.at[0], out.at[0],
+                         fc, fs, ps, pb)
+
+        operands = (offsets, flips, scale, bias, contrast, saturation,
+                    post_scale, post_bias, rows, pixels)
+    else:
+        def kernel(offs, fl, sc, bi, rws, img, out):
+            _kernel_body(offs, fl, sc, bi, img.at[0], out.at[0])
+
+        operands = (offsets, flips, scale, bias, rows, pixels)
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, ch, t, t_lanes), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, ch, t, t_lanes), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(offsets, flips, scale, bias, pixels)
+    )(*operands)
     return out[:, :, :, :t]
 
 
@@ -132,6 +200,8 @@ def preprocess_planar_batch(
     train: bool = False,
     augment=None,
     normalize_imagenet: bool = False,
+    out_dtype=None,
+    rows: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """High-level wrapper: derives crop offsets + flips (+ jitter factors)
     from ``key`` (center crop / no flip / no jitter at eval), builds the
@@ -145,7 +215,8 @@ def preprocess_planar_batch(
     fused elementwise pass over the small cropped tile, followed by the
     [0,1] clip and the optional ImageNet normalize.
     """
-    b, ch, s, _ = pixels.shape
+    ch, s = pixels.shape[1], pixels.shape[2]
+    b = rows.shape[0] if rows is not None else pixels.shape[0]
     t = image_size
     augmenting = bool(
         train and key is not None and augment is not None
@@ -187,48 +258,77 @@ def preprocess_planar_batch(
 
     interpret = jax.default_backend() == "cpu"  # CPU tests: interpreter
 
-    fold_normalize = normalize_imagenet and not jitter_tail
-    if fold_normalize:
-        from skin_image_analysis_tpu.ops.preprocess import (
-            IMAGENET_MEAN, IMAGENET_STD,
-        )
+    odt = jnp.dtype(out_dtype) if out_dtype is not None else jnp.float32
+    if odt == jnp.bfloat16 and t % 16:
+        odt = jnp.float32  # bf16 sublane tiling needs t % 16 == 0
 
-        std = jnp.asarray(IMAGENET_STD, jnp.float32)
-        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    from skin_image_analysis_tpu.ops.preprocess import (
+        IMAGENET_MEAN, IMAGENET_STD,
+    )
+
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+
+    if jitter_tail and ch == 3:
+        # full color-jitter tail in-kernel (same op order as
+        # ops.preprocess._color_jitter: brightness→contrast→saturation→
+        # clip→normalize). Disabled factors pass 1.0 (identity up to one
+        # float rounding).
+        if augment.contrast > 0:
+            fc = jax.random.uniform(
+                kc, (b,), minval=1 - augment.contrast,
+                maxval=1 + augment.contrast,
+            )
+        else:
+            fc = jnp.ones((b,), jnp.float32)
+        if augment.saturation > 0:
+            fs = jax.random.uniform(
+                ks, (b,), minval=1 - augment.saturation,
+                maxval=1 + augment.saturation,
+            )
+        else:
+            fs = jnp.ones((b,), jnp.float32)
+        if normalize_imagenet:
+            ps = jnp.broadcast_to(1.0 / std, (b, ch))
+            pb = jnp.broadcast_to(-mean / std, (b, ch))
+        else:
+            ps = jnp.ones((b, ch), jnp.float32)
+            pb = jnp.zeros((b, ch), jnp.float32)
+        out = fused_preprocess_planar(
+            pixels, offsets, flips, scale, bias, rows, fc, fs, ps, pb,
+            image_size=t, interpret=interpret, out_dtype=odt,
+        )
+        return jnp.transpose(out, (0, 2, 3, 1))  # NCHW → NHWC
+
+    if normalize_imagenet and not jitter_tail:
         scale = scale / std
         bias = bias - mean / std
 
     out = fused_preprocess_planar(
-        pixels, offsets, flips, scale, bias, image_size=t,
-        interpret=interpret,
+        pixels, offsets, flips, scale, bias, rows, image_size=t,
+        interpret=interpret, out_dtype=odt,
     )
     x = jnp.transpose(out, (0, 2, 3, 1))  # NCHW → NHWC for the convs
 
-    if jitter_tail:
-        # contrast/saturation on the small cropped tile + the [0,1] clip
-        # (same op order as ops.preprocess._color_jitter)
+    if jitter_tail:  # non-RGB fallback: jitter in XLA over the crop
         if augment.contrast > 0:
             f = jax.random.uniform(
                 kc, (b, 1, 1, 1), minval=1 - augment.contrast,
                 maxval=1 + augment.contrast,
-            )
-            m = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+            ).astype(x.dtype)
+            m = jnp.mean(
+                x, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32
+            ).astype(x.dtype)
             x = (x - m) * f + m
         if augment.saturation > 0:
             f = jax.random.uniform(
                 ks, (b, 1, 1, 1), minval=1 - augment.saturation,
                 maxval=1 + augment.saturation,
-            )
+            ).astype(x.dtype)
             gray = (0.299 * x[..., 0:1] + 0.587 * x[..., 1:2]
                     + 0.114 * x[..., 2:3])
             x = (x - gray) * f + gray
         x = jnp.clip(x, 0.0, 1.0)
         if normalize_imagenet:
-            from skin_image_analysis_tpu.ops.preprocess import (
-                IMAGENET_MEAN, IMAGENET_STD,
-            )
-
-            mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-            std = jnp.asarray(IMAGENET_STD, jnp.float32)
-            x = (x - mean) / std
+            x = (x - mean.astype(x.dtype)) / std.astype(x.dtype)
     return x

@@ -166,6 +166,13 @@ def _relu_pool_bwd(residuals, g):
     dxr = jnp.where(selb == pos, gb, jnp.zeros_like(gb))
     dx = (jnp.broadcast_to(dxr, (b, he // 2, 2, we // 2, 2, c))
           .reshape(b, he, we, c))
+    # NOTE (measured, do not "fix"): XLA materializes the g and sel
+    # broadcasts to window shape separately and fuses the select into the
+    # consumer convs' operand fusions. That looks like 1.5x the minimal
+    # HBM bytes (tools/hlo_dump.py), but forcing a single fused expansion
+    # with lax.optimization_barrier measured +5.3 ms on the production
+    # backward (docs/PERF.md) — the broadcasts are cheap replications and
+    # the barrier serializes what the scheduler was overlapping.
     if (he, we) != (in_shape[1], in_shape[2]):
         # cropped odd edge: zero gradient there (VALID pool never saw it)
         full = jnp.zeros(in_shape, dx.dtype)
@@ -245,6 +252,8 @@ def _phase_bwd(residuals, g):
     phase = jax.lax.broadcasted_iota(jnp.uint8, (1, 1, 1, 4, 1), 3)
     dyr = jnp.where(sel[:, :, :, None, :] == phase, g[:, :, :, None, :],
                     jnp.zeros_like(g[:, :, :, None, :]))
+    # (an optimization_barrier here to force one fused expand measured
+    # SLOWER — see the note in _relu_pool_bwd)
     return (jnp.broadcast_to(dyr, (b, h, w, 4, c)).reshape(shape),)
 
 

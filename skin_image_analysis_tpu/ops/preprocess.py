@@ -161,6 +161,7 @@ def make_preprocess_fn(
     normalize_imagenet: bool = False,
     layout: str = "hwc",
     pallas: str = "auto",
+    out_dtype: str | None = None,
 ):
     """Close over static config → ``fn(pixels, key) -> f32 NHWC batch``
     suitable for fusion inside the jitted train/eval step.
@@ -201,12 +202,19 @@ def make_preprocess_fn(
             preprocess_planar_batch,
         )
 
-        def fn(pixels: jnp.ndarray, key: jax.Array | None = None):
+        odt = None if out_dtype is None else jnp.dtype(out_dtype)
+
+        def fn(pixels: jnp.ndarray, key: jax.Array | None = None,
+               rows: jnp.ndarray | None = None):
             return preprocess_planar_batch(
                 pixels, key, image_size=image_size, train=train,
                 augment=augment, normalize_imagenet=normalize_imagenet,
+                out_dtype=odt, rows=rows,
             )
 
+        # the train step may pass the whole device arena + per-step row
+        # indices so the kernel's grid DMA does the batch gather itself
+        fn.supports_rows = True
         return fn
 
     def fn(pixels: jnp.ndarray, key: jax.Array | None = None):

@@ -225,6 +225,7 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         cfg.data.image_size, train=True, augment=augment,
         normalize_imagenet=cfg.data.normalize_imagenet,
         layout=layout, pallas=cfg.data.pallas_preprocess,
+        out_dtype=cfg.model.compute_dtype,  # cast at the kernel store
     )
     eval_pre = make_preprocess_fn(
         cfg.data.image_size, train=False,

@@ -133,27 +133,40 @@ def make_multi_train_step(
     [k]})``. Steps whose ``valid`` row is all-False are inert: gradients
     are computed but the update is skipped (lax.cond), so padded tail
     super-steps neither move parameters nor advance the RNG step.
+
+    When ``preprocess_fn`` is the Pallas planar kernel (it advertises
+    ``supports_rows``) and there is no mesh, the batch gather fuses into
+    the kernel itself: the grid DMA fetches arena plane ``rows[i]``
+    directly, so the materialized uint8 batch copy disappears.
     """
     cw = None if class_weights is None else jnp.asarray(class_weights)
+    fuse_gather = mesh is None and getattr(
+        preprocess_fn, "supports_rows", False
+    )
 
     @partial(jax.jit, donate_argnums=(0,))
     def multi(state, arena, idx, label, valid):
         def one_step(state: TrainState, xs):
             i, lb, vd = xs
-            pixels = jnp.take(arena, i, axis=0)
+            step_rng = jax.random.fold_in(state.rng, state.step)
+            dropout_rng, aug_rng = jax.random.split(step_rng)
+            if fuse_gather:
+                pixels = preprocess_fn(arena, aug_rng, rows=i)
+                pf = None
+            else:
+                pixels = jnp.take(arena, i, axis=0)
+                pf = preprocess_fn
             batch = {"pixels": pixels, "label": lb, "valid": vd}
             if mesh is not None:
                 batch = jax.lax.with_sharding_constraint(
                     batch, NamedSharding(mesh, P(data_axis))
                 )
-            step_rng = jax.random.fold_in(state.rng, state.step)
-            dropout_rng, aug_rng = jax.random.split(step_rng)
             grad_fn = jax.value_and_grad(
                 partial(_loss_and_metrics, state.apply_fn), has_aux=True
             )
             (loss, (correct, count, new_stats)), grads = grad_fn(
                 state.params, state.batch_stats, batch, dropout_rng, cw,
-                preprocess_fn, aug_rng,
+                pf, aug_rng,
             )
 
             def apply(s):

@@ -132,6 +132,112 @@ def test_wrapper_jitter_tail_bounded_and_random():
     np.testing.assert_array_equal(a, run(0))
 
 
+def test_rows_gather_fuses_batch_selection():
+    """Passing the whole arena + rows must equal gather-then-preprocess:
+    the scalar-prefetch block index does the batch selection."""
+    from skin_image_analysis_tpu.ops.preprocess import AugmentConfig
+
+    rng = np.random.default_rng(9)
+    arena = rng.integers(0, 255, (7, 3, 48, 48)).astype(np.uint8)
+    rows = np.array([5, 0, 3, 3], np.int32)
+    aug = AugmentConfig(brightness=0.2, contrast=0.2, saturation=0.2)
+    key = jax.random.key(21)
+    kw = dict(image_size=32, train=True, augment=aug)
+    fused = np.asarray(
+        preprocess_planar_batch(
+            jnp.asarray(arena), key, rows=jnp.asarray(rows), **kw
+        )
+    )
+    manual = np.asarray(
+        preprocess_planar_batch(jnp.asarray(arena[rows]), key, **kw)
+    )
+    np.testing.assert_array_equal(fused, manual)
+    assert fused.shape == (4, 32, 32, 3)
+
+
+def test_multi_train_step_fused_gather_matches_manual():
+    """make_multi_train_step with a rows-capable preprocess (Pallas planar
+    path, interpret on CPU) must match the unfused take+preprocess step
+    stream exactly."""
+    import jax.numpy as jnp_
+
+    from skin_image_analysis_tpu.config import ModelConfig, OptimConfig
+    from skin_image_analysis_tpu.ops.preprocess import (
+        AugmentConfig, make_preprocess_fn,
+    )
+    from skin_image_analysis_tpu.train.state import create_train_state
+    from skin_image_analysis_tpu.train.step import make_multi_train_step
+
+    cfg = ModelConfig(
+        conv_features=(8,), first_kernel=3, linear_features=(16,),
+        dropout=(0.5,), image_size=16, compute_dtype="float32",
+    )
+    rng = np.random.default_rng(11)
+    k, b = 2, 4
+    arena = jnp_.asarray(
+        rng.integers(0, 255, (10, 3, 20, 20)), jnp_.uint8
+    )
+    idx = jnp_.asarray(rng.integers(0, 10, (k, b)), jnp_.int32)
+    label = jnp_.asarray(rng.integers(0, 2, (k, b)), jnp_.int32)
+    valid = jnp_.ones((k, b), bool)
+
+    pre = make_preprocess_fn(
+        16, train=True, augment=AugmentConfig(), layout="planar",
+        pallas="on",
+    )
+    assert getattr(pre, "supports_rows", False)
+
+    def fresh():
+        state, _ = create_train_state(
+            cfg, OptimConfig(learning_rate=1e-3), jax.random.key(0),
+            batch_size=b,
+        )
+        return state
+
+    fused = make_multi_train_step(k, preprocess_fn=pre)
+    s1, m1 = fused(fresh(), arena, idx, label, valid)
+
+    # unfused reference: strip the capability marker so the step gathers
+    def pre_nomark(px, key=None):
+        return pre(px, key)
+
+    unfused = make_multi_train_step(k, preprocess_fn=pre_nomark)
+    s2, m2 = unfused(fresh(), arena, idx, label, valid)
+
+    np.testing.assert_array_equal(
+        np.asarray(m1["loss"]), np.asarray(m2["loss"])
+    )
+    for a, c in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_bf16_output_matches_f32_path():
+    """out_dtype=bfloat16 (the production setting — the model computes in
+    bf16 anyway) must agree with the f32 path to bf16 resolution and carry
+    the dtype through the jitter tail."""
+    from skin_image_analysis_tpu.ops.preprocess import AugmentConfig
+
+    rng = np.random.default_rng(5)
+    planar = rng.integers(0, 255, (4, 3, 48, 48)).astype(np.uint8)
+    aug = AugmentConfig(brightness=0.2, contrast=0.2, saturation=0.2)
+    key = jax.random.key(11)
+    kw = dict(image_size=32, train=True, augment=aug)
+    f32 = preprocess_planar_batch(jnp.asarray(planar), key, **kw)
+    bf16 = preprocess_planar_batch(
+        jnp.asarray(planar), key, out_dtype=jnp.bfloat16, **kw
+    )
+    assert bf16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(bf16, np.float32), np.asarray(f32), atol=2e-2
+    )
+    # t % 16 != 0 falls back to f32 tiling (bf16 sublane constraint)
+    out = preprocess_planar_batch(
+        jnp.asarray(planar), key, image_size=24, train=True, augment=aug,
+        out_dtype=jnp.bfloat16,
+    )
+    assert out.dtype == jnp.float32
+
+
 def test_wrapper_brightness_only_folds_into_kernel():
     """brightness-only augment: result equals manual crop*factor/255,
     clipped — proving the fold into the kernel affine is correct."""

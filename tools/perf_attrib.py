@@ -81,6 +81,8 @@ def main() -> int:
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--scan-len", type=int, default=16)
     p.add_argument("--moments", default="", help="adam moment dtype override")
+    p.add_argument("--pre-dtype", default="",
+                   help="Pallas preprocess output dtype (stepp stages)")
     args = p.parse_args()
     stages = args.stages or ["step", "scan", "fwd", "fwdbwd", "opt", "pre"]
 
@@ -142,6 +144,7 @@ def main() -> int:
             augment=AugmentConfig(
                 brightness=0.1, contrast=0.1, saturation=0.1),
             layout="planar", pallas="on",
+            out_dtype=args.pre_dtype or None,
         )
         batch_p = dict(batch)
         batch_p["pixels"] = jnp.asarray(
