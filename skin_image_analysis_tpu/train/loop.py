@@ -267,7 +267,8 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
     }
     if data_sharding is not None:
         dummy = jax.device_put(dummy, data_sharding)
-    try:
+
+    def _warm():
         with Timer("compile") as t_compile:
             warm_state = jax.tree.map(
                 lambda x: x.copy() if hasattr(x, "copy") else x, state
@@ -278,11 +279,39 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
                 warm_state.batch_stats,
             )
             jax.device_get(_["pred"])  # fence: compiles done
-            del warm_state
+        return t_compile.elapsed
+
+    try:
+        elapsed = _warm()
         if verbose:
-            print(f"warm-compiled train+eval steps in {t_compile.elapsed:.1f}s")
+            print(f"warm-compiled train+eval steps in {elapsed:.1f}s")
     except Exception as e:
-        if verbose:
+        if use_planar:
+            # Some shapes trip Mosaic's scoped-VMEM / spill ceiling in
+            # the fused kernel (e.g. very large batches). Degrade to the
+            # planar jnp preprocess and recompile — correctness first.
+            if verbose:
+                print(f"pallas preprocess compile failed "
+                      f"({type(e).__name__}); falling back to jnp path")
+            train_pre = make_preprocess_fn(
+                cfg.data.image_size, train=True, augment=augment,
+                normalize_imagenet=cfg.data.normalize_imagenet,
+                layout=layout, pallas="off",
+            )
+            train_step = make_train_step(
+                class_weights=class_weights, preprocess_fn=train_pre,
+                mesh=mesh, data_axis=cfg.mesh.data_axis,
+            )
+            try:
+                elapsed = _warm()
+                if verbose:
+                    print(f"warm-compiled train+eval steps in "
+                          f"{elapsed:.1f}s (jnp preprocess)")
+            except Exception as e2:
+                if verbose:
+                    print(f"warm compile skipped ({type(e2).__name__}: "
+                          f"{e2}); first batch will compile instead")
+        elif verbose:
             print(f"warm compile skipped ({type(e).__name__}: {e}); first "
                   "batch will compile instead")
 

@@ -67,6 +67,59 @@ def make_lr(cfg: OptimConfig):
     return sched if sched is not None else base
 
 
+def _scale_by_adam_lowp(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    moment_dtype=None,
+) -> optax.GradientTransformation:
+    """scale_by_adam storing BOTH moments in ``moment_dtype``.
+
+    ``optax.adam(mu_dtype=...)`` casts only the first moment — the HLO
+    dump of the production step showed the 100352x512 Dense's nu still
+    f32 (two 205 MB tensors in the adam fusion, docs/PERF.md). Moment
+    math runs in the gradient dtype (f32); only storage narrows. State
+    is an ``optax.ScaleByAdamState`` so checkpoints keep their shape.
+    """
+    jnp = jax.numpy
+
+    def init(params):
+        def zeros(p):
+            return jnp.zeros_like(p, dtype=moment_dtype or p.dtype)
+
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(zeros, params),
+            nu=jax.tree.map(zeros, params),
+        )
+
+    def update(updates, state, params=None):
+        del params
+        count = state.count + 1
+        c = count.astype(jnp.float32)
+        bc1 = 1.0 - b1 ** c
+        bc2 = 1.0 - b2 ** c
+
+        def one(g, m, v):
+            gf = g.astype(jnp.float32)
+            mf = b1 * m.astype(jnp.float32) + (1.0 - b1) * gf
+            vf = b2 * v.astype(jnp.float32) + (1.0 - b2) * gf * gf
+            upd = (mf / bc1) / (jnp.sqrt(vf / bc2) + eps)
+            dt = moment_dtype or g.dtype
+            return upd.astype(g.dtype), mf.astype(dt), vf.astype(dt)
+
+        flat_g, treedef = jax.tree.flatten(updates)
+        flat_m = treedef.flatten_up_to(state.mu)
+        flat_v = treedef.flatten_up_to(state.nu)
+        out = [one(g, m, v) for g, m, v in zip(flat_g, flat_m, flat_v)]
+        upds = treedef.unflatten([o[0] for o in out])
+        mu = treedef.unflatten([o[1] for o in out])
+        nu = treedef.unflatten([o[2] for o in out])
+        return upds, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     name = cfg.optimizer.lower()
     mu_dtype = None
@@ -75,6 +128,11 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
                     "float32": jax.numpy.float32}[cfg.moment_dtype]
     lr = make_lr(cfg)
     if name == "adam":
+        if mu_dtype is not None and mu_dtype != jax.numpy.float32:
+            return optax.chain(
+                _scale_by_adam_lowp(moment_dtype=mu_dtype),
+                optax.scale_by_learning_rate(lr),
+            )
         return optax.adam(lr, mu_dtype=mu_dtype)
     if name == "adamw":
         return optax.adamw(

@@ -238,3 +238,47 @@ def test_multi_step_matches_sequential_steps():
     for la, lb in zip(jax.tree.leaves(sa2.params), jax.tree.leaves(sb.params)):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-6)
     assert int(sa2.step) == int(sb.step)
+
+
+def test_lowp_adam_matches_f32_adam():
+    """_scale_by_adam_lowp(bf16) must track optax.adam(f32) closely and
+    store BOTH moments narrow (optax's own mu_dtype leaves nu f32 —
+    docs/PERF.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from skin_image_analysis_tpu.config import OptimConfig
+    from skin_image_analysis_tpu.train.state import make_optimizer
+
+    rng = np.random.default_rng(0)
+    params = {
+        "w": jnp.asarray(rng.standard_normal((32, 16)), jnp.float32),
+        "b": jnp.asarray(rng.standard_normal(16), jnp.float32),
+    }
+    lowp = make_optimizer(
+        OptimConfig(learning_rate=1e-2, moment_dtype="bfloat16")
+    )
+    ref = optax.adam(1e-2)
+    s_l, s_r = lowp.init(params), ref.init(params)
+    p_l = p_r = params
+    for i in range(5):
+        g = jax.tree.map(
+            lambda p: jnp.asarray(
+                rng.standard_normal(p.shape), jnp.float32),
+            params,
+        )
+        u_l, s_l = lowp.update(g, s_l, p_l)
+        u_r, s_r = ref.update(g, s_r, p_r)
+        p_l = optax.apply_updates(p_l, u_l)
+        p_r = optax.apply_updates(p_r, u_r)
+    # both moments stored narrow
+    adam_state = s_l[0]
+    assert adam_state.mu["w"].dtype == jnp.bfloat16
+    assert adam_state.nu["w"].dtype == jnp.bfloat16
+    # parameters track the f32 reference to bf16-moment resolution
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(p_l[k]), np.asarray(p_r[k]), atol=5e-3
+        )

@@ -41,16 +41,21 @@ def tensor_bytes(shape_str: str) -> int:
 
 
 def summarize(hlo_text: str, top: int = 40) -> list[tuple[int, str, str]]:
-    """(bytes, opcode, line-head) for ENTRY-computation root instructions."""
+    """(bytes, opcode, line-head) for instructions that materialize:
+    ENTRY plus loop/branch bodies — fusion bodies (not materialized)
+    are skipped."""
     rows = []
-    in_entry = False
+    include = False
     for line in hlo_text.splitlines():
         if line.startswith("ENTRY "):
-            in_entry = True
+            include = True
             continue
-        if in_entry and line.startswith("}"):
-            in_entry = False
-        if not in_entry:
+        if line.startswith("%"):  # new computation definition
+            include = not line.startswith("%fused_computation")
+            continue
+        if include and line.startswith("}"):
+            include = False
+        if not include:
             continue
         m = re.match(
             r"\s+(%?[\w.\-]+)\s*=\s*"
@@ -74,7 +79,7 @@ def summarize(hlo_text: str, top: int = 40) -> list[tuple[int, str, str]]:
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("stage", nargs="?", default="fwdbwd",
-                   choices=["fwd", "fwdbwd", "step"])
+                   choices=["fwd", "fwdbwd", "step", "multi"])
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--out", default="")
     p.add_argument("--top", type=int, default=40)
@@ -114,6 +119,17 @@ def main() -> int:
     if args.stage == "step":
         fn = make_train_step(preprocess_fn=pre)
         lowered = fn.lower(state, batch)
+    elif args.stage == "multi":
+        from skin_image_analysis_tpu.train.step import make_multi_train_step
+
+        k = 8
+        arena_n = 512
+        arena = jnp.zeros((arena_n, 3, canonical, canonical), jnp.uint8)
+        idx = jnp.zeros((k, B), jnp.int32)
+        lb = jnp.zeros((k, B), jnp.int32)
+        vd = jnp.ones((k, B), bool)
+        fn = make_multi_train_step(k, preprocess_fn=pre)
+        lowered = fn.lower(state, arena, idx, lb, vd)
     else:
         key = jax.random.key(1)
 
