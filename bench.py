@@ -18,6 +18,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -42,11 +43,13 @@ def main() -> int:
     from skin_image_analysis_tpu.train.state import create_train_state
     from skin_image_analysis_tpu.train.step import make_multi_train_step
 
-    batch_size = 256  # measured best on v5e (amortizes per-step overhead)
+    # BENCH_BATCH / BENCH_K env overrides exist for sweeps; the defaults
+    # are the measured-best operating point on v5e.
+    batch_size = int(os.environ.get("BENCH_BATCH", "256"))
     image_size = 224
     canonical = 256
-    k = 16  # steps per dispatch (large-cohort setting; measured +1.7%
-    # over 8 — DataConfig.steps_per_dispatch / --steps-per-dispatch)
+    k = int(os.environ.get("BENCH_K", "16"))  # steps per dispatch
+    # (measured +1.7% over 8 — DataConfig.steps_per_dispatch)
     arena_n = 2048
     n_devices = len(jax.devices())
 

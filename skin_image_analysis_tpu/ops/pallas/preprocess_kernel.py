@@ -26,6 +26,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Largest per-call batch proven to compile on hardware; bigger batches
+# trip a Mosaic register-spill compile error (docs/PERF.md) and are
+# split into chunks of this size.
+_MAX_KERNEL_BATCH = 256
+
 
 def _kernel_body(
     offs_ref, flips_ref, scale_ref, bias_ref, img_ref, out_ref,
@@ -151,6 +156,26 @@ def fused_preprocess_planar(
     b = offsets.shape[0]
     if rows is None:
         rows = jnp.arange(b, dtype=jnp.int32)
+    if b > _MAX_KERNEL_BATCH:
+        # Mosaic's register allocator spills (compile error) somewhere
+        # past 256 images per call (docs/PERF.md, B=512). Batch shape is
+        # only the grid size, so split into proven-size calls; pixels may
+        # be the shared arena (rows-gather) and passes through whole.
+        outs = []
+        for lo in range(0, b, _MAX_KERNEL_BATCH):
+            hi = min(lo + _MAX_KERNEL_BATCH, b)
+            outs.append(fused_preprocess_planar(
+                pixels,
+                offsets[lo:hi], flips[lo:hi], scale[lo:hi], bias[lo:hi],
+                rows[lo:hi],
+                None if contrast is None else contrast[lo:hi],
+                None if saturation is None else saturation[lo:hi],
+                None if post_scale is None else post_scale[lo:hi],
+                None if post_bias is None else post_bias[lo:hi],
+                image_size=image_size, interpret=interpret,
+                out_dtype=out_dtype,
+            ))
+        return jnp.concatenate(outs, axis=0)
     tail = contrast is not None
     t = image_size
     t_lanes = -(-t // 128) * 128  # output lane dim must be 128-tiled

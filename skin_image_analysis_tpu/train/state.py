@@ -68,6 +68,7 @@ def make_lr(cfg: OptimConfig):
 
 
 def _scale_by_adam_lowp(
+    lr=None,
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
@@ -80,6 +81,10 @@ def _scale_by_adam_lowp(
     f32 (two 205 MB tensors in the adam fusion, docs/PERF.md). Moment
     math runs in the gradient dtype (f32); only storage narrows. State
     is an ``optax.ScaleByAdamState`` so checkpoints keep their shape.
+
+    ``lr`` (float or optax schedule) is folded into the same update —
+    emitting the final ``-lr * adam(g)`` delta here avoids a separate
+    scale_by_learning_rate pass over the 205 MB update tensor.
     """
     jnp = jax.numpy
 
@@ -99,12 +104,18 @@ def _scale_by_adam_lowp(
         c = count.astype(jnp.float32)
         bc1 = 1.0 - b1 ** c
         bc2 = 1.0 - b2 ** c
+        if lr is None:
+            step_scale = 1.0
+        elif callable(lr):
+            step_scale = -lr(state.count)
+        else:
+            step_scale = -lr
 
         def one(g, m, v):
             gf = g.astype(jnp.float32)
             mf = b1 * m.astype(jnp.float32) + (1.0 - b1) * gf
             vf = b2 * v.astype(jnp.float32) + (1.0 - b2) * gf * gf
-            upd = (mf / bc1) / (jnp.sqrt(vf / bc2) + eps)
+            upd = step_scale * (mf / bc1) / (jnp.sqrt(vf / bc2) + eps)
             dt = moment_dtype or g.dtype
             return upd.astype(g.dtype), mf.astype(dt), vf.astype(dt)
 
@@ -129,10 +140,7 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     lr = make_lr(cfg)
     if name == "adam":
         if mu_dtype is not None and mu_dtype != jax.numpy.float32:
-            return optax.chain(
-                _scale_by_adam_lowp(moment_dtype=mu_dtype),
-                optax.scale_by_learning_rate(lr),
-            )
+            return _scale_by_adam_lowp(lr=lr, moment_dtype=mu_dtype)
         return optax.adam(lr, mu_dtype=mu_dtype)
     if name == "adamw":
         return optax.adamw(

@@ -61,6 +61,30 @@ def test_kernel_matches_reference():
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_kernel_chunks_large_batches(monkeypatch):
+    """Batches above _MAX_KERNEL_BATCH split into multiple pallas calls
+    (Mosaic register-spills past 256 images/call on hardware); the
+    chunked result must equal the per-image reference."""
+    import skin_image_analysis_tpu.ops.pallas.preprocess_kernel as pk
+
+    monkeypatch.setattr(pk, "_MAX_KERNEL_BATCH", 3)
+    rng = np.random.default_rng(7)
+    b, ch, s, t = 8, 3, 64, 48
+    pixels = rng.integers(0, 255, (b, ch, s, s)).astype(np.uint8)
+    offsets = rng.integers(0, s - t + 1, (b, 2)).astype(np.int32)
+    flips = (np.arange(b) % 2).astype(np.int32)
+    scale = np.full((b, ch), 1 / 255, np.float32)
+    bias = np.zeros((b, ch), np.float32)
+    got = np.asarray(
+        pk.fused_preprocess_planar(
+            jnp.asarray(pixels), jnp.asarray(offsets), jnp.asarray(flips),
+            jnp.asarray(scale), jnp.asarray(bias), image_size=t,
+        )
+    )
+    want = _ref(pixels, offsets, flips, scale, bias, t)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_wrapper_eval_matches_jnp_path():
     """Center-crop eval through the kernel must equal the jnp preprocess
     (up to layout) on same-size inputs."""

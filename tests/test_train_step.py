@@ -273,8 +273,9 @@ def test_lowp_adam_matches_f32_adam():
         u_r, s_r = ref.update(g, s_r, p_r)
         p_l = optax.apply_updates(p_l, u_l)
         p_r = optax.apply_updates(p_r, u_r)
-    # both moments stored narrow
-    adam_state = s_l[0]
+    # both moments stored narrow (lr folds into the transform, so the
+    # state IS the ScaleByAdamState — no chain wrapper)
+    adam_state = s_l
     assert adam_state.mu["w"].dtype == jnp.bfloat16
     assert adam_state.nu["w"].dtype == jnp.bfloat16
     # parameters track the f32 reference to bf16-moment resolution
