@@ -95,7 +95,7 @@ def main() -> int:
         state, metrics = multi_step(state, arena, *args)
     float(metrics["loss"][-1])
 
-    iters = 6  # super-steps per window (6 * 8 = 48 train steps)
+    iters = 6  # super-steps per window (6 * k train steps)
     best = float("inf")
     for w in range(2):  # two timed windows; keep the better (less jitter)
         start = time.perf_counter()

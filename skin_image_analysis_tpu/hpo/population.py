@@ -31,6 +31,7 @@ gracefully to smaller populations.
 
 from __future__ import annotations
 
+import functools as _functools
 import math
 from dataclasses import dataclass
 from typing import Any
@@ -239,74 +240,24 @@ def _scale_tx(optimizer: str) -> optax.GradientTransformation:
     raise ValueError(f"unknown optimizer {optimizer!r}")
 
 
-def train_wave(
-    skel: WaveSkeleton,
-    conv_widths: np.ndarray,    # [K, conv_count] int
-    linear_widths: np.ndarray,  # [K, n_linear] int
-    dropouts: np.ndarray,       # [K, n_linear] float
-    lrs: np.ndarray,            # [K] float
-    train_pixels: np.ndarray,
-    train_labels: np.ndarray,
-    valid_pixels: np.ndarray,
-    valid_labels: np.ndarray,
-    epochs: int = 10,
-    batch_size: int = 32,
-    train_limit: int | None = None,
-    valid_limit: int | None = None,
-    seed: int = 0,
-    microbatch: int | None = None,
-    epoch_callback=None,
-) -> dict[str, Any]:
-    """Train one wave of K padded trials in lockstep; returns per-epoch
-    validation accuracy [epochs, K].
+@_functools.lru_cache(maxsize=None)
+def _wave_programs(skel: WaveSkeleton, k: int, microbatch: int,
+                   n_micro: int):
+    """The wave's compiled programs, cached per skeleton.
 
-    ``microbatch``: gradients are accumulated over exact microbatches of
-    this size (scan) so the padded supernet's full-resolution conv
-    activations never exist for the whole batch at once — identical
-    gradients (the mean-NLL decomposes linearly), per-microbatch dropout
-    masks."""
-    k = len(lrs)
+    Everything that varies between waves — pixel stacks, widths,
+    dropouts, lrs, batch permutations — is an ARGUMENT, so waves sharing
+    a skeleton reuse ONE jitted callable (jax.jit then re-specializes
+    only when array shapes actually differ). Building fresh @jax.jit
+    closures per wave (the round-2 first cut) recompiled every wave
+    through the ~30-90 s remote-compile relay and baked the wave's
+    sample into the program as constants."""
     model = build_model(skel.padded_model_config())
-    conv_w = jnp.asarray(conv_widths, jnp.int32)
-    lin_w = jnp.asarray(linear_widths, jnp.int32)
-    drops = jnp.asarray(dropouts, jnp.float32)
-    lr_arr = jnp.asarray(lrs, jnp.float32)
-
-    rng = np.random.default_rng(seed)
-
-    def stack(pixels, labels, limit, bsz):
-        order = rng.permutation(len(labels))
-        n_batches = len(labels) // bsz
-        if limit is not None:
-            n_batches = min(n_batches, max(limit // bsz, 1))
-        idx = order[: n_batches * bsz].reshape(n_batches, bsz)
-        return jnp.asarray(pixels[idx]), jnp.asarray(
-            labels[idx].astype(np.int32))
+    tx = _scale_tx(skel.optimizer)
 
     def to_f32(px):
         x = px.astype(jnp.float32)
         return x / 255.0 if px.dtype == jnp.uint8 else x
-
-    tx = _scale_tx(skel.optimizer)
-
-    def init_one(key, cw, lw):
-        params = init_trial_params(skel, key, cw, lw)
-        return params, tx.init(params)
-
-    keys = jax.random.split(jax.random.key(seed), k)
-    params, opt_state = jax.vmap(init_one)(keys, conv_w, lin_w)
-
-    if microbatch is None:
-        microbatch = default_microbatch(skel, batch_size)
-    microbatch = min(microbatch, batch_size)
-    while batch_size % microbatch:
-        microbatch -= 1
-    n_micro = batch_size // microbatch
-
-    tb_px, tb_lb = stack(train_pixels, train_labels, train_limit, batch_size)
-    # eval in microbatch-sized slices too: the padded supernet's forward
-    # at full batch x K trials is the same OOM risk as training
-    vb_px, vb_lb = stack(valid_pixels, valid_labels, valid_limit, microbatch)
 
     def loss_fn(p, cw, lw, dr, pixels, labels, dkey):
         log_probs = model.apply(
@@ -340,17 +291,21 @@ def train_wave(
         )
         return p, opt
 
-    # per-trial batch ORDER: each trial walks the wave's batches in its
-    # own permutation (a [K]-gather per step), restoring the batch-order
-    # independence the reference's fully independent trials had — the
-    # 300-row sample itself is still wave-shared (documented).
     vstep = jax.vmap(
         one_trial_step, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0)
     )
-    n_batches = tb_px.shape[0]
 
-    @jax.jit
-    def train_epoch(params, opt_state, epoch_key, perms):
+    def init_one(key, cw, lw):
+        params = init_trial_params(skel, key, cw, lw)
+        return params, tx.init(params)
+
+    init_wave = jax.jit(jax.vmap(init_one))
+
+    @_functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_epoch(params, opt_state, epoch_key, perms,
+                    tb_px, tb_lb, cw, lw, dr, lr):
+        n_batches = tb_px.shape[0]
+
         def body(carry, i):
             p, opt, key = carry
             key, sub = jax.random.split(key)
@@ -358,8 +313,7 @@ def train_wave(
             bidx = perms[:, i]
             pixels = tb_px[bidx]   # [K, B, ...]
             labels = tb_lb[bidx]
-            p, opt = vstep(p, opt, conv_w, lin_w, drops, lr_arr,
-                           pixels, labels, dkeys)
+            p, opt = vstep(p, opt, cw, lw, dr, lr, pixels, labels, dkeys)
             return (p, opt, key), None
 
         (params, opt_state, _), _ = jax.lax.scan(
@@ -375,7 +329,7 @@ def train_wave(
     veval = jax.vmap(eval_one, in_axes=(0, None, None))
 
     @jax.jit
-    def valid_accuracy(params):
+    def valid_accuracy(params, vb_px, vb_lb):
         def body(total, batch):
             pixels, labels = batch
             return total + veval(params, pixels, labels), None
@@ -385,17 +339,88 @@ def train_wave(
         )
         return total / (vb_lb.shape[0] * vb_lb.shape[1])
 
+    return init_wave, train_epoch, valid_accuracy
+
+
+def train_wave(
+    skel: WaveSkeleton,
+    conv_widths: np.ndarray,    # [K, conv_count] int
+    linear_widths: np.ndarray,  # [K, n_linear] int
+    dropouts: np.ndarray,       # [K, n_linear] float
+    lrs: np.ndarray,            # [K] float
+    train_pixels: np.ndarray,
+    train_labels: np.ndarray,
+    valid_pixels: np.ndarray,
+    valid_labels: np.ndarray,
+    epochs: int = 10,
+    batch_size: int = 32,
+    train_limit: int | None = None,
+    valid_limit: int | None = None,
+    seed: int = 0,
+    microbatch: int | None = None,
+    epoch_callback=None,
+) -> dict[str, Any]:
+    """Train one wave of K padded trials in lockstep; returns per-epoch
+    validation accuracy [epochs, K].
+
+    ``microbatch``: gradients are accumulated over exact microbatches of
+    this size (scan) so the padded supernet's full-resolution conv
+    activations never exist for the whole batch at once — identical
+    gradients (the mean-NLL decomposes linearly), per-microbatch dropout
+    masks."""
+    k = len(lrs)
+    conv_w = jnp.asarray(conv_widths, jnp.int32)
+    lin_w = jnp.asarray(linear_widths, jnp.int32)
+    drops = jnp.asarray(dropouts, jnp.float32)
+    lr_arr = jnp.asarray(lrs, jnp.float32)
+
+    rng = np.random.default_rng(seed)
+
+    def stack(pixels, labels, limit, bsz):
+        order = rng.permutation(len(labels))
+        n_batches = len(labels) // bsz
+        if limit is not None:
+            n_batches = min(n_batches, max(limit // bsz, 1))
+        idx = order[: n_batches * bsz].reshape(n_batches, bsz)
+        return jnp.asarray(pixels[idx]), jnp.asarray(
+            labels[idx].astype(np.int32))
+
+    if microbatch is None:
+        microbatch = default_microbatch(skel, batch_size)
+    microbatch = min(microbatch, batch_size)
+    while batch_size % microbatch:
+        microbatch -= 1
+    n_micro = batch_size // microbatch
+
+    tb_px, tb_lb = stack(train_pixels, train_labels, train_limit, batch_size)
+    # eval in microbatch-sized slices too: the padded supernet's forward
+    # at full batch x K trials is the same OOM risk as training
+    vb_px, vb_lb = stack(valid_pixels, valid_labels, valid_limit, microbatch)
+
+    init_wave, train_epoch, valid_accuracy = _wave_programs(
+        skel, k, microbatch, n_micro
+    )
+    keys = jax.random.split(jax.random.key(seed), k)
+    params, opt_state = init_wave(keys, conv_w, lin_w)
+
+    n_batches = tb_px.shape[0]
     root = jax.random.key(seed + 17)
     history = []
     for epoch in range(epochs):
+        # per-trial batch ORDER: each trial walks the wave's batches in
+        # its own permutation (a [K]-gather per step), restoring the
+        # batch-order independence the reference's fully independent
+        # trials had — the 300-row sample itself is wave-shared
+        # (documented).
         perms = jnp.asarray(
             np.stack([rng.permutation(n_batches) for _ in range(k)]),
             jnp.int32,
         )
         params, opt_state = train_epoch(
-            params, opt_state, jax.random.fold_in(root, epoch), perms
+            params, opt_state, jax.random.fold_in(root, epoch), perms,
+            tb_px, tb_lb, conv_w, lin_w, drops, lr_arr,
         )
-        history.append(np.asarray(valid_accuracy(params)))
+        history.append(np.asarray(valid_accuracy(params, vb_px, vb_lb)))
         if epoch_callback is not None and not epoch_callback(
             epoch, history[-1]
         ):

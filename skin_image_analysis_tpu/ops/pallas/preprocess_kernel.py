@@ -229,9 +229,11 @@ def preprocess_planar_batch(
     rows: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """High-level wrapper: derives crop offsets + flips (+ jitter factors)
-    from ``key`` (center crop / no flip / no jitter at eval), builds the
-    per-image affine, runs the kernel, and returns NHWC float32 for the
-    conv stack.
+    from ``key``, builds the per-image affine, runs the kernel, and
+    returns NHWC float32 for the conv stack. Cases whose reference
+    semantics are a RESIZE rather than a crop (eval, random_crop=False,
+    or source < target, each with source != target) run the jnp
+    reference path instead — geometry parity over kernel coverage.
 
     Augmentation semantics match ops.preprocess.preprocess_batch (same
     distributions; the PRNG streams differ bitwise between the two
@@ -246,6 +248,26 @@ def preprocess_planar_batch(
     augmenting = bool(
         train and key is not None and augment is not None
     )
+    # The kernel implements CROP geometry. The jnp reference path
+    # (ops.preprocess.preprocess_batch) RESIZES whenever it is not
+    # random-cropping — eval, random_crop=False, or source smaller than
+    # target. Those cases must not silently train/eval on different
+    # geometry, so they defer to the reference implementation (same-size
+    # sources are exempt: crop == resize there).
+    kernel_crop_ok = s == t or (
+        augmenting and augment.random_crop and s > t
+    )
+    if not kernel_crop_ok:
+        from skin_image_analysis_tpu.ops.preprocess import preprocess_batch
+
+        if rows is not None:
+            pixels = jnp.take(pixels, rows, axis=0)
+        out = preprocess_batch(
+            jnp.transpose(pixels, (0, 2, 3, 1)), key,
+            image_size=t, train=train, augment=augment,
+            normalize_imagenet=normalize_imagenet,
+        )
+        return out if out_dtype is None else out.astype(out_dtype)
     if augmenting:
         ky, kx, kf, kb, kc, ks = jax.random.split(key, 6)
         if augment.random_crop and s > t:

@@ -244,20 +244,34 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         class_weights = tuple(balanced_class_weights(train_table.labels))
         if verbose:
             print(f"class weights (balanced): {class_weights}")
-    train_step = make_train_step(
-        class_weights=class_weights, preprocess_fn=train_pre,
-        mesh=mesh, data_axis=cfg.mesh.data_axis,
-    )
+    def _make_train_step():
+        return make_train_step(
+            class_weights=class_weights, preprocess_fn=train_pre,
+            mesh=mesh, data_axis=cfg.mesh.data_axis,
+        )
+
+    train_step = _make_train_step()
     eval_step = make_eval_step(
         preprocess_fn=eval_pre, mesh=mesh, data_axis=cfg.mesh.data_axis
     )
 
-    # Warm-compile both steps on dummy data while the decode thread works
-    # (compile + decode are the two cold-start costs; overlap them). A
-    # real call is required — lower().compile() does not seed the jit
-    # dispatch cache — so the train step runs once on a throwaway COPY of
-    # the state (it donates its first argument).
+    # Whether multi-step dispatch will run is fully predictable BEFORE
+    # decoding (arena rows == table rows, uint8 canonical frames), so
+    # cold start compiles only the programs the run will use. Every
+    # distinct jit costs ~30-90 s through the remote-compile relay —
+    # warming the per-batch train step when the epoch loop will only
+    # ever call the multi-step program wastes a compile.
     bs, s = cfg.data.batch_size, cfg.data.canonical_size
+    k_spd = cfg.data.steps_per_dispatch
+    predicted_arena_bytes = (len(train_table) + len(test_table)) * 3 * s * s
+    will_multi = (
+        not cfg.data.streaming
+        and cfg.data.device_cache
+        and k_spd > 1
+        and predicted_arena_bytes <= cfg.data.device_cache_max_bytes
+        and len(train_table) > 0
+    )
+
     px_shape = (bs, 3, s, s) if layout == "planar" else (bs, s, s, 3)
     dummy = {
         "pixels": jax.numpy.zeros(px_shape, jax.numpy.uint8),
@@ -268,42 +282,86 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
     if data_sharding is not None:
         dummy = jax.device_put(dummy, data_sharding)
 
-    def _warm():
+    replicated = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        replicated = NamedSharding(mesh, PartitionSpec())
+
+    def _copy_state():
+        return jax.tree.map(
+            lambda x: x.copy() if hasattr(x, "copy") else x, state
+        )
+
+    def _warm(include_train_step: bool):
+        """Warm-compile on dummy data while the decode thread works
+        (compile + decode are the two cold-start costs; overlap them).
+        A real call is required — lower().compile() does not seed the
+        jit dispatch cache — so steps run once on a throwaway COPY of
+        the state (they donate their first argument)."""
         with Timer("compile") as t_compile:
-            warm_state = jax.tree.map(
-                lambda x: x.copy() if hasattr(x, "copy") else x, state
-            )
-            warm_state, _ = train_step(warm_state, dummy)
-            _ = eval_step(
+            warm_state = _copy_state()
+            if include_train_step:
+                warm_state, _ = train_step(warm_state, dummy)
+            ev = eval_step(
                 warm_state.params, warm_state.apply_fn, dummy,
                 warm_state.batch_stats,
             )
-            jax.device_get(_["pred"])  # fence: compiles done
+            jax.device_get(ev["pred"])  # fence: compiles done
         return t_compile.elapsed
 
+    def _warm_multi(ms):
+        """One inert super-step (all-False valid) on a zeros arena of
+        the predicted shape — compiles the real program before decode
+        finishes; the real arena has the same shape so the epoch loop
+        hits the cache."""
+        import jax.numpy as jnp
+
+        n = len(train_table)
+        arena_shape = (n, 3, s, s) if layout == "planar" else (n, s, s, 3)
+        with Timer("compile-multi") as t_multi:
+            warm_arena = jnp.zeros(arena_shape, jnp.uint8)
+            if replicated is not None:
+                warm_arena = jax.device_put(warm_arena, replicated)
+            zi = jnp.zeros((k_spd, bs), jnp.int32)
+            zv = jnp.zeros((k_spd, bs), bool)
+            if replicated is not None:
+                zi, zv = jax.device_put((zi, zv), replicated)
+            warm_state, m = ms(_copy_state(), warm_arena, zi, zi.copy(), zv)
+            jax.device_get(m["loss"])
+            del warm_state, warm_arena
+        return t_multi.elapsed
+
+    def _fallback_to_jnp_preprocess(exc):
+        """Some shapes trip Mosaic's compile ceilings in the fused
+        kernel. Degrade to the planar jnp preprocess and recompile —
+        correctness first."""
+        nonlocal train_pre, train_step
+        if verbose:
+            print(f"pallas preprocess compile failed "
+                  f"({type(exc).__name__}); falling back to jnp path")
+        train_pre = make_preprocess_fn(
+            cfg.data.image_size, train=True, augment=augment,
+            normalize_imagenet=cfg.data.normalize_imagenet,
+            layout=layout, pallas="off",
+        )
+        train_step = _make_train_step()
+
+    # Warm the 1-step train program FIRST even when the epoch loop will
+    # only call the multi-step program: compiling the scan-of-k program
+    # cold measures 500-900 s through the remote-compile relay, but
+    # ~20 s when the 1-step program compiled immediately before in the
+    # same process (measured both orders, docs/PERF.md §Cold start) —
+    # and the 1-step program remains the fallback if multi is disabled.
     try:
-        elapsed = _warm()
+        elapsed = _warm(include_train_step=True)
         if verbose:
             print(f"warm-compiled train+eval steps in {elapsed:.1f}s")
     except Exception as e:
         if use_planar:
-            # Some shapes trip Mosaic's scoped-VMEM / spill ceiling in
-            # the fused kernel (e.g. very large batches). Degrade to the
-            # planar jnp preprocess and recompile — correctness first.
-            if verbose:
-                print(f"pallas preprocess compile failed "
-                      f"({type(e).__name__}); falling back to jnp path")
-            train_pre = make_preprocess_fn(
-                cfg.data.image_size, train=True, augment=augment,
-                normalize_imagenet=cfg.data.normalize_imagenet,
-                layout=layout, pallas="off",
-            )
-            train_step = make_train_step(
-                class_weights=class_weights, preprocess_fn=train_pre,
-                mesh=mesh, data_axis=cfg.mesh.data_axis,
-            )
+            _fallback_to_jnp_preprocess(e)
             try:
-                elapsed = _warm()
+                elapsed = _warm(include_train_step=True)
                 if verbose:
                     print(f"warm-compiled train+eval steps in "
                           f"{elapsed:.1f}s (jnp preprocess)")
@@ -312,13 +370,29 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
                     print(f"warm compile skipped ({type(e2).__name__}: "
                           f"{e2}); first batch will compile instead")
         elif verbose:
-            print(f"warm compile skipped ({type(e).__name__}: {e}); first "
-                  "batch will compile instead")
+            print(f"warm compile skipped ({type(e).__name__}: {e}); "
+                  "first batch will compile instead")
+
+    multi_step = None
+    if will_multi:
+        multi_step = make_multi_train_step(
+            k_spd, class_weights=class_weights, mesh=mesh,
+            data_axis=cfg.mesh.data_axis, preprocess_fn=train_pre,
+        )
+        try:
+            elapsed = _warm_multi(multi_step)
+            if verbose:
+                print(f"multi-step dispatch: {k_spd} steps/program "
+                      f"(compiled in {elapsed:.1f}s)")
+        except Exception as e:
+            if verbose:
+                print(f"multi-step dispatch disabled "
+                      f"({type(e).__name__}: {e})")
+            multi_step = None
 
     decode_thread.join()
     t_decode.__exit__(None, None, None)
 
-    multi_step = None
     if cfg.data.streaming:
         # Archive-scale path (ISIC-2020 config): decode-ahead chunks, no
         # whole-cohort arenas in RAM or HBM.
@@ -391,48 +465,13 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
             sharding=data_sharding,
             device_arena=train_arena,
         )
-        # Multi-step dispatch: scan k train steps per XLA program with
-        # on-device arena gathers — only [k,B] index/label arrays cross
-        # the host link, and the ~2 ms/dispatch relay latency amortizes
-        # (docs/PERF.md).
-        k_spd = cfg.data.steps_per_dispatch
-        if train_arena is not None and k_spd > 1:
-            multi_step = make_multi_train_step(
-                k_spd, class_weights=class_weights, mesh=mesh,
-                data_axis=cfg.mesh.data_axis, preprocess_fn=train_pre,
-            )
-            try:
-                import jax.numpy as jnp
-
-                rep = None
-                if mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec
-
-                    rep = NamedSharding(mesh, PartitionSpec())
-                zi = jnp.zeros((k_spd, cfg.data.batch_size), jnp.int32)
-                zv = jnp.zeros((k_spd, cfg.data.batch_size), bool)
-                if rep is not None:
-                    zi, zv = jax.device_put((zi, zv), rep)
-                with Timer("compile-multi") as t_multi:
-                    warm_state = jax.tree.map(
-                        lambda x: x.copy() if hasattr(x, "copy") else x, state
-                    )
-                    warm_state, _m = multi_step(
-                        warm_state, train_arena, zi, zi.copy(), zv
-                    )
-                    jax.device_get(_m["loss"])
-                    del warm_state
-                if verbose:
-                    print(
-                        f"multi-step dispatch: {k_spd} steps/program "
-                        f"(compiled in {t_multi.elapsed:.1f}s)"
-                    )
-            except Exception as e:
-                if verbose:
-                    print(f"multi-step dispatch disabled "
-                          f"({type(e).__name__}: {e})")
-                multi_step = None
-        else:
+        # Multi-step dispatch (scan k train steps per XLA program with
+        # on-device arena gathers, docs/PERF.md) was built and
+        # warm-compiled BEFORE decode on a predicted-shape zeros arena;
+        # the prediction is exact (arena rows == table rows), so this
+        # guard only fires if the arena unexpectedly failed to
+        # materialize.
+        if multi_step is not None and train_arena is None:
             multi_step = None
         test_loader = BatchIterator(
             test_store,

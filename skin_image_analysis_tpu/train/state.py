@@ -48,16 +48,25 @@ def make_lr(cfg: OptimConfig):
     """
     base = cfg.learning_rate
     sched = None
-    if cfg.lr_schedule == "step":
+    if cfg.lr_schedule in ("step", "exponential"):
+        if cfg.lr_step_size < 1:
+            # silently clamping to 1 would decay by gamma EVERY step —
+            # lr collapses to ~0 within a few steps with no error
+            raise ValueError(
+                f"lr_schedule={cfg.lr_schedule!r} needs lr_step_size >= 1 "
+                f"(got {cfg.lr_step_size}); pass --lr-step-size"
+            )
         sched = optax.exponential_decay(
-            base, max(cfg.lr_step_size, 1), cfg.lr_gamma, staircase=True
-        )
-    elif cfg.lr_schedule == "exponential":
-        sched = optax.exponential_decay(
-            base, max(cfg.lr_step_size, 1), cfg.lr_gamma
+            base, cfg.lr_step_size, cfg.lr_gamma,
+            staircase=cfg.lr_schedule == "step",
         )
     elif cfg.lr_schedule == "cosine":
-        sched = optax.cosine_decay_schedule(base, max(cfg.lr_decay_steps, 1))
+        if cfg.lr_decay_steps < 1:
+            raise ValueError(
+                "lr_schedule='cosine' needs lr_decay_steps >= 1 "
+                f"(got {cfg.lr_decay_steps}); pass --lr-decay-steps"
+            )
+        sched = optax.cosine_decay_schedule(base, cfg.lr_decay_steps)
     elif cfg.lr_schedule:
         raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
     if cfg.lr_warmup_steps:

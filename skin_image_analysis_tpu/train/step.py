@@ -146,6 +146,11 @@ def make_multi_train_step(
 
     @partial(jax.jit, donate_argnums=(0,))
     def multi(state, arena, idx, label, valid):
+        assert idx.shape[0] == k, (
+            f"make_multi_train_step built for k={k} but got "
+            f"{idx.shape[0]}-step index arrays"
+        )
+
         def one_step(state: TrainState, xs):
             i, lb, vd = xs
             step_rng = jax.random.fold_in(state.rng, state.step)

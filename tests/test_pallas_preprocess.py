@@ -85,6 +85,35 @@ def test_kernel_chunks_large_batches(monkeypatch):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_wrapper_resize_cases_defer_to_reference():
+    """Eval (and any non-random-crop case) with source != target must
+    match the jnp reference RESIZE — not silently center-crop."""
+    from skin_image_analysis_tpu.ops.preprocess import preprocess_batch
+
+    rng = np.random.default_rng(3)
+    b, s, t = 2, 64, 48  # source larger than target, train=False
+    hwc = rng.integers(0, 255, (b, s, s, 3)).astype(np.uint8)
+    planar = np.transpose(hwc, (0, 3, 1, 2)).copy()
+    got = np.asarray(
+        preprocess_planar_batch(
+            jnp.asarray(planar), None, image_size=t, train=False
+        )
+    )
+    want = np.asarray(preprocess_batch(jnp.asarray(hwc), image_size=t))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # upscale (source smaller than target) likewise resizes
+    b, s, t = 2, 32, 48
+    hwc = rng.integers(0, 255, (b, s, s, 3)).astype(np.uint8)
+    planar = np.transpose(hwc, (0, 3, 1, 2)).copy()
+    got = np.asarray(
+        preprocess_planar_batch(
+            jnp.asarray(planar), None, image_size=t, train=False
+        )
+    )
+    want = np.asarray(preprocess_batch(jnp.asarray(hwc), image_size=t))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_wrapper_eval_matches_jnp_path():
     """Center-crop eval through the kernel must equal the jnp preprocess
     (up to layout) on same-size inputs."""

@@ -131,6 +131,11 @@ def test_lr_schedules():
 
     with pytest.raises(ValueError, match="unknown lr_schedule"):
         make_lr(OptimConfig(lr_schedule="bogus"))
+    # missing sizes must raise, not silently decay every step
+    with pytest.raises(ValueError, match="lr_step_size"):
+        make_lr(OptimConfig(lr_schedule="step"))
+    with pytest.raises(ValueError, match="lr_decay_steps"):
+        make_lr(OptimConfig(lr_schedule="cosine"))
 
 
 def test_step_schedule_trains():
