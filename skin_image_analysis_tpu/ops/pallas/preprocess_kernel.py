@@ -96,20 +96,33 @@ def _kernel_body(
         tiles.append(tile * scale_ref[b, c] + bias_ref[b, c])
 
     if fc_ref is not None:
+        # The jitter tail is elementwise VPU work over the cropped tile.
+        # When the kernel emits bf16 anyway (production), run the tail in
+        # bf16 — 2x the VPU rate — with the mean still accumulated in
+        # f32; the extra rounding is within the bf16 output's own
+        # resolution. The f32 output path keeps a full-precision tail as
+        # the reference.
+        tdt = out_ref.dtype if out_ref.dtype == jnp.bfloat16 else jnp.float32
+
         # contrast: (x - mean)·f + mean over the whole cropped image.
         # Padding lanes hold exact zeros here (bias is 0 when the tail is
         # on), so the full-tile sum equals the T×T crop sum.
         m = tiles[0] + tiles[1] + tiles[2] if ch == 3 else sum(tiles)
-        m = jnp.sum(m) * (1.0 / (ch * t * t))
-        fcv = fc_ref[b]
+        m = (jnp.sum(m, dtype=jnp.float32)
+             * (1.0 / (ch * t * t))).astype(tdt)
+        tiles = [tt.astype(tdt) for tt in tiles]
+        fcv = fc_ref[b].astype(tdt)
         tiles = [(tt - m) * fcv + m for tt in tiles]
         # saturation: Rec.601 luma mix
-        gray = 0.299 * tiles[0] + 0.587 * tiles[1] + 0.114 * tiles[2]
-        fsv = fs_ref[b]
+        lw = [jnp.asarray(w, tdt) for w in (0.299, 0.587, 0.114)]
+        gray = lw[0] * tiles[0] + lw[1] * tiles[1] + lw[2] * tiles[2]
+        fsv = fs_ref[b].astype(tdt)
         tiles = [(tt - gray) * fsv + gray for tt in tiles]
-        tiles = [jnp.clip(tt, 0.0, 1.0) for tt in tiles]
+        one = jnp.asarray(1.0, tdt)
+        tiles = [jnp.clip(tt, jnp.zeros_like(one), one) for tt in tiles]
         tiles = [
-            tt * ps_ref[b, c] + pb_ref[b, c] for c, tt in enumerate(tiles)
+            tt * ps_ref[b, c].astype(tdt) + pb_ref[b, c].astype(tdt)
+            for c, tt in enumerate(tiles)
         ]
 
     for c in range(ch):
