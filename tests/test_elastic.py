@@ -1,0 +1,61 @@
+"""Elastic crash recovery: fault injection + automated folder-resume
+(run_training_elastic — SURVEY §5's failure-detection/elastic row; the
+reference's recovery is manual resume-by-rerun, tone_bias_train.py
+:240-249)."""
+
+import dataclasses
+import os
+
+import pytest
+
+from skin_image_analysis_tpu.train.loop import (
+    completed_epochs,
+    run_training_elastic,
+)
+from tests.test_e2e_train import _tiny_cfg
+
+
+def test_elastic_resumes_after_injected_fault(
+    synth_root, tmp_path, monkeypatch
+):
+    """A run that crashes after its first epoch must be found, resumed
+    for the remaining epochs, and finish with the full epoch count."""
+    fault = tmp_path / "fault"
+    fault.write_text("")
+    monkeypatch.setenv("SIA_FAULT_ONCE", str(fault))
+    cfg = dataclasses.replace(
+        _tiny_cfg(synth_root, tmp_path, epochs=3), checkpoint_every=1
+    )
+    folder = run_training_elastic(cfg, retries=2, verbose=False)
+    assert not fault.exists()  # the injected fault actually fired
+    assert completed_epochs(folder) == 3
+    names = os.listdir(folder)
+    assert "session_model.msgpack" in names
+    assert "session_train.csv" in names
+
+
+def test_elastic_gives_up_when_retries_exhausted(
+    synth_root, tmp_path, monkeypatch
+):
+    fault = tmp_path / "fault2"
+    fault.write_text("")
+    monkeypatch.setenv("SIA_FAULT_ONCE", str(fault))
+    cfg = dataclasses.replace(
+        _tiny_cfg(synth_root, tmp_path, epochs=2), checkpoint_every=1
+    )
+    with pytest.raises(RuntimeError, match="injected fault"):
+        run_training_elastic(cfg, retries=0, verbose=False)
+
+
+def test_elastic_resume_counts_existing_epochs(synth_root, tmp_path):
+    """Supervising an already-complete folder is a no-op (remaining
+    epochs <= 0)."""
+    cfg = _tiny_cfg(synth_root, tmp_path, epochs=2)
+    folder = run_training_elastic(cfg, retries=0, verbose=False)
+    assert completed_epochs(folder) == 2
+    resumed = run_training_elastic(
+        dataclasses.replace(cfg, experiment_dir=folder), retries=0,
+        verbose=False,
+    )
+    assert resumed == folder
+    assert completed_epochs(folder) == 2  # nothing retrained
