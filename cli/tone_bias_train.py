@@ -7,7 +7,11 @@ Usage (reference: tone_bias_train.py:176-182, README.md:103-112)::
     python cli/tone_bias_train.py tone 20 balance
 
 Extra (optional) flags after the positional args: ``--seed N``,
-``--batch-size N``, ``--lr F``, ``--augment``, ``--bf16/--fp32``.
+``--batch-size N``, ``--lr F``, ``--augment``, ``--bf16/--fp32``,
+``--checkpoint-every N`` (periodic full-state snapshots),
+``--auto-resume N`` (elastic supervision: on a crash, locate the
+experiment folder and resume the remaining epochs, up to N restarts;
+implies ``--checkpoint-every 1`` unless set).
 """
 
 from __future__ import annotations
@@ -27,7 +31,10 @@ from skin_image_analysis_tpu.config import (  # noqa: E402
     OptimConfig,
     TrainConfig,
 )
-from skin_image_analysis_tpu.train.loop import run_training  # noqa: E402
+from skin_image_analysis_tpu.train.loop import (  # noqa: E402
+    run_training,
+    run_training_elastic,
+)
 
 
 def _optim_config(lr: float, class_weights: str, opts: dict) -> "OptimConfig":
@@ -61,7 +68,8 @@ def main(argv: list[str] | None = None) -> int:
          "chunk-size": 2048, "class-weights": "", "lr-schedule": "",
          "lr-step-size": 0, "lr-gamma": 0.1, "lr-decay-steps": 0,
          "lr-warmup-steps": 0, "moment-dtype": "",
-         "steps-per-dispatch": 8},
+         "steps-per-dispatch": 8, "auto-resume": 0,
+         "checkpoint-every": 0},
         bool_flags={"augment", "fp32", "bf16", "debug-nans", "streaming",
                     "stream-cache"},
     )
@@ -83,10 +91,18 @@ def main(argv: list[str] | None = None) -> int:
         mode if mode not in ("balance", "balanced", "imbalanced") else None
     )
 
+    auto_resume = opts["auto-resume"]
+    checkpoint_every = opts["checkpoint-every"]
+    if auto_resume > 0 and checkpoint_every == 0:
+        # elastic recovery is only epoch-granular with snapshots; a
+        # run that dies before its first save resumes from fresh init
+        checkpoint_every = 1
+
     cfg = TrainConfig(
         epochs=epochs,
         experiment_dir=experiment_dir,
         init_from=opts["init-from"] or None,
+        checkpoint_every=checkpoint_every,
         seed=seed,
         data=DataConfig(
             root_dir=root, balance=balance, batch_size=batch_size,
@@ -109,13 +125,20 @@ def main(argv: list[str] | None = None) -> int:
 
         jax.config.update("jax_debug_nans", True)
 
+    def _run():
+        if auto_resume > 0:
+            # elastic supervision: crash -> locate folder -> resume the
+            # remaining epochs, up to N restarts (--auto-resume N)
+            return run_training_elastic(cfg, retries=auto_resume)
+        return run_training(cfg)
+
     if opts["profile"]:
         from skin_image_analysis_tpu.utils.profiling import trace
 
         with trace(opts["profile"]):
-            folder = run_training(cfg)
+            folder = _run()
     else:
-        folder = run_training(cfg)
+        folder = _run()
     print(f"Experiment folder: {folder}")
     return 0
 

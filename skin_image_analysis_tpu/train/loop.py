@@ -100,17 +100,30 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
             print(f"Resuming training from {folder}")
         train_df = pd.read_csv(train_csv, index_col=0)
         test_df = pd.read_csv(test_csv, index_col=0)
-        model_cfg, loaded = ckpt_lib.load_model(model_path)
-        params, batch_stats = ckpt_lib.split_variables(loaded)
-        state, model = create_train_state(
-            model_cfg, cfg.optim, rng, batch_size=cfg.data.batch_size
-        )
-        if os.path.exists(ckpt_dir):
-            state = ckpt_lib.restore_train_state(ckpt_dir, state)
+        if os.path.exists(model_path):
+            model_cfg, loaded = ckpt_lib.load_model(model_path)
+            params, batch_stats = ckpt_lib.split_variables(loaded)
+            state, model = create_train_state(
+                model_cfg, cfg.optim, rng, batch_size=cfg.data.batch_size
+            )
+            if os.path.exists(ckpt_dir):
+                state = ckpt_lib.restore_train_state(ckpt_dir, state)
+            else:
+                state = state.replace(params=params)
+                if batch_stats is not None:
+                    state = state.replace(batch_stats=batch_stats)
         else:
-            state = state.replace(params=params)
-            if batch_stats is not None:
-                state = state.replace(batch_stats=batch_stats)
+            # Crash before the first save: the folder has the frozen
+            # splits but no weights yet. Keep the splits (the test set
+            # must never leak, tone_bias_train.py:247-249) and start
+            # from fresh init — the elastic-resume path hits this when
+            # a run dies in epoch 1 before any checkpoint.
+            if verbose:
+                print("no model artifact yet; fresh weights, kept splits")
+            model_cfg = cfg.model
+            state, model = create_train_state(
+                model_cfg, cfg.optim, rng, batch_size=cfg.data.batch_size
+            )
     else:
         if verbose:
             print(f"New run in {folder}")
@@ -577,6 +590,17 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
                 model_path, model_cfg, state.params, state.batch_stats
             )
 
+        # Fault injection (SURVEY §5 row the reference lacks): if the
+        # env names a sentinel file, consume it and crash exactly once —
+        # how the elastic-resume path (run_training_elastic) is tested
+        # end to end without real hardware failures.
+        fault = os.environ.get("SIA_FAULT_ONCE")
+        if fault and os.path.exists(fault):
+            os.remove(fault)
+            raise RuntimeError(
+                f"injected fault after epoch {epoch} (SIA_FAULT_ONCE)"
+            )
+
     elapsed = time.time() - start
     if verbose:
         print(f"Training complete in {elapsed // 60:.0f}m {elapsed % 60:.0f}s")
@@ -585,3 +609,76 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
     ckpt_lib.save_model(model_path, model_cfg, state.params, state.batch_stats)
     ckpt_lib.save_train_state(ckpt_dir, state)
     return folder
+
+
+def completed_epochs(folder: str) -> int:
+    """Epoch records across all timestamped JSON-lines files in an
+    experiment folder (resumed runs append new files,
+    tone_bias_train.py:410-424 / tone_bias_analysis.py:326-330)."""
+    import glob
+
+    n = 0
+    for p in glob.glob(os.path.join(folder, "*.json")):
+        if os.path.basename(p)[0].isdigit():
+            with open(p) as f:
+                n += sum(1 for line in f if line.strip())
+    return n
+
+
+def run_training_elastic(
+    cfg: TrainConfig, retries: int = 0, verbose: bool = True
+) -> str:
+    """``run_training`` with automated crash recovery (SURVEY §5's
+    failure-detection/elastic row — the reference's recovery is manual
+    resume-by-rerun, tone_bias_train.py:240-249; this supervises it).
+
+    On an exception the supervisor locates the experiment folder (the
+    one it was resuming, or the newest folder of this mode created since
+    the supervisor started), subtracts the epochs already recorded, and
+    resumes for the remainder — up to ``retries`` restarts. Pair with
+    ``checkpoint_every=1`` for epoch-granular recovery: an epoch whose
+    record was written but whose snapshot wasn't is re-trained from the
+    previous snapshot. A wedged accelerator runtime still needs a
+    process restart; this covers transient failures the process
+    survives. Tested via the SIA_FAULT_ONCE injection hook."""
+    import dataclasses
+    import glob
+
+    supervisor_start = time.time()
+    target = cfg.experiment_dir
+    prefix = "balanced" if cfg.data.balance else "imbalanced"
+    failures = 0
+    while True:
+        run_cfg = cfg
+        if target and os.path.isdir(target):
+            remaining = cfg.epochs - completed_epochs(target)
+            if remaining <= 0:
+                if verbose:
+                    print("auto-resume: training already complete")
+                return target
+            run_cfg = dataclasses.replace(
+                cfg, epochs=remaining, experiment_dir=target
+            )
+        try:
+            return run_training(run_cfg, verbose=verbose)
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:
+            failures += 1
+            if failures > retries:
+                raise
+            if not (target and os.path.isdir(target)):
+                # fresh run died: find the folder it created
+                cands = [
+                    d for d in glob.glob(
+                        os.path.join(cfg.results_dir, f"{prefix}_*")
+                    )
+                    if os.path.isdir(d)
+                    and os.path.getmtime(d) >= supervisor_start - 1
+                ]
+                if cands:
+                    target = max(cands, key=os.path.getmtime)
+            if verbose:
+                print(f"auto-resume: restart {failures}/{retries} after "
+                      f"{type(e).__name__}: {e} -> "
+                      f"{target or 'fresh run'}")
