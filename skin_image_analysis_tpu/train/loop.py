@@ -113,17 +113,21 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
                 if batch_stats is not None:
                     state = state.replace(batch_stats=batch_stats)
         else:
-            # Crash before the first save: the folder has the frozen
-            # splits but no weights yet. Keep the splits (the test set
-            # must never leak, tone_bias_train.py:247-249) and start
-            # from fresh init — the elastic-resume path hits this when
-            # a run dies in epoch 1 before any checkpoint.
-            if verbose:
-                print("no model artifact yet; fresh weights, kept splits")
+            # No model artifact: either a crash before any save (fresh
+            # weights, kept splits — the test set must never leak,
+            # tone_bias_train.py:247-249) or a mid-run crash whose
+            # periodic orbax snapshot exists (restore it; the state tree
+            # comes from cfg.model, which produced the snapshot).
             model_cfg = cfg.model
             state, model = create_train_state(
                 model_cfg, cfg.optim, rng, batch_size=cfg.data.batch_size
             )
+            if os.path.exists(ckpt_dir):
+                state = ckpt_lib.restore_train_state(ckpt_dir, state)
+                if verbose:
+                    print("restored orbax snapshot (no model artifact)")
+            elif verbose:
+                print("no model artifact yet; fresh weights, kept splits")
     else:
         if verbose:
             print(f"New run in {folder}")
@@ -584,11 +588,11 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
 
         if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
             # periodic crash-recovery snapshot (full fidelity: params +
-            # optimizer + RNG); the reference only has end-of-run saves
+            # optimizer + RNG); the reference only has end-of-run saves.
+            # Orbax state only — the model artifact is redundant with it
+            # mid-run (resume rebuilds from cfg.model + the snapshot) and
+            # doubles the ~100 MB/s host-link cost of durability.
             ckpt_lib.save_train_state(ckpt_dir, state)
-            ckpt_lib.save_model(
-                model_path, model_cfg, state.params, state.batch_stats
-            )
 
         # Fault injection (SURVEY §5 row the reference lacks): if the
         # env names a sentinel file, consume it and crash exactly once —
