@@ -59,6 +59,7 @@ from skin_image_analysis_tpu.utils.profiling import Timer
 TRAIN_SET_FILENAME = "session_train.csv"
 TEST_SET_FILENAME = "session_test.csv"
 CHECKPOINT_DIRNAME = "checkpoint"
+PROGRESS_FILENAME = "epochs_completed.log"
 
 
 def _timestamp() -> str:
@@ -116,9 +117,19 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
             # No model artifact: either a crash before any save (fresh
             # weights, kept splits — the test set must never leak,
             # tone_bias_train.py:247-249) or a mid-run crash whose
-            # periodic orbax snapshot exists (restore it; the state tree
-            # comes from cfg.model, which produced the snapshot).
-            model_cfg = cfg.model
+            # periodic orbax snapshot exists. The snapshot's tree shape
+            # comes from whatever the original run trained — cfg.model,
+            # or the init_from artifact's architecture for fine-tune
+            # runs — so rebuild the template the same way.
+            init_params = init_stats = None
+            if cfg.init_from:
+                source = cfg.init_from
+                if os.path.isdir(source):
+                    source = os.path.join(source, ckpt_lib.MODEL_FILENAME)
+                model_cfg, loaded = ckpt_lib.load_model(source)
+                init_params, init_stats = ckpt_lib.split_variables(loaded)
+            else:
+                model_cfg = cfg.model
             state, model = create_train_state(
                 model_cfg, cfg.optim, rng, batch_size=cfg.data.batch_size
             )
@@ -126,18 +137,27 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
                 state = ckpt_lib.restore_train_state(ckpt_dir, state)
                 if verbose:
                     print("restored orbax snapshot (no model artifact)")
-            elif verbose:
-                print("no model artifact yet; fresh weights, kept splits")
+            else:
+                if init_params is not None:  # crashed before epoch 1 of
+                    # a fine-tune run: re-apply the warm start
+                    state = state.replace(params=init_params)
+                    if init_stats is not None:
+                        state = state.replace(batch_stats=init_stats)
+                if verbose:
+                    print("no snapshot yet; initial weights, kept splits")
     else:
         if verbose:
             print(f"New run in {folder}")
-        os.makedirs(folder, exist_ok=True)
         df = read_isic_metadata(cfg.data.root_dir, seed=cfg.data.seed)
         if balance:
             df = balance_dataset(df, seed=cfg.data.seed, verbose=verbose)
         train_df, test_df = shuffle_split(
             df, ratio=cfg.data.split_ratio, seed=cfg.data.seed
         )
+        # Create the folder only once there is something durable to put
+        # in it: a crash during metadata ingest/balancing leaves no
+        # half-made folder for the elastic supervisor to lock onto.
+        os.makedirs(folder, exist_ok=True)
         train_df.to_csv(train_csv)
         test_df.to_csv(test_csv)
         if cfg.init_from:
@@ -274,10 +294,8 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
 
     # Whether multi-step dispatch will run is fully predictable BEFORE
     # decoding (arena rows == table rows, uint8 canonical frames), so
-    # cold start compiles only the programs the run will use. Every
-    # distinct jit costs ~30-90 s through the remote-compile relay —
-    # warming the per-batch train step when the epoch loop will only
-    # ever call the multi-step program wastes a compile.
+    # the whole cold start — 1-step, eval, AND multi-step programs —
+    # warm-compiles on predicted shapes while the decode thread works.
     bs, s = cfg.data.batch_size, cfg.data.canonical_size
     k_spd = cfg.data.steps_per_dispatch
     predicted_arena_bytes = (len(train_table) + len(test_table)) * 3 * s * s
@@ -310,7 +328,7 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
             lambda x: x.copy() if hasattr(x, "copy") else x, state
         )
 
-    def _warm(include_train_step: bool):
+    def _warm():
         """Warm-compile on dummy data while the decode thread works
         (compile + decode are the two cold-start costs; overlap them).
         A real call is required — lower().compile() does not seed the
@@ -318,8 +336,7 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         the state (they donate their first argument)."""
         with Timer("compile") as t_compile:
             warm_state = _copy_state()
-            if include_train_step:
-                warm_state, _ = train_step(warm_state, dummy)
+            warm_state, _ = train_step(warm_state, dummy)
             ev = eval_step(
                 warm_state.params, warm_state.apply_fn, dummy,
                 warm_state.batch_stats,
@@ -371,14 +388,14 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
     # same process (measured both orders, docs/PERF.md §Cold start) —
     # and the 1-step program remains the fallback if multi is disabled.
     try:
-        elapsed = _warm(include_train_step=True)
+        elapsed = _warm()
         if verbose:
             print(f"warm-compiled train+eval steps in {elapsed:.1f}s")
     except Exception as e:
         if use_planar:
             _fallback_to_jnp_preprocess(e)
             try:
-                elapsed = _warm(include_train_step=True)
+                elapsed = _warm()
                 if verbose:
                     print(f"warm-compiled train+eval steps in "
                           f"{elapsed:.1f}s (jnp preprocess)")
@@ -517,11 +534,7 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
 
             import jax.numpy as jnp
 
-            rep = None
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
-
-                rep = NamedSharding(mesh, PartitionSpec())
+            rep = replicated
             for i, (ib, lb, vd) in enumerate(
                 train_loader.super_batches(cfg.data.steps_per_dispatch)
             ):
@@ -564,6 +577,22 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
             print(f"Train Loss: {avg_batch_loss:.4f} Train Acc: {train_accuracy:.4f}")
             print(f"Epoch time: {epoch_time:.2f}s\n")
 
+        if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
+            # Periodic crash-recovery snapshot (full fidelity: params +
+            # optimizer + RNG); the reference only has end-of-run saves.
+            # Orbax state only — a per-epoch model artifact would double
+            # the ~100 MB/s host-link cost of durability. Saved BEFORE
+            # the epoch's progress marker and record: a crash between
+            # snapshot and marker re-trains that epoch from its own
+            # snapshot (a few redundant steps), never the reverse (an
+            # epoch marked complete whose weights were lost).
+            ckpt_lib.save_train_state(ckpt_dir, state)
+
+        # one line per completed epoch — the elastic supervisor's epoch
+        # counter (fairness records only exist on eval_every epochs)
+        with open(os.path.join(folder, PROGRESS_FILENAME), "a") as f:
+            f.write(f"{int(time.time())}\n")
+
         if cfg.eval_every and (epoch + 1) % cfg.eval_every == 0:
             record = evaluate_fairness(
                 state.params, state.apply_fn, test_loader, test_table,
@@ -585,14 +614,6 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
                 os.path.join(folder, "session_model_best.msgpack"),
                 model_cfg, state.params, state.batch_stats,
             )
-
-        if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
-            # periodic crash-recovery snapshot (full fidelity: params +
-            # optimizer + RNG); the reference only has end-of-run saves.
-            # Orbax state only — the model artifact is redundant with it
-            # mid-run (resume rebuilds from cfg.model + the snapshot) and
-            # doubles the ~100 MB/s host-link cost of durability.
-            ckpt_lib.save_train_state(ckpt_dir, state)
 
         # Fault injection (SURVEY §5 row the reference lacks): if the
         # env names a sentinel file, consume it and crash exactly once —
@@ -616,11 +637,17 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
 
 
 def completed_epochs(folder: str) -> int:
-    """Epoch records across all timestamped JSON-lines files in an
-    experiment folder (resumed runs append new files,
-    tone_bias_train.py:410-424 / tone_bias_analysis.py:326-330)."""
+    """Completed training epochs in an experiment folder: the progress
+    marker file (one line per epoch, written after the snapshot), or —
+    for folders from before the marker existed — the fairness records
+    across all timestamped JSON-lines files (only correct when
+    eval_every == 1; the marker file is the reliable source)."""
     import glob
 
+    progress = os.path.join(folder, PROGRESS_FILENAME)
+    if os.path.exists(progress):
+        with open(progress) as f:
+            return sum(1 for line in f if line.strip())
     n = 0
     for p in glob.glob(os.path.join(folder, "*.json")):
         if os.path.basename(p)[0].isdigit():
@@ -640,11 +667,12 @@ def run_training_elastic(
     one it was resuming, or the newest folder of this mode created since
     the supervisor started), subtracts the epochs already recorded, and
     resumes for the remainder — up to ``retries`` restarts. Pair with
-    ``checkpoint_every=1`` for epoch-granular recovery: an epoch whose
-    record was written but whose snapshot wasn't is re-trained from the
-    previous snapshot. A wedged accelerator runtime still needs a
-    process restart; this covers transient failures the process
-    survives. Tested via the SIA_FAULT_ONCE injection hook."""
+    ``checkpoint_every=1`` for epoch-granular recovery: the snapshot is
+    saved before the epoch's progress marker, so a crash in between
+    re-trains that epoch from its own snapshot (never the reverse). A
+    wedged accelerator runtime still needs a process restart; this
+    covers transient failures the process survives. Tested via the
+    SIA_FAULT_ONCE injection hook."""
     import dataclasses
     import glob
 
@@ -671,14 +699,21 @@ def run_training_elastic(
             failures += 1
             if failures > retries:
                 raise
+            if target and os.path.isdir(target) and not os.path.exists(
+                os.path.join(target, TRAIN_SET_FILENAME)
+            ):
+                # half-made folder (no frozen splits): resuming it can
+                # only fail again — abandon it and run fresh instead
+                target = None
             if not (target and os.path.isdir(target)):
-                # fresh run died: find the folder it created
+                # fresh run died: find the folder it created, if any
                 cands = [
                     d for d in glob.glob(
                         os.path.join(cfg.results_dir, f"{prefix}_*")
                     )
                     if os.path.isdir(d)
                     and os.path.getmtime(d) >= supervisor_start - 1
+                    and os.path.exists(os.path.join(d, TRAIN_SET_FILENAME))
                 ]
                 if cands:
                     target = max(cands, key=os.path.getmtime)

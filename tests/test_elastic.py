@@ -34,6 +34,25 @@ def test_elastic_resumes_after_injected_fault(
     assert "session_train.csv" in names
 
 
+def test_elastic_counts_epochs_without_fairness_records(
+    synth_root, tmp_path, monkeypatch
+):
+    """The epoch counter must come from the progress markers, not the
+    fairness records — with eval_every=2 only half the epochs have
+    records, and counting those would over-train after a resume."""
+    fault = tmp_path / "fault_ee"
+    fault.write_text("")
+    monkeypatch.setenv("SIA_FAULT_ONCE", str(fault))
+    cfg = dataclasses.replace(
+        _tiny_cfg(synth_root, tmp_path, epochs=4),
+        checkpoint_every=1, eval_every=2,
+    )
+    folder = run_training_elastic(cfg, retries=2, verbose=False)
+    assert completed_epochs(folder) == 4
+    with open(os.path.join(folder, "epochs_completed.log")) as f:
+        assert sum(1 for ln in f if ln.strip()) == 4
+
+
 def test_elastic_gives_up_when_retries_exhausted(
     synth_root, tmp_path, monkeypatch
 ):
