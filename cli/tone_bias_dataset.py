@@ -54,7 +54,11 @@ def main(argv: list[str] | None = None) -> int:
     n = 0
     start = time.time()
     for batch in loader:
-        n += int(batch["valid"].sum())
+        # host-side count: compiling an XLA program just to sum a bool
+        # mask costs ~30-90 s through the remote-compile relay
+        import numpy as np
+
+        n += int(np.asarray(batch["valid"]).sum())
     print(f"iterated {n} instances in {time.time() - start:.1f}s")
     return 0
 
