@@ -153,18 +153,38 @@ class HostImageStore:
                 decoded = True
             except Exception:
                 decoded = False
+        self.bad_rows: list[int] = []
         if not decoded:
             def _one(p):
-                img = decode_image(p, self.size, mode=resize_mode)
-                return np.transpose(img, (2, 0, 1)) if layout == "planar" else img
+                # A corrupt or missing file must not kill a whole-cohort
+                # ingest (the reference dies mid-epoch on it): zero-fill
+                # the slot and report it.
+                try:
+                    img = decode_image(p, self.size, mode=resize_mode)
+                except Exception:
+                    return None
+                return (np.transpose(img, (2, 0, 1))
+                        if layout == "planar" else img)
 
             if workers > 1:
                 with ThreadPoolExecutor(max_workers=workers) as pool:
-                    for i, img in enumerate(pool.map(_one, paths)):
-                        self.images[i] = img
+                    results = pool.map(_one, paths)
             else:
-                for i, p in enumerate(paths):
-                    self.images[i] = _one(p)
+                results = map(_one, paths)
+            for i, img in enumerate(results):
+                if img is None:
+                    self.images[i] = 0
+                    self.bad_rows.append(i)
+                else:
+                    self.images[i] = img
+            if self.bad_rows:
+                import warnings
+
+                warnings.warn(
+                    f"{len(self.bad_rows)} image(s) failed to decode and "
+                    f"were zero-filled (first: "
+                    f"{paths[self.bad_rows[0]]})", stacklevel=2,
+                )
 
     def __len__(self) -> int:
         return len(self.images)

@@ -104,8 +104,21 @@ class ChunkedBatchIterator:
 
             native_loader.decode_batch_into(paths, out)
         except Exception:
+            bad = []
             for j, p in enumerate(paths):
-                out[j] = decode_image(p, self.size)
+                try:
+                    out[j] = decode_image(p, self.size)
+                except Exception:
+                    out[j] = 0  # corrupt file: zero-fill, keep streaming
+                    bad.append(p)
+            if bad:
+                import warnings
+
+                warnings.warn(
+                    f"{len(bad)} image(s) failed to decode in a chunk "
+                    f"and were zero-filled (first: {bad[0]})",
+                    stacklevel=2,
+                )
         if self._cache is not None:
             self._cache[idx] = out
             self._cache_ready[idx] = True

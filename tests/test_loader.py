@@ -151,6 +151,27 @@ def test_store_uses_native_when_available(synth_root):
     assert diff.mean() < 2.0
 
 
+def test_corrupt_image_zero_fills_instead_of_crashing(synth_root, tmp_path):
+    """A corrupt JPEG must not kill whole-cohort ingest (the reference
+    dies mid-epoch): the slot zero-fills, the row is reported, and the
+    rest of the arena decodes normally."""
+    import shutil
+
+    root = tmp_path / "corrupt_root"
+    shutil.copytree(synth_root, root)
+    df = read_isic_metadata(str(root), seed=0)
+    victim = df.iloc[0]["isic_id"]
+    victim_path = root / f"{victim}.jpg"
+    victim_path.write_bytes(b"not a jpeg at all")
+    table = LesionTable(df, str(root))
+    with pytest.warns(UserWarning, match="failed to decode"):
+        store = HostImageStore(table, canonical_size=32, use_native=False)
+    assert len(store.bad_rows) == 1
+    assert store.images[store.bad_rows[0]].sum() == 0
+    good = [i for i in range(len(store)) if i not in store.bad_rows]
+    assert store.images[good].sum() > 0  # the rest decoded
+
+
 def test_rescale_image_int_preserves_aspect():
     from skin_image_analysis_tpu.data.loader import rescale_image
 
