@@ -144,34 +144,45 @@ class HostImageStore:
             else (len(paths), 3, canonical_size, canonical_size)
         )
         self.images = np.empty(shape, np.uint8)
+        self.bad_rows: list[int] = []
         decoded = False
+        retry: list[int] | None = None
         if use_native:
             try:
                 from skin_image_analysis_tpu.data import native_loader
 
-                native_loader.decode_batch_into(paths, self.images)
+                retry = native_loader.decode_batch_into(
+                    paths, self.images, on_error="report"
+                )
                 decoded = True
             except Exception:
-                decoded = False
-        self.bad_rows: list[int] = []
-        if not decoded:
-            def _one(p):
-                # A corrupt or missing file must not kill a whole-cohort
-                # ingest (the reference dies mid-epoch on it): zero-fill
-                # the slot and report it.
-                try:
-                    img = decode_image(p, self.size, mode=resize_mode)
-                except Exception:
-                    return None
-                return (np.transpose(img, (2, 0, 1))
-                        if layout == "planar" else img)
+                decoded = False  # decoder unavailable: python path below
 
-            if workers > 1:
+        def _one(p):
+            # A corrupt or missing file must not kill a whole-cohort
+            # ingest (the reference dies mid-epoch on it): zero-fill
+            # the slot and report it.
+            try:
+                img = decode_image(p, self.size, mode=resize_mode)
+            except Exception:
+                return None
+            return (np.transpose(img, (2, 0, 1))
+                    if layout == "planar" else img)
+
+        if not decoded:
+            todo = list(range(len(paths)))
+        else:
+            # native decode succeeded except possibly a few reported
+            # slots — retry just those on the python path (a corrupt
+            # file costs one retry, not a whole-cohort bail-out)
+            todo = retry or []
+        if todo:
+            if workers > 1 and len(todo) > 1:
                 with ThreadPoolExecutor(max_workers=workers) as pool:
-                    results = pool.map(_one, paths)
+                    results = pool.map(_one, (paths[i] for i in todo))
             else:
-                results = map(_one, paths)
-            for i, img in enumerate(results):
+                results = map(_one, (paths[i] for i in todo))
+            for i, img in zip(todo, results):
                 if img is None:
                     self.images[i] = 0
                     self.bad_rows.append(i)

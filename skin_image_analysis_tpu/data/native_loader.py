@@ -69,12 +69,18 @@ def available() -> bool:
 
 
 def decode_batch_into(
-    paths: list[str], out: np.ndarray, n_threads: int | None = None
-) -> int:
+    paths: list[str], out: np.ndarray, n_threads: int | None = None,
+    on_error: str = "raise",
+) -> int | list[int]:
     """Decode ``paths`` into the preallocated uint8 arena — HWC
     ``out[N, S, S, 3]`` or planar ``out[N, 3, S, S]`` (layout inferred
-    from the shape). Raises IOError when any image fails to decode.
-    Returns the number of images decoded."""
+    from the shape).
+
+    ``on_error="raise"`` raises IOError when any image fails and returns
+    the decoded count; ``on_error="report"`` returns the list of failed
+    indices instead (possibly empty) so the caller can retry just those
+    slots — one corrupt file then costs one Python-path retry, not a
+    whole-cohort native bail-out."""
     lib = _load()
     n = len(paths)
     if out.shape[0] != n or out.dtype != np.uint8 or not out.flags["C_CONTIGUOUS"]:
@@ -101,6 +107,8 @@ def decode_batch_into(
         ctypes.byref(n_failed),
         planar,
     )
+    if on_error == "report":
+        return [failed_idx[i] for i in range(n_failed.value)]
     if n_failed.value:
         bad = [paths[failed_idx[i]] for i in range(min(n_failed.value, 5))]
         raise IOError(

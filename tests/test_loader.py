@@ -171,6 +171,18 @@ def test_corrupt_image_zero_fills_instead_of_crashing(synth_root, tmp_path):
     good = [i for i in range(len(store)) if i not in store.bad_rows]
     assert store.images[good].sum() > 0  # the rest decoded
 
+    # native path: the decoder reports the failed slot, the python
+    # retry also fails, same zero-fill outcome — no whole-cohort bail
+    from skin_image_analysis_tpu.data import native_loader
+
+    if native_loader.available():
+        with pytest.warns(UserWarning, match="failed to decode"):
+            nstore = HostImageStore(
+                table, canonical_size=32, use_native=True
+            )
+        assert nstore.bad_rows == store.bad_rows
+        assert nstore.images[good].sum() > 0
+
 
 def test_rescale_image_int_preserves_aspect():
     from skin_image_analysis_tpu.data.loader import rescale_image
