@@ -258,6 +258,12 @@ class BatchIterator:
         # gathers its own batch shard locally — no cross-device pixel
         # traffic per batch.
         self.device_arena = device_arena
+        # rows whose decode failed (zero-filled) train/evaluate as
+        # valid=False — a black image with a real label would otherwise
+        # inject label noise and skew the fairness metrics
+        self._row_ok = np.ones(len(store), bool)
+        for i in getattr(store, "bad_rows", None) or []:
+            self._row_ok[i] = False
         self._idx_sharding = None
         self._gather = None
         if device_arena is not None:
@@ -293,7 +299,7 @@ class BatchIterator:
             idx = order[start : start + bs]
             labels = table.labels[idx]
             row_ids = table.row_ids[idx]
-            valid = np.ones(len(idx), bool)
+            valid = self._row_ok[idx]
             if len(idx) < bs:
                 idx = _pad_to(bs, idx)  # pad indices → valid gather rows
                 labels = _pad_to(bs, labels)
@@ -369,9 +375,9 @@ class BatchIterator:
         idx_all = order[: n_batches * bs] if self.drop_remainder else _pad_to(
             n_batches * bs, order
         )
-        valid_all = np.ones(n_batches * bs, bool)
-        if not self.drop_remainder and len(order) < n_batches * bs:
-            valid_all[len(order):] = False
+        valid_all = np.zeros(n_batches * bs, bool)
+        kept = min(len(order), n_batches * bs)
+        valid_all[:kept] = self._row_ok[order[:kept]]
         idx_all = idx_all.reshape(n_batches, bs).astype(np.int32)
         valid_all = valid_all.reshape(n_batches, bs)
         labels_all = table.labels[idx_all].astype(np.int32)

@@ -71,6 +71,11 @@ class ChunkedBatchIterator:
         self.device_chunks = device_chunks
         self._paths = table.file_paths()
         self._gather = None
+        # global row indices whose decode failed (zero-filled frames):
+        # their batches carry valid=False. Populated as chunks decode;
+        # a pre-existing disk cache from another process cannot recover
+        # which frames were bad (they are cached as zeros).
+        self._bad: set[int] = set()
         # decode-once disk cache: canonical uint8 memmap [N, S, S, 3]
         self._cache = None
         self._cache_ready = None
@@ -102,23 +107,30 @@ class ChunkedBatchIterator:
         try:
             from skin_image_analysis_tpu.data import native_loader
 
-            native_loader.decode_batch_into(paths, out)
+            # report mode: one corrupt file costs one python-path retry
+            # for that slot, not a whole-chunk native bail-out
+            todo = native_loader.decode_batch_into(
+                paths, out, on_error="report"
+            )
         except Exception:
-            bad = []
-            for j, p in enumerate(paths):
-                try:
-                    out[j] = decode_image(p, self.size)
-                except Exception:
-                    out[j] = 0  # corrupt file: zero-fill, keep streaming
-                    bad.append(p)
-            if bad:
-                import warnings
+            todo = list(range(len(paths)))  # decoder unavailable
+        bad_local = []
+        for j in todo:
+            try:
+                out[j] = decode_image(paths[j], self.size)
+            except Exception:
+                out[j] = 0  # corrupt file: zero-fill, keep streaming
+                bad_local.append(j)
+        if bad_local:
+            import warnings
 
-                warnings.warn(
-                    f"{len(bad)} image(s) failed to decode in a chunk "
-                    f"and were zero-filled (first: {bad[0]})",
-                    stacklevel=2,
-                )
+            # batches carry these rows with valid=False (see __iter__)
+            self._bad.update(int(idx[j]) for j in bad_local)
+            warnings.warn(
+                f"{len(bad_local)} image(s) failed to decode in a chunk "
+                f"and were zero-filled (first: {paths[bad_local[0]]})",
+                stacklevel=2,
+            )
         if self._cache is not None:
             self._cache[idx] = out
             self._cache_ready[idx] = True
@@ -191,7 +203,13 @@ class ChunkedBatchIterator:
                 local = np.arange(sel.start, min(sel.stop, n), dtype=np.int32)
                 labels = self.table.labels[b_idx]
                 row_ids = self.table.row_ids[b_idx]
-                valid = np.ones(len(b_idx), bool)
+                if self._bad:
+                    valid = np.fromiter(
+                        (int(i) not in self._bad for i in b_idx),
+                        bool, len(b_idx),
+                    )
+                else:
+                    valid = np.ones(len(b_idx), bool)
                 if len(b_idx) < bs:  # pad the cohort's final partial batch
                     pad = bs - len(b_idx)
                     local = np.concatenate([local, np.zeros(pad, np.int32)])

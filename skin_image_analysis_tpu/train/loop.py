@@ -96,6 +96,10 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
 
     rng = jax.random.key(cfg.seed)
 
+    # total snapshot-backed epochs already in the folder (0 for fresh
+    # runs); progress markers written this run encode base + local epoch
+    base_done = completed_epochs(folder) if is_resume else 0
+
     if is_resume:
         if verbose:
             print(f"Resuming training from {folder}")
@@ -581,17 +585,13 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
             # Periodic crash-recovery snapshot (full fidelity: params +
             # optimizer + RNG); the reference only has end-of-run saves.
             # Orbax state only — a per-epoch model artifact would double
-            # the ~100 MB/s host-link cost of durability. Saved BEFORE
-            # the epoch's progress marker and record: a crash between
-            # snapshot and marker re-trains that epoch from its own
-            # snapshot (a few redundant steps), never the reverse (an
-            # epoch marked complete whose weights were lost).
+            # the ~100 MB/s host-link cost of durability. The progress
+            # marker is written AFTER the snapshot and records the total
+            # epochs that snapshot contains: elastic resume only ever
+            # counts snapshot-backed epochs, so a crash anywhere re-trains
+            # at most the unsnapshotted tail, never skips a lost epoch.
             ckpt_lib.save_train_state(ckpt_dir, state)
-
-        # one line per completed epoch — the elastic supervisor's epoch
-        # counter (fairness records only exist on eval_every epochs)
-        with open(os.path.join(folder, PROGRESS_FILENAME), "a") as f:
-            f.write(f"{int(time.time())}\n")
+            _mark_progress(folder, base_done + epoch + 1)
 
         if cfg.eval_every and (epoch + 1) % cfg.eval_every == 0:
             record = evaluate_fairness(
@@ -633,21 +633,36 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
 
     ckpt_lib.save_model(model_path, model_cfg, state.params, state.batch_stats)
     ckpt_lib.save_train_state(ckpt_dir, state)
+    _mark_progress(folder, base_done + cfg.epochs)
     return folder
 
 
+def _mark_progress(folder: str, total_epochs_done: int) -> None:
+    """Append a progress marker: the TOTAL snapshot-backed epochs in the
+    folder as of the save that just completed."""
+    with open(os.path.join(folder, PROGRESS_FILENAME), "a") as f:
+        f.write(f"{int(total_epochs_done)}\n")
+
+
 def completed_epochs(folder: str) -> int:
-    """Completed training epochs in an experiment folder: the progress
-    marker file (one line per epoch, written after the snapshot), or —
-    for folders from before the marker existed — the fairness records
-    across all timestamped JSON-lines files (only correct when
-    eval_every == 1; the marker file is the reliable source)."""
+    """Snapshot-backed completed epochs in an experiment folder: the
+    last progress marker (written right after each state save). For
+    pre-marker legacy folders, fall back to counting fairness records —
+    but only when a model artifact exists (without persisted weights the
+    correct answer is 0: those epochs cannot be resumed, only
+    re-trained)."""
     import glob
 
     progress = os.path.join(folder, PROGRESS_FILENAME)
     if os.path.exists(progress):
+        last = 0
         with open(progress) as f:
-            return sum(1 for line in f if line.strip())
+            for line in f:
+                if line.strip():
+                    last = int(line)
+        return last
+    if not os.path.exists(os.path.join(folder, ckpt_lib.MODEL_FILENAME)):
+        return 0
     n = 0
     for p in glob.glob(os.path.join(folder, "*.json")):
         if os.path.basename(p)[0].isdigit():
@@ -699,12 +714,22 @@ def run_training_elastic(
             failures += 1
             if failures > retries:
                 raise
-            if target and os.path.isdir(target) and not os.path.exists(
-                os.path.join(target, TRAIN_SET_FILENAME)
-            ):
-                # half-made folder (no frozen splits): resuming it can
-                # only fail again — abandon it and run fresh instead
+
+            def _has_splits(d):
+                # BOTH frozen-split CSVs (test is written last); a folder
+                # missing either can never resume
+                return all(
+                    os.path.exists(os.path.join(d, f))
+                    for f in (TRAIN_SET_FILENAME, TEST_SET_FILENAME)
+                )
+
+            if target and os.path.isdir(target) and not _has_splits(target):
+                # half-made folder: abandon it and run fresh instead —
+                # including when cfg itself named it, or retries would
+                # re-resume the same broken folder forever
                 target = None
+                if cfg.experiment_dir:
+                    cfg = dataclasses.replace(cfg, experiment_dir=None)
             if not (target and os.path.isdir(target)):
                 # fresh run died: find the folder it created, if any
                 cands = [
@@ -713,7 +738,7 @@ def run_training_elastic(
                     )
                     if os.path.isdir(d)
                     and os.path.getmtime(d) >= supervisor_start - 1
-                    and os.path.exists(os.path.join(d, TRAIN_SET_FILENAME))
+                    and _has_splits(d)
                 ]
                 if cands:
                     target = max(cands, key=os.path.getmtime)

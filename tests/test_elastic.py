@@ -50,7 +50,9 @@ def test_elastic_counts_epochs_without_fairness_records(
     folder = run_training_elastic(cfg, retries=2, verbose=False)
     assert completed_epochs(folder) == 4
     with open(os.path.join(folder, "epochs_completed.log")) as f:
-        assert sum(1 for ln in f if ln.strip()) == 4
+        values = [int(ln) for ln in f if ln.strip()]
+    assert values[-1] == 4
+    assert values == sorted(values)  # totals, monotone across resumes
 
 
 def test_elastic_gives_up_when_retries_exhausted(
@@ -64,6 +66,38 @@ def test_elastic_gives_up_when_retries_exhausted(
     )
     with pytest.raises(RuntimeError, match="injected fault"):
         run_training_elastic(cfg, retries=0, verbose=False)
+
+
+def test_elastic_without_snapshots_retrains_in_full(
+    synth_root, tmp_path, monkeypatch
+):
+    """checkpoint_every=0: a crashed run's epochs were never persisted,
+    so they must not count as complete — the retry re-trains in full."""
+    fault = tmp_path / "fault_ns"
+    fault.write_text("")
+    monkeypatch.setenv("SIA_FAULT_ONCE", str(fault))
+    cfg = _tiny_cfg(synth_root, tmp_path, epochs=2)  # no checkpoints
+    folder = run_training_elastic(cfg, retries=1, verbose=False)
+    assert completed_epochs(folder) == 2
+    with open(os.path.join(folder, "epochs_completed.log")) as f:
+        values = [int(ln) for ln in f if ln.strip()]
+    # only the final save marks progress: the crashed attempt left none
+    assert values == [2]
+
+
+def test_elastic_abandons_broken_experiment_dir(synth_root, tmp_path):
+    """A target folder without split CSVs can never resume; the
+    supervisor must fall back to a fresh run instead of burning every
+    retry on it."""
+    broken = tmp_path / "results" / "imbalanced_broken"
+    broken.mkdir(parents=True)
+    cfg = dataclasses.replace(
+        _tiny_cfg(synth_root, tmp_path, epochs=1),
+        experiment_dir=str(broken),
+    )
+    folder = run_training_elastic(cfg, retries=1, verbose=False)
+    assert folder != str(broken)
+    assert completed_epochs(folder) == 1
 
 
 def test_elastic_resume_counts_existing_epochs(synth_root, tmp_path):
