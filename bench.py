@@ -3,8 +3,8 @@
 HAM-2018-style workload — the production SkinCancerListModel at 224x224,
 through the production hot path: planar uint8 device arena, Pallas fused
 preprocess + augmentation inside the step, pool-phase-packed first conv
-block + selector-VJP pools, bf16 compute with bf16 adam moments
-(OptimConfig(moment_dtype="bfloat16"), exposed on the train CLI), and
+block + selector-VJP pools, bf16 compute with both adam moments stored
+bf16 (OptimConfig moment_dtype + nu_dtype, exposed on the train CLI), and
 multi-step dispatch (train.step.make_multi_train_step — the same program
 run_training uses with DataConfig.steps_per_dispatch).
 
@@ -56,7 +56,8 @@ def main() -> int:
     model_cfg = ModelConfig(compute_dtype="bfloat16")
     state, _ = create_train_state(
         model_cfg,
-        OptimConfig(learning_rate=1e-5, moment_dtype="bfloat16"),
+        OptimConfig(learning_rate=1e-5, moment_dtype="bfloat16",
+                    nu_dtype="bfloat16"),
         jax.random.key(0),
         batch_size=batch_size,
     )

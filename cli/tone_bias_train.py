@@ -49,6 +49,7 @@ def _optim_config(lr: float, class_weights: str, opts: dict) -> "OptimConfig":
         lr_decay_steps=opts["lr-decay-steps"],
         lr_warmup_steps=opts["lr-warmup-steps"],
         moment_dtype=opts["moment-dtype"] or None,
+        nu_dtype=opts["nu-dtype"] or None,
     )
     if class_weights == "auto":
         return OptimConfig(auto_class_weights=True, **kw)
@@ -67,7 +68,7 @@ def main(argv: list[str] | None = None) -> int:
          "model": "skin_cancer_list", "image-size": 224, "profile": "",
          "chunk-size": 2048, "class-weights": "", "lr-schedule": "",
          "lr-step-size": 0, "lr-gamma": 0.1, "lr-decay-steps": 0,
-         "lr-warmup-steps": 0, "moment-dtype": "",
+         "lr-warmup-steps": 0, "moment-dtype": "", "nu-dtype": "",
          "steps-per-dispatch": 8, "auto-resume": 0,
          "checkpoint-every": 0},
         bool_flags={"augment", "fp32", "bf16", "debug-nans", "streaming",

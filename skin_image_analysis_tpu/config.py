@@ -99,7 +99,17 @@ class OptimConfig:
     learning_rate: float = 1e-5    # reference production LR (train.py:376)
     weight_decay: float = 0.0
     momentum: float = 0.0
-    moment_dtype: str | None = None  # "bfloat16" halves adam moment HBM
+    moment_dtype: str | None = None  # "bfloat16" stores adam's FIRST
+                                     # moment (mu) bf16 — optax semantics,
+                                     # safe for long runs
+    nu_dtype: str | None = None      # "bfloat16" ALSO stores the second
+                                     # moment bf16 with -lr folded into the
+                                     # update (the bench operating point).
+                                     # Caveat: once nu grows, (1-b2)*g^2
+                                     # increments below bf16 ulp (~0.4%
+                                     # relative) round away — on very long
+                                     # runs the effective step can drift.
+                                     # Default f32 keeps optax semantics.
     class_weights: tuple[float, ...] | None = None  # weighted NLL for imbalanced runs
     auto_class_weights: bool = False  # derive balanced weights from the
                                       # train split (imbalanced config)

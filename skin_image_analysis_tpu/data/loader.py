@@ -360,12 +360,17 @@ class BatchIterator:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
-    def super_batches(self, k: int):
+    def super_batches(self, k: int, with_row_ids: bool = False):
         """Epoch as [k, B] index/label/valid super-steps for the scanned
         multi-train-step (train.step.make_multi_train_step): only these
         small arrays cross the host link — pixels stay in the device
         arena. The tail super-step is padded with valid=False steps
-        (inert: the scan skips their optimizer update)."""
+        (inert: the scan skips their optimizer update).
+
+        ``with_row_ids=True`` yields ``(idx, label, row_id, valid)``
+        (row_id -1 on padded rows) for the scanned eval program
+        (make_multi_eval_step), which joins predictions back to metadata
+        by row_id."""
         order = self._epoch_order()
         table = self.store.table
         bs = self.batch_size
@@ -381,13 +386,26 @@ class BatchIterator:
         idx_all = idx_all.reshape(n_batches, bs).astype(np.int32)
         valid_all = valid_all.reshape(n_batches, bs)
         labels_all = table.labels[idx_all].astype(np.int32)
+        rows_all = None
+        if with_row_ids:
+            rows_all = np.where(
+                valid_all, table.row_ids[idx_all], -1
+            ).astype(np.int32)
         for start in range(0, n_batches, k):
             ib = idx_all[start : start + k]
             lb = labels_all[start : start + k]
             vd = valid_all[start : start + k]
+            rid = None if rows_all is None else rows_all[start : start + k]
             if len(ib) < k:  # pad tail with inert steps
                 pad = k - len(ib)
                 ib = np.concatenate([ib, np.zeros((pad, bs), np.int32)])
                 lb = np.concatenate([lb, np.zeros((pad, bs), np.int32)])
                 vd = np.concatenate([vd, np.zeros((pad, bs), bool)])
-            yield ib, lb, vd
+                if rid is not None:
+                    rid = np.concatenate(
+                        [rid, -np.ones((pad, bs), np.int32)]
+                    )
+            if with_row_ids:
+                yield ib, lb, rid, vd
+            else:
+                yield ib, lb, vd

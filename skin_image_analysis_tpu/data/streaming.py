@@ -72,9 +72,11 @@ class ChunkedBatchIterator:
         self._paths = table.file_paths()
         self._gather = None
         # global row indices whose decode failed (zero-filled frames):
-        # their batches carry valid=False. Populated as chunks decode;
-        # a pre-existing disk cache from another process cannot recover
-        # which frames were bad (they are cached as zeros).
+        # their batches carry valid=False. Populated as chunks decode; a
+        # completed disk cache persists the set next to its .ready flag
+        # so a resumed process (exactly the --auto-resume flow) keeps
+        # serving those rows invalid instead of training zero-filled
+        # frames with real labels.
         self._bad: set[int] = set()
         # decode-once disk cache: canonical uint8 memmap [N, S, S, 3]
         self._cache = None
@@ -95,9 +97,15 @@ class ChunkedBatchIterator:
                 )
             flag = cache_path + ".ready"
             self._cache_flag = flag
+            self._bad_file = cache_path + ".bad"
             self._cache_ready = np.zeros(n, bool)
             if os.path.exists(flag):
                 self._cache_ready[:] = np.fromfile(flag, bool)[:n]
+                if os.path.exists(self._bad_file):
+                    self._bad.update(
+                        int(i)
+                        for i in np.fromfile(self._bad_file, np.int64)
+                    )
 
     def _decode_chunk(self, idx: np.ndarray) -> np.ndarray:
         if self._cache is not None and self._cache_ready[idx].all():
@@ -136,6 +144,12 @@ class ChunkedBatchIterator:
             self._cache_ready[idx] = True
             if self._cache_ready.all():
                 self._cache.flush()
+                # bad-row set BEFORE the ready flag: a crash in between
+                # leaves an unflagged cache (fully re-validated on reuse),
+                # never a ready cache with amnesia about corrupt rows
+                np.asarray(sorted(self._bad), np.int64).tofile(
+                    self._bad_file
+                )
                 self._cache_ready.tofile(self._cache_flag)
         return out
 

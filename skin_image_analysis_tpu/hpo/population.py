@@ -234,7 +234,9 @@ def _scale_tx(optimizer: str) -> optax.GradientTransformation:
     if optimizer == "adam":
         return optax.scale_by_adam()
     if optimizer == "rmsprop":
-        return optax.scale_by_rms()
+        # torch RMSprop defaults (alpha=0.99, eps outside the sqrt) —
+        # same semantics as train.state.make_optimizer's rmsprop
+        return optax.scale_by_rms(decay=0.99, eps=1e-8, eps_in_sqrt=False)
     if optimizer == "sgd":
         return optax.identity()
     raise ValueError(f"unknown optimizer {optimizer!r}")

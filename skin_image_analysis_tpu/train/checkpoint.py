@@ -109,6 +109,63 @@ def save_train_state(ckpt_dir: str, state: TrainState) -> None:
         ckptr.save(path, payload, force=True)
 
 
+def _find_adam_moments(tree: Any):
+    """Depth-first search a restored (template-free) pytree for a node
+    shaped like optax's adam state: {count, mu, nu}. Orbax restores
+    NamedTuples/tuples as dicts, so match by field names."""
+    import optax
+
+    if isinstance(tree, optax.ScaleByAdamState):
+        return tree.count, tree.mu, tree.nu
+    if isinstance(tree, dict):
+        if {"count", "mu", "nu"} <= set(tree):
+            return tree["count"], tree["mu"], tree["nu"]
+        for v in tree.values():
+            found = _find_adam_moments(v)
+            if found is not None:
+                return found
+    if isinstance(tree, (list, tuple)):
+        for v in tree:
+            found = _find_adam_moments(v)
+            if found is not None:
+                return found
+    return None
+
+
+def _adapt_adam_opt_state(template_opt: Any, count, mu, nu):
+    """Rebuild the template's opt_state structure carrying restored adam
+    moments — the migration between the two in-tree adam formats (plain
+    ``optax.adam`` chain vs the bare lowp ``ScaleByAdamState``, which
+    differ per OptimConfig.nu_dtype / code revision). Moment leaves cast
+    to the template's storage dtypes; any schedule counters take the
+    restored step count so LR-schedule position survives the migration."""
+    import optax
+
+    jnp = jax.numpy
+
+    def cast_like(new, tmpl):
+        return jax.tree.map(
+            lambda n, t: jnp.asarray(n, t.dtype), new, tmpl
+        )
+
+    def rebuild(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(
+                count=jnp.asarray(count, node.count.dtype),
+                mu=cast_like(mu, node.mu),
+                nu=cast_like(nu, node.nu),
+            )
+        if isinstance(node, optax.ScaleByScheduleState):
+            return optax.ScaleByScheduleState(
+                count=jnp.asarray(count, node.count.dtype)
+            )
+        if isinstance(node, tuple) and type(node) is tuple:
+            return tuple(rebuild(v) for v in node)
+        return node
+
+    return rebuild(template_opt)
+
+
 def restore_train_state(ckpt_dir: str, template: TrainState) -> TrainState:
     import orbax.checkpoint as ocp
 
@@ -122,11 +179,24 @@ def restore_train_state(ckpt_dir: str, template: TrainState) -> TrainState:
     if template.batch_stats is not None:
         target["batch_stats"] = jax.device_get(template.batch_stats)
     with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(path, item=target)
+        try:
+            restored = ckptr.restore(path, item=target)
+            opt_state = restored["opt_state"]
+        except Exception:
+            # opt_state structure mismatch — e.g. a snapshot written
+            # under a different adam moment-storage mode (OptimConfig.
+            # nu_dtype toggles between optax.adam's chain tuple and the
+            # bare lowp ScaleByAdamState). Restore template-free and
+            # migrate the moments into the template's structure.
+            restored = ckptr.restore(path)
+            found = _find_adam_moments(restored.get("opt_state"))
+            if found is None:
+                raise
+            opt_state = _adapt_adam_opt_state(template.opt_state, *found)
     state = template.replace(
         step=jax.numpy.asarray(restored["step"]),
         params=restored["params"],
-        opt_state=restored["opt_state"],
+        opt_state=opt_state,
         rng=jax.random.wrap_key_data(jax.numpy.asarray(restored["rng"])),
     )
     if "batch_stats" in restored:

@@ -33,10 +33,42 @@ def collect_predictions(
     eval_step: Callable | None = None,
     preprocess_fn: Callable | None = None,
     batch_stats: Any = None,
+    multi_eval: Callable | None = None,
+    arena: Any = None,
+    eval_k: int = 0,
 ) -> dict[str, np.ndarray]:
     """Run the model over the loader; returns flat arrays
     {pred, row_id, score_malignant} over valid rows only.
-    ``batch_stats`` is required for BatchNorm models (ResNet/Xception)."""
+    ``batch_stats`` is required for BatchNorm models (ResNet/Xception).
+
+    With ``multi_eval``/``arena``/``eval_k`` (the scanned eval program
+    from make_multi_eval_step + the device-resident uint8 arena), k
+    batches run per XLA dispatch — the relay's ~2 ms/dispatch tax is
+    paid once per k batches instead of per batch."""
+    if multi_eval is not None and arena is not None and eval_k > 1:
+        outs = [
+            multi_eval(
+                params, apply_fn, arena,
+                jnp.asarray(ib), jnp.asarray(rid), jnp.asarray(vd),
+                batch_stats,
+            )
+            for ib, _, rid, vd in loader.super_batches(
+                eval_k, with_row_ids=True
+            )
+        ]
+        outs = jax.device_get(outs)  # one sync for the whole eval set
+        preds, row_ids, scores = [], [], []
+        for out in outs:
+            valid = out["valid"].reshape(-1)
+            preds.append(out["pred"].reshape(-1)[valid])
+            row_ids.append(out["row_id"].reshape(-1)[valid])
+            lp = out["log_probs"].reshape(-1, out["log_probs"].shape[-1])
+            scores.append(np.exp(lp[valid][:, 1]))
+        return {
+            "pred": np.concatenate(preds),
+            "row_id": np.concatenate(row_ids),
+            "score_malignant": np.concatenate(scores),
+        }
     if eval_step is None:
         eval_step = make_eval_step(preprocess_fn=preprocess_fn)
     # dispatch every batch asynchronously, then fetch the whole eval set
@@ -90,12 +122,16 @@ def evaluate_fairness(
     preprocess_fn: Callable | None = None,
     on_device: bool = True,
     batch_stats: Any = None,
+    multi_eval: Callable | None = None,
+    arena: Any = None,
+    eval_k: int = 0,
 ) -> dict:
     """Full per-epoch record: the reference ``analyse_predictions`` schema
     (tone_bias_test.py:546-561) plus an ``auc`` key (BASELINE.json metric,
     absent from the reference)."""
     out = collect_predictions(
-        params, apply_fn, loader, eval_step, preprocess_fn, batch_stats
+        params, apply_fn, loader, eval_step, preprocess_fn, batch_stats,
+        multi_eval=multi_eval, arena=arena, eval_k=eval_k,
     )
     order = np.argsort(out["row_id"])
     preds = out["pred"][order].astype(np.int32)

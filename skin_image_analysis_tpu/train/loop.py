@@ -50,6 +50,7 @@ from skin_image_analysis_tpu.train.evaluate import evaluate_fairness
 from skin_image_analysis_tpu.train.state import create_train_state
 from skin_image_analysis_tpu.train.step import (
     make_eval_step,
+    make_multi_eval_step,
     make_multi_train_step,
     make_train_step,
 )
@@ -412,6 +413,7 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
                   "first batch will compile instead")
 
     multi_step = None
+    eval_multi = None
     if will_multi:
         multi_step = make_multi_train_step(
             k_spd, class_weights=class_weights, mesh=mesh,
@@ -427,10 +429,47 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
                 print(f"multi-step dispatch disabled "
                       f"({type(e).__name__}: {e})")
             multi_step = None
+    if multi_step is not None and len(test_table) > 0:
+        # Scanned eval: k batches per dispatch over the test arena —
+        # per-epoch full-test fairness eval stops paying the ~2 ms
+        # relay tax per batch (mirror of the train multi-step).
+        eval_multi = make_multi_eval_step(
+            k_spd, mesh=mesh, data_axis=cfg.mesh.data_axis,
+            preprocess_fn=eval_pre,
+        )
+        try:
+            import jax.numpy as jnp
+
+            n_test = len(test_table)
+            ev_shape = ((n_test, 3, s, s) if layout == "planar"
+                        else (n_test, s, s, 3))
+            warm_ev = jnp.zeros(ev_shape, jnp.uint8)
+            zi = jnp.zeros((k_spd, bs), jnp.int32)
+            zv = jnp.zeros((k_spd, bs), bool)
+            if replicated is not None:
+                warm_ev, zi, zv = jax.device_put(
+                    (warm_ev, zi, zv), replicated
+                )
+            with Timer("compile-eval-multi") as t_ev:
+                out = eval_multi(
+                    state.params, state.apply_fn, warm_ev, zi,
+                    zi.copy(), zv, state.batch_stats,
+                )
+                jax.device_get(out["pred"])
+            del warm_ev
+            if verbose:
+                print(f"multi-batch eval: {k_spd} batches/program "
+                      f"(compiled in {t_ev.elapsed:.1f}s)")
+        except Exception as e:
+            if verbose:
+                print(f"multi-batch eval disabled "
+                      f"({type(e).__name__}: {e})")
+            eval_multi = None
 
     decode_thread.join()
     t_decode.__exit__(None, None, None)
 
+    train_arena = test_arena = None
     if cfg.data.streaming:
         # Archive-scale path (ISIC-2020 config): decode-ahead chunks, no
         # whole-cohort arenas in RAM or HBM.
@@ -477,7 +516,6 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         # arena is replicated across devices so each device gathers its
         # batch shard locally (the jitted gather in BatchIterator carries
         # the batch output-sharding) — no per-batch cross-device traffic.
-        train_arena = test_arena = None
         if cfg.data.device_cache:
             total_bytes = (
                 train_store.images.nbytes + test_store.images.nbytes
@@ -597,6 +635,7 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
             record = evaluate_fairness(
                 state.params, state.apply_fn, test_loader, test_table,
                 eval_step=eval_step, batch_stats=state.batch_stats,
+                multi_eval=eval_multi, arena=test_arena, eval_k=k_spd,
             )
             record["avg_batch_loss"] = avg_batch_loss
             record["train_accuracy"] = train_accuracy
@@ -678,10 +717,13 @@ def run_training_elastic(
     failure-detection/elastic row — the reference's recovery is manual
     resume-by-rerun, tone_bias_train.py:240-249; this supervises it).
 
-    On an exception the supervisor locates the experiment folder (the
-    one it was resuming, or the newest folder of this mode created since
-    the supervisor started), subtracts the epochs already recorded, and
-    resumes for the remainder — up to ``retries`` restarts. Pair with
+    Epoch semantics match plain ``run_training`` exactly: ``cfg.epochs``
+    ADDITIONAL epochs on whatever the target folder already holds. On an
+    exception the supervisor locates the experiment folder (the one it
+    was resuming, or the newest folder of this mode created since the
+    supervisor started — mode inferred the same way run_training infers
+    it), subtracts the epochs snapshot-backed since this invocation's
+    start, and resumes for the remainder — up to ``retries`` restarts. Pair with
     ``checkpoint_every=1`` for epoch-granular recovery: the snapshot is
     saved before the epoch's progress marker, so a crash in between
     re-trains that epoch from its own snapshot (never the reverse). A
@@ -693,12 +735,29 @@ def run_training_elastic(
 
     supervisor_start = time.time()
     target = cfg.experiment_dir
-    prefix = "balanced" if cfg.data.balance else "imbalanced"
+    # Mode prefix from the SAME inference run_training will use — a
+    # nonexistent experiment_dir named 'imbalanced_x' overrides
+    # cfg.data.balance (resolve_experiment_folder), so deriving the glob
+    # prefix from cfg.data.balance alone could watch the wrong prefix
+    # forever and restart from scratch every retry.
+    _, _, _balance = resolve_experiment_folder(cfg)
+    prefix = "balanced" if _balance else "imbalanced"
+    # cfg.epochs keeps plain run_training's ADDITIONAL-epochs semantics:
+    # the folder must end this invocation with start_epochs + cfg.epochs.
+    # The remaining-epochs subtraction below applies only after a crash
+    # THIS supervisor saw — never silently no-ops a complete folder the
+    # user pointed at (same CLI, same semantics with or without
+    # --auto-resume).
+    expected_total = cfg.epochs + (
+        completed_epochs(target)
+        if target and os.path.isdir(target)
+        else 0
+    )
     failures = 0
     while True:
         run_cfg = cfg
-        if target and os.path.isdir(target):
-            remaining = cfg.epochs - completed_epochs(target)
+        if failures and target and os.path.isdir(target):
+            remaining = expected_total - completed_epochs(target)
             if remaining <= 0:
                 if verbose:
                     print("auto-resume: training already complete")

@@ -81,15 +81,22 @@ def _scale_by_adam_lowp(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
-    moment_dtype=None,
+    mu_dtype=None,
+    nu_dtype=None,
 ) -> optax.GradientTransformation:
-    """scale_by_adam storing BOTH moments in ``moment_dtype``.
+    """scale_by_adam with independently narrowed moment storage.
 
     ``optax.adam(mu_dtype=...)`` casts only the first moment — the HLO
     dump of the production step showed the 100352x512 Dense's nu still
     f32 (two 205 MB tensors in the adam fusion, docs/PERF.md). Moment
     math runs in the gradient dtype (f32); only storage narrows. State
     is an ``optax.ScaleByAdamState`` so checkpoints keep their shape.
+
+    Gated behind ``OptimConfig.nu_dtype`` because bf16 nu is a
+    throughput/fidelity trade: once nu grows, the (1-b2)*g^2 increments
+    fall below bf16 ulp and the second moment can freeze on very long
+    runs. The bench uses it (short run, +~0.7% measured); production
+    defaults keep nu f32.
 
     ``lr`` (float or optax schedule) is folded into the same update —
     emitting the final ``-lr * adam(g)`` delta here avoids a separate
@@ -98,13 +105,13 @@ def _scale_by_adam_lowp(
     jnp = jax.numpy
 
     def init(params):
-        def zeros(p):
-            return jnp.zeros_like(p, dtype=moment_dtype or p.dtype)
+        def zeros(dt):
+            return lambda p: jnp.zeros_like(p, dtype=dt or p.dtype)
 
         return optax.ScaleByAdamState(
             count=jnp.zeros([], jnp.int32),
-            mu=jax.tree.map(zeros, params),
-            nu=jax.tree.map(zeros, params),
+            mu=jax.tree.map(zeros(mu_dtype), params),
+            nu=jax.tree.map(zeros(nu_dtype), params),
         )
 
     def update(updates, state, params=None):
@@ -125,8 +132,9 @@ def _scale_by_adam_lowp(
             mf = b1 * m.astype(jnp.float32) + (1.0 - b1) * gf
             vf = b2 * v.astype(jnp.float32) + (1.0 - b2) * gf * gf
             upd = step_scale * (mf / bc1) / (jnp.sqrt(vf / bc2) + eps)
-            dt = moment_dtype or g.dtype
-            return upd.astype(g.dtype), mf.astype(dt), vf.astype(dt)
+            return (upd.astype(g.dtype),
+                    mf.astype(mu_dtype or g.dtype),
+                    vf.astype(nu_dtype or g.dtype))
 
         flat_g, treedef = jax.tree.flatten(updates)
         flat_m = treedef.flatten_up_to(state.mu)
@@ -142,21 +150,36 @@ def _scale_by_adam_lowp(
 
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     name = cfg.optimizer.lower()
-    mu_dtype = None
-    if cfg.moment_dtype:
-        mu_dtype = {"bfloat16": jax.numpy.bfloat16,
-                    "float32": jax.numpy.float32}[cfg.moment_dtype]
+
+    def _dt(s):
+        return None if not s else {
+            "bfloat16": jax.numpy.bfloat16,
+            "float32": jax.numpy.float32,
+        }[s]
+
+    mu_dtype = _dt(cfg.moment_dtype)
+    nu_dtype = _dt(cfg.nu_dtype)
     lr = make_lr(cfg)
     if name == "adam":
-        if mu_dtype is not None and mu_dtype != jax.numpy.float32:
-            return _scale_by_adam_lowp(lr=lr, moment_dtype=mu_dtype)
+        if nu_dtype is not None and nu_dtype != jax.numpy.float32:
+            # both-moments-narrow + folded lr: the bench operating point
+            # (docs/PERF.md third ladder); opt-in via OptimConfig.nu_dtype
+            return _scale_by_adam_lowp(
+                lr=lr, mu_dtype=mu_dtype or nu_dtype, nu_dtype=nu_dtype
+            )
+        # moment_dtype alone narrows only mu — optax semantics (nu's
+        # (1-b2)*g^2 increments stay representable), and the opt_state
+        # keeps optax.adam's chain structure for checkpoint compatibility
         return optax.adam(lr, mu_dtype=mu_dtype)
     if name == "adamw":
         return optax.adamw(
             lr, weight_decay=cfg.weight_decay, mu_dtype=mu_dtype
         )
     if name == "rmsprop":
-        return optax.rmsprop(lr)
+        # torch.optim.RMSprop parity (tone_bias_optuna.py:239-241):
+        # alpha=0.99 (optax defaults to 0.9) and eps OUTSIDE the sqrt
+        # (g / (sqrt(v) + eps)); HPO trial rankings depend on it.
+        return optax.rmsprop(lr, decay=0.99, eps=1e-8, eps_in_sqrt=False)
     if name == "sgd":
         if cfg.momentum:
             return optax.sgd(lr, momentum=cfg.momentum)

@@ -189,6 +189,66 @@ def make_multi_train_step(
     return multi
 
 
+def make_multi_eval_step(
+    k: int,
+    mesh: Mesh | None = None,
+    data_axis: str = "data",
+    preprocess_fn: Callable | None = None,
+) -> Callable:
+    """k eval batches inside ONE compiled program (lax.scan), gathering
+    pixels from the device-resident uint8 arena by index — the eval
+    mirror of :func:`make_multi_train_step`.
+
+    Per-batch eval dispatches cost ~2 ms each through the remote relay
+    (docs/PERF.md); a per-epoch full-test fairness pass at ISIC-2020
+    scale (~130 batches at B=256) pays that tax per batch. Scanning k
+    batches per dispatch amortizes it; only [k, B] index/row_id/valid
+    arrays cross the host link.
+
+    Signature: ``multi(params, apply_fn, arena, idx [k,B] i32,
+    row_id [k,B] i32, valid [k,B] bool, batch_stats=None) ->
+    {"pred" [k,B], "log_probs" [k,B,C], "row_id" [k,B], "valid" [k,B]}``.
+    Padded tail batches ride through with ``valid=False`` rows; the host
+    filter drops them exactly as with per-batch eval.
+    """
+    fuse_gather = mesh is None and getattr(
+        preprocess_fn, "supports_rows", False
+    )
+
+    @partial(jax.jit, static_argnums=(1,))
+    def multi(params, apply_fn, arena, idx, row_id, valid,
+              batch_stats=None):
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+
+        def one_batch(carry, xs):
+            i, rid, vd = xs
+            if fuse_gather:
+                pixels = preprocess_fn(arena, None, rows=i)
+            else:
+                pixels = jnp.take(arena, i, axis=0)
+                if mesh is not None:
+                    pixels = jax.lax.with_sharding_constraint(
+                        pixels, NamedSharding(mesh, P(data_axis))
+                    )
+                if preprocess_fn is not None:
+                    pixels = preprocess_fn(pixels, None)
+            log_probs = apply_fn(variables, pixels, train=False)
+            preds = jnp.argmax(log_probs, axis=-1)
+            return carry, {
+                "pred": preds,
+                "log_probs": log_probs,
+                "row_id": rid,
+                "valid": vd,
+            }
+
+        _, out = jax.lax.scan(one_batch, None, (idx, row_id, valid))
+        return out
+
+    return multi
+
+
 def make_eval_step(
     mesh: Mesh | None = None,
     data_axis: str = "data",

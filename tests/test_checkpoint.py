@@ -144,3 +144,78 @@ def test_batchnorm_orbax_resume(tmp_path):
         jax.tree.leaves(state.batch_stats), jax.tree.leaves(restored.batch_stats)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_opt_state_migrates_across_adam_moment_formats(tmp_path):
+    """A snapshot written under one adam moment-storage mode must restore
+    into a template built under the other (OptimConfig.nu_dtype toggles
+    between optax.adam's chain tuple and the bare lowp ScaleByAdamState)
+    — exactly the cross-round resume path the elastic supervisor drives."""
+    rng = np.random.default_rng(0)
+
+    def trained_state(optim_cfg, steps=3):
+        state, _ = create_train_state(
+            SMALL, optim_cfg, jax.random.key(0), batch_size=4
+        )
+        step = make_train_step()
+        for i in range(steps):
+            state, _ = step(state, _batch(np.random.default_rng(i)))
+        return state
+
+    lowp = OptimConfig(moment_dtype="bfloat16", nu_dtype="bfloat16")
+    plain = OptimConfig()
+
+    for src_cfg, dst_cfg in ((lowp, plain), (plain, lowp)):
+        src = trained_state(src_cfg)
+        ckpt = str(tmp_path / f"ck_{src_cfg.nu_dtype or 'f32'}")
+        ckpt_lib.save_train_state(ckpt, src)
+        template, _ = create_train_state(
+            SMALL, dst_cfg, jax.random.key(1), batch_size=4
+        )
+        restored = ckpt_lib.restore_train_state(ckpt, template)
+        # params + step carried over exactly
+        assert int(restored.step) == int(src.step)
+        for a, b in zip(
+            jax.tree.leaves(src.params), jax.tree.leaves(restored.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # moments carried over (up to the storage-dtype cast), into the
+        # TEMPLATE's structure: the restored state must keep training
+        src_m = ckpt_lib._find_adam_moments(jax.device_get(src.opt_state))
+        dst_m = ckpt_lib._find_adam_moments(
+            jax.device_get(restored.opt_state)
+        )
+        assert src_m is not None and dst_m is not None
+        assert int(np.asarray(dst_m[0])) == int(np.asarray(src_m[0]))
+        for a, b in zip(jax.tree.leaves(src_m[1]), jax.tree.leaves(dst_m[1])):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-2, atol=1e-8,
+            )
+        restored, _ = make_train_step()(restored, _batch(rng))
+        assert np.isfinite(jax.device_get(restored.step))
+
+
+def test_rmsprop_matches_torch_semantics():
+    """OptimConfig(optimizer='rmsprop') must reproduce torch.optim.RMSprop
+    defaults (alpha=0.99, eps OUTSIDE the sqrt) — HPO trial rankings
+    depend on the optimizer semantics (tone_bias_optuna.py:239-241)."""
+    import optax
+
+    from skin_image_analysis_tpu.train.state import make_optimizer
+
+    g = np.asarray([0.5, -0.25, 1.0, 1e-3], np.float32)
+    p = np.zeros(4, np.float32)
+    tx = make_optimizer(OptimConfig(optimizer="rmsprop", learning_rate=0.01))
+    opt_state = tx.init(jnp.asarray(p))
+
+    # hand-rolled torch RMSprop: v = a*v + (1-a)*g^2; p -= lr*g/(sqrt(v)+eps)
+    v = np.zeros_like(p)
+    p_torch = p.copy()
+    p_ours = jnp.asarray(p)
+    for _ in range(5):
+        v = 0.99 * v + 0.01 * g * g
+        p_torch = p_torch - 0.01 * g / (np.sqrt(v) + 1e-8)
+        updates, opt_state = tx.update(jnp.asarray(g), opt_state, p_ours)
+        p_ours = optax.apply_updates(p_ours, updates)
+    np.testing.assert_allclose(np.asarray(p_ours), p_torch, rtol=1e-6)

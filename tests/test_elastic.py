@@ -100,9 +100,41 @@ def test_elastic_abandons_broken_experiment_dir(synth_root, tmp_path):
     assert completed_epochs(folder) == 1
 
 
-def test_elastic_resume_counts_existing_epochs(synth_root, tmp_path):
-    """Supervising an already-complete folder is a no-op (remaining
-    epochs <= 0)."""
+def test_elastic_finds_folder_when_name_overrides_balance(
+    synth_root, tmp_path, monkeypatch
+):
+    """A nonexistent experiment_dir named 'imbalanced_*' overrides
+    cfg.data.balance (resolve_experiment_folder name inference). The
+    supervisor must glob the prefix run_training actually used —
+    deriving it from cfg.data.balance would watch 'balanced_*' forever
+    and restart from scratch on every retry."""
+    fault = tmp_path / "fault_prefix"
+    fault.write_text("")
+    monkeypatch.setenv("SIA_FAULT_ONCE", str(fault))
+    cfg = dataclasses.replace(
+        _tiny_cfg(synth_root, tmp_path, epochs=2, balance=True),
+        checkpoint_every=1,
+        experiment_dir=str(tmp_path / "results" / "imbalanced_target"),
+    )
+    folder = run_training_elastic(cfg, retries=1, verbose=False)
+    assert not fault.exists()
+    assert completed_epochs(folder) == 2
+    assert os.path.basename(folder).startswith("imbalanced_")
+    # the crashed run was RESUMED, not restarted: exactly one folder
+    results = os.path.join(str(tmp_path), "results")
+    made = [d for d in os.listdir(results) if d.startswith("imbalanced_")]
+    assert len(made) == 1
+    with open(os.path.join(folder, "epochs_completed.log")) as f:
+        values = [int(ln) for ln in f if ln.strip()]
+    assert values == [1, 2, 2]  # epoch-1 snapshot, resumed epoch 2, final
+
+
+def test_elastic_resume_matches_plain_semantics(synth_root, tmp_path):
+    """Pointing the supervisor at an existing folder trains cfg.epochs
+    ADDITIONAL epochs — identical to plain run_training on the same
+    folder (same CLI, same semantics with or without --auto-resume).
+    The remaining-epochs subtraction only applies to crashes the
+    supervisor itself saw."""
     cfg = _tiny_cfg(synth_root, tmp_path, epochs=2)
     folder = run_training_elastic(cfg, retries=0, verbose=False)
     assert completed_epochs(folder) == 2
@@ -111,4 +143,30 @@ def test_elastic_resume_counts_existing_epochs(synth_root, tmp_path):
         verbose=False,
     )
     assert resumed == folder
-    assert completed_epochs(folder) == 2  # nothing retrained
+    assert completed_epochs(folder) == 4  # 2 more, like plain resume
+
+
+def test_elastic_crash_on_resumed_folder_trains_only_remainder(
+    synth_root, tmp_path, monkeypatch
+):
+    """A crash while resuming an existing folder re-trains only the
+    unsnapshotted remainder of THIS invocation's additional epochs:
+    start_done + cfg.epochs total, never more."""
+    cfg = dataclasses.replace(
+        _tiny_cfg(synth_root, tmp_path, epochs=1), checkpoint_every=1
+    )
+    folder = run_training_elastic(cfg, retries=0, verbose=False)
+    assert completed_epochs(folder) == 1
+    fault = tmp_path / "fault_resume"
+    fault.write_text("")
+    monkeypatch.setenv("SIA_FAULT_ONCE", str(fault))
+    resumed = run_training_elastic(
+        dataclasses.replace(
+            cfg, epochs=2, experiment_dir=folder, checkpoint_every=1
+        ),
+        retries=2,
+        verbose=False,
+    )
+    assert resumed == folder
+    assert not fault.exists()
+    assert completed_epochs(folder) == 3  # 1 (before) + 2 (this run)

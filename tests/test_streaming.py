@@ -127,3 +127,54 @@ def test_stream_cache_roundtrip(table, tmp_path):
         device_chunks=False, cache_path=cache,
     )
     assert it2._cache_ready.all()
+
+
+def test_stream_cache_remembers_corrupt_rows_across_processes(
+    synth_root, tmp_path,
+):
+    """A ready cache persists which rows were corrupt (zero-filled): a
+    fresh iterator — the --auto-resume restart path — must keep serving
+    them valid=False instead of training zero frames with real labels."""
+    import os
+    import shutil
+
+    root = tmp_path / "stream_corrupt_root"
+    shutil.copytree(synth_root, root)
+    df = read_isic_metadata(str(root), seed=0)
+    victim = df.iloc[3]["isic_id"]
+    (root / f"{victim}.jpg").write_bytes(b"definitely not a jpeg")
+    tbl = LesionTable(df, str(root))
+    victim_rows = {
+        i for i, p in enumerate(tbl.file_paths()) if victim in p
+    }
+    assert victim_rows
+
+    cache = str(tmp_path / "stream_corrupt.npy")
+
+    def collect_invalid(it):
+        bad = set()
+        for b in it:
+            rid = np.asarray(b["row_id"])
+            vd = np.asarray(b["valid"])
+            bad.update(int(r) for r in rid[(~vd) & (rid >= 0)])
+        return bad
+
+    with pytest.warns(UserWarning, match="failed to decode"):
+        it1 = ChunkedBatchIterator(
+            tbl, canonical_size=24, batch_size=8, chunk_size=16,
+            shuffle=False, drop_remainder=False, seed=0,
+            device_chunks=False, cache_path=cache,
+        )
+        assert collect_invalid(it1) == victim_rows
+    assert os.path.exists(cache + ".ready")
+    assert os.path.exists(cache + ".bad")
+
+    # fresh iterator over the ready cache (no decode happens): the
+    # corrupt rows must still evaluate invalid
+    it2 = ChunkedBatchIterator(
+        tbl, canonical_size=24, batch_size=8, chunk_size=16,
+        shuffle=False, drop_remainder=False, seed=0,
+        device_chunks=False, cache_path=cache,
+    )
+    assert it2._cache_ready.all()
+    assert collect_invalid(it2) == victim_rows

@@ -263,7 +263,8 @@ def test_lowp_adam_matches_f32_adam():
         "b": jnp.asarray(rng.standard_normal(16), jnp.float32),
     }
     lowp = make_optimizer(
-        OptimConfig(learning_rate=1e-2, moment_dtype="bfloat16")
+        OptimConfig(learning_rate=1e-2, moment_dtype="bfloat16",
+                    nu_dtype="bfloat16")
     )
     ref = optax.adam(1e-2)
     s_l, s_r = lowp.init(params), ref.init(params)
@@ -288,3 +289,149 @@ def test_lowp_adam_matches_f32_adam():
         np.testing.assert_allclose(
             np.asarray(p_l[k]), np.asarray(p_r[k]), atol=5e-3
         )
+
+    # moment_dtype ALONE keeps optax semantics: mu narrows, nu stays
+    # f32 (small (1-b2)*g^2 increments must stay representable on long
+    # runs) and the opt_state keeps optax.adam's chain structure so
+    # pre-lowp checkpoints restore without migration
+    safe = make_optimizer(
+        OptimConfig(learning_rate=1e-2, moment_dtype="bfloat16")
+    )
+    s_safe = safe.init(params)
+    adam_part = s_safe[0]
+    assert isinstance(s_safe, tuple)
+    assert adam_part.mu["w"].dtype == jnp.bfloat16
+    assert adam_part.nu["w"].dtype == jnp.float32
+
+
+def test_multi_step_matches_sequential_with_lr_schedule():
+    """Schedule-position parity: with lr_schedule='step' on, the scanned
+    multi-step program (INCLUDING an inert padded tail super-step) must
+    produce bit-comparable params to the same batches run sequentially —
+    inert steps advance neither the params nor the schedule counter, so
+    LR position cannot depend on whether multi-step dispatch was enabled
+    or how much k-padding the cohort size produced."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from skin_image_analysis_tpu.config import ModelConfig, OptimConfig
+    from skin_image_analysis_tpu.train.state import create_train_state
+    from skin_image_analysis_tpu.train.step import (
+        make_multi_train_step,
+        make_train_step,
+    )
+
+    cfg = ModelConfig(conv_features=(4,), linear_features=(8,),
+                      dropout=(0.0,), image_size=8, compute_dtype="float32")
+    # the schedule decays mid-run (step 3 of 5): any position drift
+    # between the two paths changes the LR of the later updates
+    optim = OptimConfig(
+        learning_rate=1e-2, lr_schedule="step", lr_step_size=3,
+        lr_gamma=0.1,
+    )
+    rng = np.random.default_rng(1)
+    arena = jnp.asarray(rng.integers(0, 255, (32, 8, 8, 3)), jnp.uint8)
+    labels = rng.integers(0, 2, 32).astype(np.int32)
+    k, bs, n_real = 3, 4, 5  # 2 super-steps; the 6th scan step is inert
+    idx = rng.integers(0, 32, (n_real, bs)).astype(np.int32)
+    lab = labels[idx]
+
+    def fresh():
+        state, _ = create_train_state(
+            cfg, optim, jax.random.key(0), batch_size=bs
+        )
+        return state
+
+    # path A: two scanned programs, tail padded with an inert step
+    # (exactly BatchIterator.super_batches' padding)
+    idx_p = np.concatenate([idx, np.zeros((1, bs), np.int32)])
+    lab_p = np.concatenate([lab, np.zeros((1, bs), np.int32)])
+    vd_p = np.concatenate(
+        [np.ones((n_real, bs), bool), np.zeros((1, bs), bool)]
+    )
+    multi = make_multi_train_step(k)
+    sa = fresh()
+    for s in range(0, n_real + 1, k):
+        sa, _ = multi(
+            sa, arena, jnp.asarray(idx_p[s:s + k]),
+            jnp.asarray(lab_p[s:s + k]), jnp.asarray(vd_p[s:s + k]),
+        )
+
+    # path B: n_real sequential dispatches
+    step = make_train_step()
+    sb = fresh()
+    for i in range(n_real):
+        sb, _ = step(sb, {
+            "pixels": arena[idx[i]],
+            "label": jnp.asarray(lab[i]),
+            "row_id": jnp.asarray(idx[i]),
+            "valid": jnp.ones(bs, bool),
+        })
+
+    assert int(sa.step) == int(sb.step) == n_real
+    for la, lb in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=1e-7)
+
+
+def test_multi_eval_matches_per_batch_eval(synth_root):
+    """The scanned eval program (make_multi_eval_step over the device
+    arena) must produce the identical prediction set — including padded
+    tail batches and row_id joins — as per-batch eval dispatches."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from skin_image_analysis_tpu.config import ModelConfig, OptimConfig
+    from skin_image_analysis_tpu.data import LesionTable, read_isic_metadata
+    from skin_image_analysis_tpu.data.loader import (
+        BatchIterator,
+        HostImageStore,
+    )
+    from skin_image_analysis_tpu.ops.preprocess import make_preprocess_fn
+    from skin_image_analysis_tpu.train.evaluate import collect_predictions
+    from skin_image_analysis_tpu.train.state import create_train_state
+    from skin_image_analysis_tpu.train.step import (
+        make_eval_step,
+        make_multi_eval_step,
+    )
+
+    df = read_isic_metadata(synth_root, seed=0)
+    table = LesionTable(df, synth_root)
+    store = HostImageStore(table, canonical_size=36, workers=2)
+    arena = store.to_device()
+    pre = make_preprocess_fn(32, train=False)
+    loader = BatchIterator(
+        store, 16, shuffle=False, drop_remainder=False, seed=0,
+        prefetch=0, device_arena=arena,
+    )
+    cfg = ModelConfig(conv_features=(4,), linear_features=(8,),
+                      dropout=(0.0,), image_size=32,
+                      compute_dtype="float32")
+    state, _ = create_train_state(
+        cfg, OptimConfig(), jax.random.key(0), batch_size=4
+    )
+
+    base = collect_predictions(
+        state.params, state.apply_fn, loader,
+        eval_step=make_eval_step(preprocess_fn=pre),
+    )
+    k = 2  # 48 rows / B=16 = 3 batches -> 2 super-batches, 1 padded
+    scanned = collect_predictions(
+        state.params, state.apply_fn, loader,
+        multi_eval=make_multi_eval_step(k, preprocess_fn=pre),
+        arena=arena, eval_k=k,
+    )
+    order_a = np.argsort(base["row_id"])
+    order_b = np.argsort(scanned["row_id"])
+    np.testing.assert_array_equal(
+        base["row_id"][order_a], scanned["row_id"][order_b]
+    )
+    np.testing.assert_array_equal(
+        base["pred"][order_a], scanned["pred"][order_b]
+    )
+    np.testing.assert_allclose(
+        base["score_malignant"][order_a],
+        scanned["score_malignant"][order_b], rtol=1e-6,
+    )
