@@ -53,7 +53,10 @@ def main() -> int:
     arena_n = 2048
     n_devices = len(jax.devices())
 
-    model_cfg = ModelConfig(compute_dtype="bfloat16")
+    from skin_image_analysis_tpu.models.cnn import resolve_stem
+
+    stem = os.environ.get("BENCH_STEM", "auto")  # auto|phase|s2d sweeps
+    model_cfg = ModelConfig(compute_dtype="bfloat16", stem=stem)
     state, _ = create_train_state(
         model_cfg,
         OptimConfig(learning_rate=1e-5, moment_dtype="bfloat16",
@@ -65,6 +68,7 @@ def main() -> int:
         image_size, train=True,
         augment=AugmentConfig(brightness=0.1, contrast=0.1, saturation=0.1),
         layout="planar", pallas="on", out_dtype="bfloat16",
+        space_to_depth=resolve_stem(model_cfg) == "s2d",
     )
     multi_step = make_multi_train_step(k, preprocess_fn=pre)
 

@@ -84,6 +84,11 @@ class ModelConfig:
     pool_mode: str = "auto"           # auto|phase|selector|stock: conv+
                                       # relu+pool lowering (see ConvBlock;
                                       # all bit-equal forward)
+    stem: str = "auto"                # auto|phase|s2d: block-0 lowering.
+                                      # "s2d" = space-to-depth stem (2x2
+                                      # s2d input layout + 5x5 conv at 4x
+                                      # the input channels); "auto" =
+                                      # measured-best (docs/PERF.md)
 
     def __post_init__(self) -> None:
         if len(self.dropout) not in (1, len(self.linear_features)):

@@ -71,6 +71,46 @@ class _PackedConvPool(nn.Module):
         )
 
 
+class _S2DConvPool(nn.Module):
+    """Space-to-depth stem block (ops.pooling.s2d_conv_block): the
+    phase-packed conv+relu+pool evaluated over the 2x2 space-to-depth
+    input layout — turns the 3-input-channel stem conv (13-27% MFU from
+    XLA's emitter, docs/PERF.md) into a 12-channel 5x5 conv with a 4x
+    denser contraction tile. Declares the SAME reference-shaped
+    parameters ([k, k, Cin, Cout] Xavier kernel + zeros bias) as the
+    other lowerings, so checkpoints are interchangeable.
+
+    Expects input ALREADY in space_to_depth_nhwc layout
+    ([B, H/2, W/2, 4*Cin]); the model applies the (cheap, XLA-fused)
+    transform when handed raw [B, H, W, Cin] images — the Pallas
+    preprocess kernel can emit the layout directly at zero extra cost.
+    """
+
+    features: int
+    kernel: int
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, z):
+        from skin_image_analysis_tpu.ops.pooling import s2d_conv_block
+
+        k = self.kernel
+        cin = z.shape[-1] // 4
+        kernel = self.param(
+            "kernel", _XAVIER,
+            (k, k, cin, self.features), _dtype(self.param_dtype),
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(),
+            (self.features,), _dtype(self.param_dtype),
+        )
+        dt = _dtype(self.compute_dtype)
+        return s2d_conv_block(
+            z.astype(dt), kernel.astype(dt), bias.astype(dt)
+        )
+
+
 class ConvBlock(nn.Module):
     """Conv + ReLU + 2x2 max-pool (one reference 'conv block',
     tone_bias_model.py:77-97).
@@ -95,6 +135,13 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         mode = self.pool_mode
+        if mode == "s2d":
+            # space-to-depth stem: input is already in the s2d layout
+            # (the model or the Pallas preprocess kernel transformed it)
+            return _S2DConvPool(
+                self.features, self.kernel, self.compute_dtype,
+                self.param_dtype, name="Conv_0",
+            )(x)
         if mode == "auto":
             # measured (docs/PERF.md): phase-packing wins when the packed
             # channel count still fits one 128-lane tile (the stride-1
@@ -184,6 +231,7 @@ class SkinCancerListModel(nn.Module):
     remat: bool = False
     fused_pool: bool = True
     pool_mode: str = "auto"
+    stem: str = "auto"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, dropout_rates=None):
@@ -195,13 +243,35 @@ class SkinCancerListModel(nn.Module):
         mlp_cls = MlpBlock
         mode = "stock" if not self.fused_pool else self.pool_mode
         x = x.astype(_dtype(self.compute_dtype))
+        # Space-to-depth stem (measured fastest on TPU, docs/PERF.md
+        # round-3 ladder): block 0 runs over the 2x2 s2d layout. Raw
+        # [B, H, W, 1|3] images transform here (one cheap XLA relayout);
+        # the Pallas preprocess kernel feeds the s2d layout directly,
+        # detected by a channel count that is a multiple of 4.
+        use_s2d = (
+            self.stem == "s2d"
+            and self.fused_pool
+            and len(self.conv_features) > 0
+            and self.first_kernel % 2 == 1  # SAME-padding derivation
+            and (
+                x.shape[-1] % 4 == 0
+                or (x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+            )
+        )
+        if use_s2d and x.shape[-1] % 4 != 0:
+            from skin_image_analysis_tpu.ops.pooling import (
+                space_to_depth_nhwc,
+            )
+
+            x = space_to_depth_nhwc(x)
         for i, feats in enumerate(self.conv_features):
             k = self.first_kernel if i == 0 else self.kernel
+            block_mode = "s2d" if (i == 0 and use_s2d) else mode
             # explicit name keeps the param tree identical with/without
             # remat (checkpoints are interchangeable)
             x = conv_cls(
                 feats, k, self.compute_dtype, self.param_dtype,
-                mode, name=f"ConvBlock_{i}",
+                block_mode, name=f"ConvBlock_{i}",
             )(x)
         x = x.reshape((x.shape[0], -1))
         drops = list(self.dropout)
@@ -246,6 +316,18 @@ class SkinCancerModel(nn.Module):
         )(x, train=train)
 
 
+def resolve_stem(cfg: ModelConfig) -> str:
+    """Resolve ``stem="auto"`` to the measured-best block-0 lowering
+    (docs/PERF.md round-3 ladder). Callers that feed the model (the
+    train loop, bench) use this to decide whether the Pallas preprocess
+    kernel should emit the space-to-depth layout."""
+    if cfg.stem != "auto":
+        return cfg.stem
+    return "phase"  # pending round-3 hardware measurement (the s2d
+    # candidate is driven with stem="s2d" explicitly; flip this if the
+    # ladder shows it winning — docs/PERF.md)
+
+
 def build_model(cfg: ModelConfig) -> nn.Module:
     """Instantiate the model described by a :class:`ModelConfig`."""
     if cfg.name == "skin_cancer_list":
@@ -261,6 +343,7 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             remat=cfg.remat,
             fused_pool=cfg.fused_pool,
             pool_mode=cfg.pool_mode,
+            stem=resolve_stem(cfg),
         )
     if cfg.name == "skin_cancer":
         return SkinCancerModel(

@@ -37,12 +37,16 @@ class BasicBlock(nn.Module):
     def __call__(self, x, *, train: bool):
         dtype = _dtype(self.compute_dtype)
         residual = x
+        # explicit (1,1) padding: identical to SAME at stride 1, but at
+        # stride 2 SAME pads (0,1) while torch pads (1,1) — symmetric
+        # padding keeps transferred torchvision weights seeing the same
+        # activations (CNNTrial.py:80 transfer fidelity)
         y = nn.Conv(self.features, (3, 3), (self.strides, self.strides),
-                    padding="SAME", use_bias=False, dtype=dtype)(x)
+                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=dtype)(x)
         y = nn.BatchNorm(use_running_average=not train, dtype=dtype)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
-                    dtype=dtype)(y)
+        y = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False, dtype=dtype)(y)
         y = nn.BatchNorm(use_running_average=not train, dtype=dtype,
                          scale_init=nn.initializers.zeros)(y)
         if residual.shape != y.shape:
@@ -66,8 +70,10 @@ class Bottleneck(nn.Module):
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=dtype)(x)
         y = nn.BatchNorm(use_running_average=not train, dtype=dtype)(y)
         y = nn.relu(y)
+        # symmetric (1,1) padding — torch parity at stride 2 (see
+        # BasicBlock note)
         y = nn.Conv(self.features, (3, 3), (self.strides, self.strides),
-                    padding="SAME", use_bias=False, dtype=dtype)(y)
+                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=dtype)(y)
         y = nn.BatchNorm(use_running_average=not train, dtype=dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=dtype)(y)
@@ -180,7 +186,9 @@ def load_torchvision_weights(path: str, variables: Any) -> Any:
 
     # stages: torchvision layer{1..4}.{i}. → flax BasicBlock_N / Bottleneck_N
     block_names = sorted(
-        {k[1] for k in flat if k[0] == "params" and "Block" in k[1]},
+        {k[1] for k in flat if k[0] == "params"
+         and (k[1].startswith("BasicBlock_")
+              or k[1].startswith("Bottleneck_"))},
         key=lambda n: int(n.rsplit("_", 1)[1]),
     )
     tv_blocks = []

@@ -34,9 +34,10 @@ _MAX_KERNEL_BATCH = 256
 
 def _kernel_body(
     offs_ref, flips_ref, scale_ref, bias_ref, img_ref, out_ref,
-    fc_ref=None, fs_ref=None, ps_ref=None, pb_ref=None,
+    fc_ref=None, fs_ref=None, ps_ref=None, pb_ref=None, s2d=False,
 ):
-    """Grid (B,): one [C, S, S] uint8 image → [C, T, T] output tiles.
+    """Grid (B,): one [C, S, S] uint8 image → [C, T, T] output tiles
+    (or, with ``s2d``, [4C, T/2, T/2] space-to-depth tiles).
 
     offs_ref: [B, 2] int32 (y0, x0) crop offsets  (scalar-prefetch, SMEM)
     flips_ref: [B] int32 flip flags               (scalar-prefetch, SMEM)
@@ -46,7 +47,9 @@ def _kernel_body(
     ps_ref/pb_ref: [B, C] f32 post-clip normalize affine — the full
       color-jitter tail runs in-kernel (one VMEM pass, no XLA tail
       fusions over the cropped batch).
-    img_ref: [C, S, S] uint8 image in VMEM; out_ref: [C, T, T_lanes].
+    img_ref: [C, S, S] uint8 image in VMEM; out_ref: [C, T, T_lanes]
+      (s2d: [4C, T/2, TH_lanes], channel index c*4 + 2*dy + dx — the
+      ops.pooling.space_to_depth_nhwc layout for the s2d conv stem).
 
     Crop and (optional) horizontal flip are expressed as one-hot
     **selection matmuls** built from iota compares:
@@ -57,43 +60,85 @@ def _kernel_body(
     once per image (shared across channels) in bfloat16: one-hot times
     uint8 values (≤ 255, exact in bf16) with float32 accumulation is
     bit-exact and runs the MXU at 2x the f32 rate.
+
+    ``s2d`` emits the 2x2 space-to-depth layout at the same MXU cost:
+    per dy a half-height row selector picks rows y0+2u+dy, per dx a
+    half-width column selector picks columns x0+2v+dx (flip folds in as
+    source column t-1-(2v+dx), which lands on the mirrored phase
+    automatically) — 2 row matmuls + 4 quarter-size tile matmuls per
+    channel equal the non-s2d FLOPs exactly.
     """
     b = pl.program_id(0)
-    ch = out_ref.shape[0]
-    t = out_ref.shape[1]
-    t_lanes = out_ref.shape[2]  # t rounded up to the 128-lane tiling
+    ch = img_ref.shape[0]
     s = img_ref.shape[1]
+    if s2d:
+        th = out_ref.shape[1]
+        t = 2 * th                  # source crop size
+        t_lanes = out_ref.shape[2]  # th rounded up to the 128-lane tiling
+    else:
+        t = out_ref.shape[1]
+        t_lanes = out_ref.shape[2]  # t rounded up to the 128-lane tiling
 
     y0 = offs_ref[b, 0]
     x0 = offs_ref[b, 1]
     flip = flips_ref[b]
 
-    # A_y[i, j] = 1 iff j == i + y0          ([T, S] row selector)
-    i_idx = jax.lax.broadcasted_iota(jnp.int32, (t, s), 0)
-    j_idx = jax.lax.broadcasted_iota(jnp.int32, (t, s), 1)
-    a_y = (j_idx == i_idx + y0).astype(jnp.bfloat16)
+    if s2d:
+        # A_y^dy[u, j] = 1 iff j == y0 + 2u + dy   ([T/2, S] per dy)
+        u_idx = jax.lax.broadcasted_iota(jnp.int32, (th, s), 0)
+        j_idx = jax.lax.broadcasted_iota(jnp.int32, (th, s), 1)
+        a_ys = [
+            (j_idx == y0 + 2 * u_idx + dy).astype(jnp.bfloat16)
+            for dy in (0, 1)
+        ]
+        # A_x^dx[j, v] = 1 iff j == x0 + keff(2v+dx)  ([S, TH_lanes])
+        jj = jax.lax.broadcasted_iota(jnp.int32, (s, t_lanes), 0)
+        vv = jax.lax.broadcasted_iota(jnp.int32, (s, t_lanes), 1)
+        valid_col = vv < th
+        a_xs = []
+        for dx in (0, 1):
+            kk = 2 * vv + dx
+            k_eff = jnp.where(flip != 0, t - 1 - kk, kk)
+            a_xs.append(
+                ((jj == x0 + k_eff) & valid_col).astype(jnp.bfloat16)
+            )
+    else:
+        # A_y[i, j] = 1 iff j == i + y0          ([T, S] row selector)
+        i_idx = jax.lax.broadcasted_iota(jnp.int32, (t, s), 0)
+        j_idx = jax.lax.broadcasted_iota(jnp.int32, (t, s), 1)
+        a_ys = [(j_idx == i_idx + y0).astype(jnp.bfloat16)]
 
-    # A_x[j, k] = 1 iff j == x0 + (flip ? t-1-k : k)  ([S, T_lanes] col
-    # selector; lane-padding columns k >= t select nothing → zeros)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (s, t_lanes), 0)
-    kk = jax.lax.broadcasted_iota(jnp.int32, (s, t_lanes), 1)
-    k_eff = jnp.where(flip != 0, t - 1 - kk, kk)
-    valid_col = kk < t
-    a_x = ((jj == x0 + k_eff) & valid_col).astype(jnp.bfloat16)
+        # A_x[j, k] = 1 iff j == x0 + (flip ? t-1-k : k)  ([S, T_lanes]
+        # col selector; lane-padding columns k >= t select nothing → 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (s, t_lanes), 0)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (s, t_lanes), 1)
+        k_eff = jnp.where(flip != 0, t - 1 - kk, kk)
+        valid_col = kk < t
+        a_xs = [((jj == x0 + k_eff) & valid_col).astype(jnp.bfloat16)]
 
+    # tiles ordered c-major, phase-minor (c*len(phases) + 2*dy + dx);
+    # tile_ch[i] = source channel of tiles[i]
     tiles = []
+    tile_ch = []
     for c in range(ch):
         # Mosaic has no direct u8→f32 cast; widen through int32. The
         # intermediate crop rows hold raw uint8 values — exact in bf16.
         img = (img_ref[c].astype(jnp.int32).astype(jnp.float32)
                .astype(jnp.bfloat16))
-        rows = jnp.dot(
-            a_y, img, preferred_element_type=jnp.float32
-        ).astype(jnp.bfloat16)
-        tile = jnp.dot(rows, a_x, preferred_element_type=jnp.float32)
-        # one FMA folds /255, per-image brightness, and (when there is no
-        # jitter tail) the (x - mean)/std per channel
-        tiles.append(tile * scale_ref[b, c] + bias_ref[b, c])
+        rows = [
+            jnp.dot(a_y, img, preferred_element_type=jnp.float32)
+            .astype(jnp.bfloat16)
+            for a_y in a_ys
+        ]
+        for r in rows:
+            for a_x in a_xs:
+                tile = jnp.dot(r, a_x, preferred_element_type=jnp.float32)
+                # one FMA folds /255, per-image brightness, and (when
+                # there is no jitter tail) the (x - mean)/std per channel
+                tiles.append(tile * scale_ref[b, c] + bias_ref[b, c])
+                tile_ch.append(c)
+
+    n_phase = len(a_ys) * len(a_xs)  # 4 for s2d, 1 otherwise
 
     if fc_ref is not None:
         # The jitter tail is elementwise VPU work over the cropped tile.
@@ -106,32 +151,41 @@ def _kernel_body(
 
         # contrast: (x - mean)·f + mean over the whole cropped image.
         # Padding lanes hold exact zeros here (bias is 0 when the tail is
-        # on), so the full-tile sum equals the T×T crop sum.
-        m = tiles[0] + tiles[1] + tiles[2] if ch == 3 else sum(tiles)
-        m = (jnp.sum(m, dtype=jnp.float32)
+        # on), so the full-tile sum equals the T×T crop sum — and in s2d
+        # the 4 phases of all channels together cover the same crop.
+        acc = tiles[0]
+        for tt in tiles[1:]:
+            acc = acc + tt
+        m = (jnp.sum(acc, dtype=jnp.float32)
              * (1.0 / (ch * t * t))).astype(tdt)
         tiles = [tt.astype(tdt) for tt in tiles]
         fcv = fc_ref[b].astype(tdt)
         tiles = [(tt - m) * fcv + m for tt in tiles]
-        # saturation: Rec.601 luma mix
+        # saturation: Rec.601 luma mix — per pixel, i.e. per s2d phase
         lw = [jnp.asarray(w, tdt) for w in (0.299, 0.587, 0.114)]
-        gray = lw[0] * tiles[0] + lw[1] * tiles[1] + lw[2] * tiles[2]
         fsv = fs_ref[b].astype(tdt)
-        tiles = [(tt - gray) * fsv + gray for tt in tiles]
+        for q in range(n_phase):
+            gray = (lw[0] * tiles[q]
+                    + lw[1] * tiles[n_phase + q]
+                    + lw[2] * tiles[2 * n_phase + q])
+            for c in range(3):
+                i = c * n_phase + q
+                tiles[i] = (tiles[i] - gray) * fsv + gray
         one = jnp.asarray(1.0, tdt)
         tiles = [jnp.clip(tt, jnp.zeros_like(one), one) for tt in tiles]
         tiles = [
             tt * ps_ref[b, c].astype(tdt) + pb_ref[b, c].astype(tdt)
-            for c, tt in enumerate(tiles)
+            for c, tt in zip(tile_ch, tiles)
         ]
 
-    for c in range(ch):
+    for i, tt in enumerate(tiles):
         # cast at the store (bf16 output halves the kernel's HBM write
         # and every downstream read)
-        out_ref[c] = tiles[c].astype(out_ref.dtype)
+        out_ref[i] = tt.astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("image_size", "interpret", "out_dtype"))
+@partial(jax.jit, static_argnames=(
+    "image_size", "interpret", "out_dtype", "space_to_depth"))
 def fused_preprocess_planar(
     pixels: jnp.ndarray,
     offsets: jnp.ndarray,
@@ -147,8 +201,11 @@ def fused_preprocess_planar(
     image_size: int = 224,
     interpret: bool = False,
     out_dtype=jnp.float32,
+    space_to_depth: bool = False,
 ) -> jnp.ndarray:
-    """[B, C, S, S] uint8 → [B, C, T, T] ``out_dtype``, fused on-device.
+    """[B, C, S, S] uint8 → [B, C, T, T] ``out_dtype``, fused on-device
+    (``space_to_depth``: → [B, 4C, T/2, T/2] in the s2d stem layout,
+    channel index c*4 + 2*dy + dx — same MXU cost, emitted at the store).
 
     offsets: [B, 2] int32 top-left crops; flips: [B] int32; scale/bias:
     [B, C] float32 per-image/channel affine (e.g. scale=1/255/std,
@@ -186,12 +243,18 @@ def fused_preprocess_planar(
                 None if post_scale is None else post_scale[lo:hi],
                 None if post_bias is None else post_bias[lo:hi],
                 image_size=image_size, interpret=interpret,
-                out_dtype=out_dtype,
+                out_dtype=out_dtype, space_to_depth=space_to_depth,
             ))
         return jnp.concatenate(outs, axis=0)
     tail = contrast is not None
     t = image_size
-    t_lanes = -(-t // 128) * 128  # output lane dim must be 128-tiled
+    if space_to_depth:
+        if t % 2:
+            raise ValueError(f"space_to_depth needs even crop, got {t}")
+        out_ch, out_h = 4 * ch, t // 2
+    else:
+        out_ch, out_h = ch, t
+    t_lanes = -(-out_h // 128) * 128  # output lane dim must be 128-tiled
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9 if tail else 5,
         grid=(b,),
@@ -203,7 +266,7 @@ def fused_preprocess_planar(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, ch, t, t_lanes), lambda i, *_: (i, 0, 0, 0),
+            (1, out_ch, out_h, t_lanes), lambda i, *_: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -211,23 +274,25 @@ def fused_preprocess_planar(
     if tail:
         def kernel(offs, fl, sc, bi, fc, fs, ps, pb, rws, img, out):
             _kernel_body(offs, fl, sc, bi, img.at[0], out.at[0],
-                         fc, fs, ps, pb)
+                         fc, fs, ps, pb, s2d=space_to_depth)
 
         operands = (offsets, flips, scale, bias, contrast, saturation,
                     post_scale, post_bias, rows, pixels)
     else:
         def kernel(offs, fl, sc, bi, rws, img, out):
-            _kernel_body(offs, fl, sc, bi, img.at[0], out.at[0])
+            _kernel_body(offs, fl, sc, bi, img.at[0], out.at[0],
+                         s2d=space_to_depth)
 
         operands = (offsets, flips, scale, bias, rows, pixels)
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, ch, t, t_lanes), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, out_ch, out_h, t_lanes),
+                                       out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(*operands)
-    return out[:, :, :, :t]
+    return out[:, :, :, :out_h]
 
 
 def preprocess_planar_batch(
@@ -240,10 +305,14 @@ def preprocess_planar_batch(
     normalize_imagenet: bool = False,
     out_dtype=None,
     rows: jnp.ndarray | None = None,
+    space_to_depth: bool = False,
 ) -> jnp.ndarray:
     """High-level wrapper: derives crop offsets + flips (+ jitter factors)
     from ``key``, builds the per-image affine, runs the kernel, and
-    returns NHWC float32 for the conv stack. Cases whose reference
+    returns NHWC float32 for the conv stack. With ``space_to_depth`` the
+    kernel path emits the s2d stem layout ([B, T/2, T/2, 4C] NHWC, for
+    models with ``stem="s2d"``); the jnp fallback paths keep emitting
+    [B, T, T, C] and the model applies the transform itself. Cases whose reference
     semantics are a RESIZE rather than a crop (eval, random_crop=False,
     or source < target, each with source != target) run the jnp
     reference path instead — geometry parity over kernel coverage.
@@ -318,9 +387,14 @@ def preprocess_planar_batch(
 
     interpret = jax.default_backend() == "cpu"  # CPU tests: interpreter
 
+    if space_to_depth and (t % 2 or ch != 3):
+        # odd crop cannot s2d; non-RGB would confuse the XLA jitter
+        # fallback's channel indexing — the model transforms instead
+        space_to_depth = False
+    out_h = t // 2 if space_to_depth else t
     odt = jnp.dtype(out_dtype) if out_dtype is not None else jnp.float32
-    if odt == jnp.bfloat16 and t % 16:
-        odt = jnp.float32  # bf16 sublane tiling needs t % 16 == 0
+    if odt == jnp.bfloat16 and out_h % 16:
+        odt = jnp.float32  # bf16 sublane tiling needs out_h % 16 == 0
 
     from skin_image_analysis_tpu.ops.preprocess import (
         IMAGENET_MEAN, IMAGENET_STD,
@@ -357,6 +431,7 @@ def preprocess_planar_batch(
         out = fused_preprocess_planar(
             pixels, offsets, flips, scale, bias, rows, fc, fs, ps, pb,
             image_size=t, interpret=interpret, out_dtype=odt,
+            space_to_depth=space_to_depth,
         )
         return jnp.transpose(out, (0, 2, 3, 1))  # NCHW → NHWC
 
@@ -367,6 +442,7 @@ def preprocess_planar_batch(
     out = fused_preprocess_planar(
         pixels, offsets, flips, scale, bias, rows, image_size=t,
         interpret=interpret, out_dtype=odt,
+        space_to_depth=space_to_depth,
     )
     x = jnp.transpose(out, (0, 2, 3, 1))  # NCHW → NHWC for the convs
 

@@ -260,6 +260,85 @@ def _phase_bwd(residuals, g):
 relu_max_phase.defvjp(_phase_fwd, _phase_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Space-to-depth stem: the SAME phase-packed conv block re-expressed over a
+# 2x2 space-to-depth input layout — the canonical TPU counter-move to XLA's
+# inefficient few-input-channel conv emitters (13-27% MFU at 3 input
+# channels, docs/PERF.md §hlo_dump: the emitter pads the 3-channel
+# contraction to a full sublane tile, wasting ~4/5 of the MXU).
+#
+# z[u, v, c*4 + 2dy+dx] = x[2u+dy, 2v+dx, c] turns the packed 8x8/s2 conv
+# over [224², 3] into a 5x5/s1 conv over [112², 12]: 1.56x the nominal
+# MACs (5·5·12 = 300 vs 8·8·3 = 192 per output) but a 4x denser
+# contraction tile — a win whenever the emitter's 3-channel efficiency is
+# below ~64%. Algebraically EXACT same outputs (same taps, re-indexed).
+# ---------------------------------------------------------------------------
+
+
+def space_to_depth_nhwc(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H/2, W/2, 4C] with channel index
+    c*4 + 2*dy + dx (c-major, then the 2x2 pixel phase)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # b, u, v, c, dy, dx
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def s2d_pack_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """[k, k, Cin, Cout] -> [ks, ks, 4*Cin, 4*Cout] kernel computing the
+    phase-packed conv (phase_pack_kernel) over the space-to-depth layout:
+    tap (m, n) of z-channel c*4+2dy+dx equals packed tap
+    (2m+dy+p0, 2n+dx+p0) of channel c, zero where out of the packed
+    kernel's support. ks = (k + 3) // 2 for odd k (5 for the 7x7 stem)."""
+    k = w.shape[0]
+    cin, cout = w.shape[2], w.shape[3]
+    p0 = (k - 1) // 2
+    mmin = -((p0 + 1) // 2)
+    mmax = (k - p0) // 2
+    ks = mmax - mmin + 1
+    wp = phase_pack_kernel(w)  # [k+1, k+1, cin, 4*cout]
+    out = jnp.zeros((ks, ks, 4 * cin, 4 * cout), w.dtype)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            q = 2 * dy + dx
+            for mi, m in enumerate(range(mmin, mmax + 1)):
+                a = 2 * m + dy + p0
+                if not 0 <= a < k + 1:
+                    continue
+                for ni, n in enumerate(range(mmin, mmax + 1)):
+                    b = 2 * n + dx + p0
+                    if not 0 <= b < k + 1:
+                        continue
+                    # z-channels c*4+q for all c: stride-4 slice
+                    out = out.at[mi, ni, q::4, :].set(wp[a, b])
+    return out
+
+
+def s2d_conv_block(
+    z: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None
+) -> jnp.ndarray:
+    """The phase-packed conv block evaluated on a space-to-depth input:
+    z [B, H/2, W/2, 4*Cin] (space_to_depth_nhwc layout), w the
+    reference-shaped [k, k, Cin, Cout] parameter -> [B, H/2, W/2, Cout]
+    pooled activations — same outputs as
+    ``phase_packed_conv_block(x, w, bias)`` on the pre-s2d ``x``."""
+    k = w.shape[0]
+    p0 = (k - 1) // 2
+    mmin = -((p0 + 1) // 2)
+    mmax = (k - p0) // 2
+    ws = s2d_pack_kernel(w)
+    y4 = jax.lax.conv_general_dilated(
+        z, ws,
+        window_strides=(1, 1),
+        padding=((-mmin, mmax), (-mmin, mmax)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=z.dtype,
+    )
+    if bias is not None:
+        y4 = y4 + jnp.tile(bias, 4).astype(y4.dtype)
+    return relu_max_phase(y4)
+
+
 def phase_packed_conv_block(
     x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray | None
 ) -> jnp.ndarray:

@@ -162,6 +162,7 @@ def make_preprocess_fn(
     layout: str = "hwc",
     pallas: str = "auto",
     out_dtype: str | None = None,
+    space_to_depth: bool = False,
 ):
     """Close over static config → ``fn(pixels, key) -> f32 NHWC batch``
     suitable for fusion inside the jitted train/eval step.
@@ -172,6 +173,11 @@ def make_preprocess_fn(
     pass for cast+crop+flip+affine, ~2.6x the jnp path's throughput,
     docs/PERF.md); other paths transpose to NHWC and use the jnp
     reference implementation. ``pallas``: "auto" | "on" | "off".
+
+    ``space_to_depth`` (models with ``stem="s2d"``): the Pallas kernel
+    emits the 2x2 space-to-depth layout directly at the store (free —
+    same selection-matmul FLOPs); non-kernel paths keep emitting plain
+    NHWC, which the model transforms itself.
     """
     if layout not in ("hwc", "planar"):
         raise ValueError(f"layout must be hwc|planar, got {layout!r}")
@@ -209,7 +215,7 @@ def make_preprocess_fn(
             return preprocess_planar_batch(
                 pixels, key, image_size=image_size, train=train,
                 augment=augment, normalize_imagenet=normalize_imagenet,
-                out_dtype=odt, rows=rows,
+                out_dtype=odt, rows=rows, space_to_depth=space_to_depth,
             )
 
         # the train step may pass the whole device arena + per-step row

@@ -19,13 +19,15 @@ import jax.numpy as jnp
 class ModalItaClassifier:
     """Binary tone from modal ITA: light(0) if ita >= threshold.
 
-    mode='threshold': exhaustive best-accuracy threshold (≈ decision stump
-    / LinearSVC on one feature). mode='logistic': gradient-fit logistic
-    regression returning calibrated probabilities.
+    mode='threshold': exhaustive best-accuracy threshold (decision stump).
+    mode='logistic': gradient-fit logistic regression returning calibrated
+    probabilities. mode='svm': the notebook's LinearSVC equivalent —
+    hinge loss + L2 penalty (sklearn LinearSVC's default objective,
+    C=1.0), gradient-fit (colourmapclassifier.ipynb cells 19-24).
     """
 
     def __init__(self, mode: str = "threshold"):
-        if mode not in ("threshold", "logistic"):
+        if mode not in ("threshold", "logistic", "svm"):
             raise ValueError(mode)
         self.mode = mode
         self.threshold_: float | None = None
@@ -45,6 +47,32 @@ class ModalItaClassifier:
                 if acc > best_acc:
                     best_acc, best_t = acc, float(t)
             self.threshold_ = best_t
+        elif self.mode == "svm":
+            # LinearSVC objective on the single standardized feature:
+            # mean hinge loss + (1/(2*C*n))*||w||², labels in {-1,+1}
+            # (+1 = dark = low ITA, so the margin is on -x)
+            mu, sd = float(x.mean()), float(x.std() or 1.0)
+            xs = (x - mu) / sd
+            yj = jnp.asarray(2 * y - 1, jnp.float32)
+            xj = jnp.asarray(-xs, jnp.float32)
+            n = float(len(x))
+            c_reg = 1.0  # sklearn LinearSVC default C
+
+            def loss(wb):
+                w, b = wb
+                margins = yj * (w * xj + b)
+                hinge = jnp.mean(jnp.maximum(0.0, 1.0 - margins))
+                return hinge + (w * w) / (2.0 * c_reg * n)
+
+            grad = jax.jit(jax.grad(loss))
+            wb = jnp.asarray([1.0, 0.0])
+            for _ in range(2000):
+                wb = wb - 0.05 * grad(wb)
+            # fold the standardization back into predict()'s convention
+            # (dark ⇔ w_raw*x + b_raw <= 0): dark was trained as
+            # w*(-(x-mu)/sd) + b >= 0  ⇔  (w/sd)x - w*mu/sd - b <= 0
+            w, b = float(wb[0]), float(wb[1])
+            self.coef_ = (w / sd, -w * mu / sd - b)
         else:
             w0, b0 = 0.0, 0.0
             xj, yj = jnp.asarray(x), jnp.asarray(y, jnp.float32)

@@ -263,11 +263,19 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         if cfg.data.augment
         else None
     )
+    from skin_image_analysis_tpu.models.cnn import resolve_stem
+
+    # s2d stem models take the space-to-depth layout straight from the
+    # Pallas kernel's store (free); every other path hands the model
+    # plain NHWC and it transforms internally. model_cfg may come from
+    # a checkpoint (resume/fine-tune), so resolve from it, not cfg.model
+    emit_s2d = resolve_stem(model_cfg) == "s2d"
     train_pre = make_preprocess_fn(
         cfg.data.image_size, train=True, augment=augment,
         normalize_imagenet=cfg.data.normalize_imagenet,
         layout=layout, pallas=cfg.data.pallas_preprocess,
         out_dtype=cfg.model.compute_dtype,  # cast at the kernel store
+        space_to_depth=emit_s2d,
     )
     eval_pre = make_preprocess_fn(
         cfg.data.image_size, train=False,

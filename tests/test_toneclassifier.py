@@ -64,6 +64,26 @@ def test_modal_ita_classifier_logistic():
     assert clf.score(x, y) > 0.9
 
 
+def test_modal_ita_classifier_svm():
+    """LinearSVC-equivalent (hinge + L2) — the classifier family the
+    notebook sweeps (colourmapclassifier.ipynb cells 19-24). On the
+    notebook's imbalance profile (83.1% dark) the SVM must beat the
+    majority-rate baseline 0.831, like LinearSVC does there."""
+    rng = np.random.default_rng(2)
+    # ~83/17 imbalance mirroring 3063/3685 (the 0.831 majority rate)
+    dark = rng.normal(8, 6, 415)     # tone 1
+    light = rng.normal(46, 6, 85)    # tone 0
+    x = np.concatenate([light, dark])
+    y = np.concatenate([np.zeros(85, int), np.ones(415, int)])
+    clf = ModalItaClassifier("svm").fit(x, y)
+    majority = y.mean()  # 0.83
+    assert clf.score(x, y) > max(0.9, majority)
+    # decision direction: very low ITA → dark, very high → light
+    assert clf.predict(np.array([-20.0]))[0] == 1
+    assert clf.predict(np.array([70.0]))[0] == 0
+    assert clf.predict(np.array([np.nan]))[0] == 1
+
+
 def test_resnet_forward_and_bn_state():
     from skin_image_analysis_tpu.models.resnet import resnet18
 

@@ -104,3 +104,129 @@ def test_convert_rejects_block_mismatch(tmp_path):
     )
     with pytest.raises(ValueError, match="block count mismatch"):
         load_torchvision_weights(path, {k: dict(v) for k, v in variables.items()})
+
+
+def _fake_torchvision_resnet50_sd(rng, num_classes=2):
+    """Random state_dict with torchvision resnet50's exact keys/shapes
+    (Bottleneck: conv1 1x1 / conv2 3x3 stride / conv3 1x1 x4, downsample
+    on EVERY stage's first block — the reference backbone,
+    CNNTrial.py:80). Random bn stats/scales so any mean/var/scale/bias
+    mix-up in the converter changes the output."""
+    sd = {}
+
+    def conv(key, out_c, in_c, k):
+        sd[key] = torch.tensor(
+            rng.normal(0, 0.05, (out_c, in_c, k, k)).astype(np.float32)
+        )
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = torch.tensor(
+            rng.uniform(0.5, 1.5, c).astype(np.float32))
+        sd[f"{prefix}.bias"] = torch.tensor(
+            rng.normal(0, 0.1, c).astype(np.float32))
+        sd[f"{prefix}.running_mean"] = torch.tensor(
+            rng.normal(0, 0.05, c).astype(np.float32))
+        sd[f"{prefix}.running_var"] = torch.tensor(
+            rng.uniform(0.5, 1.5, c).astype(np.float32))
+        sd[f"{prefix}.num_batches_tracked"] = torch.tensor(0)
+
+    conv("conv1.weight", 64, 3, 7)
+    bn("bn1", 64)
+    in_c = 64
+    for layer, n_blocks in enumerate((3, 4, 6, 3), start=1):
+        w = 64 * 2 ** (layer - 1)
+        for block in range(n_blocks):
+            p = f"layer{layer}.{block}"
+            conv(f"{p}.conv1.weight", w, in_c if block == 0 else 4 * w, 1)
+            bn(f"{p}.bn1", w)
+            conv(f"{p}.conv2.weight", w, w, 3)
+            bn(f"{p}.bn2", w)
+            conv(f"{p}.conv3.weight", 4 * w, w, 1)
+            bn(f"{p}.bn3", 4 * w)
+            if block == 0:
+                conv(f"{p}.downsample.0.weight", 4 * w, in_c, 1)
+                bn(f"{p}.downsample.1", 4 * w)
+        in_c = 4 * w
+    sd["fc.weight"] = torch.tensor(
+        rng.normal(0, 0.05, (num_classes, 2048)).astype(np.float32))
+    sd["fc.bias"] = torch.tensor(np.zeros(num_classes, np.float32))
+    return sd
+
+
+def _torch_resnet50_forward(sd, x):
+    """torchvision resnet50 eval forward, hand-rolled from the state
+    dict with torch.nn.functional (torchvision itself is not installed).
+    The numerical oracle for the converter: same weights, independent
+    implementation."""
+    import torch.nn.functional as F
+
+    def bn(t, p):
+        return F.batch_norm(
+            t, sd[f"{p}.running_mean"], sd[f"{p}.running_var"],
+            sd[f"{p}.weight"], sd[f"{p}.bias"], training=False, eps=1e-5,
+        )
+
+    x = F.conv2d(x, sd["conv1.weight"], stride=2, padding=3)
+    x = F.relu(bn(x, "bn1"))
+    x = F.max_pool2d(x, 3, stride=2, padding=1)
+    for layer, n_blocks in enumerate((3, 4, 6, 3), start=1):
+        for block in range(n_blocks):
+            p = f"layer{layer}.{block}"
+            stride = 2 if layer > 1 and block == 0 else 1
+            identity = x
+            y = F.relu(bn(F.conv2d(x, sd[f"{p}.conv1.weight"]), f"{p}.bn1"))
+            y = F.relu(bn(
+                F.conv2d(y, sd[f"{p}.conv2.weight"], stride=stride,
+                         padding=1),
+                f"{p}.bn2",
+            ))
+            y = bn(F.conv2d(y, sd[f"{p}.conv3.weight"]), f"{p}.bn3")
+            if f"{p}.downsample.0.weight" in sd:
+                identity = bn(
+                    F.conv2d(x, sd[f"{p}.downsample.0.weight"],
+                             stride=stride),
+                    f"{p}.downsample.1",
+                )
+            x = F.relu(y + identity)
+    x = x.mean(dim=(2, 3))
+    x = F.linear(x, sd["fc.weight"], sd["fc.bias"])
+    return F.log_softmax(x, dim=1)
+
+
+def test_convert_resnet50_numerical_parity(tmp_path):
+    """End-to-end transfer fidelity on the reference's actual backbone:
+    a torchvision-resnet50-format .pth (real torch zipfile
+    serialization) converts into the Flax model, and the Flax forward
+    matches an independent torch-functional forward of the SAME weights
+    — every key mapping, kernel transpose, bn-stat assignment, padding
+    convention, and pooling semantic is numerically pinned. The only
+    thing left untestable in this environment is the downloaded weight
+    VALUES."""
+    from skin_image_analysis_tpu.models.resnet import resnet50
+
+    rng = np.random.default_rng(7)
+    sd = _fake_torchvision_resnet50_sd(rng)
+    path = str(tmp_path / "resnet50.pth")
+    torch.save(sd, path)  # real torchvision .pth layout (zip + pickle)
+    import zipfile
+    assert zipfile.is_zipfile(path)  # not a legacy/plain-dict artifact
+
+    model = resnet50(compute_dtype="float32")
+    x_np = rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    variables = model.init(
+        jax.random.key(0), jnp.asarray(x_np), train=False
+    )
+    variables = {k: dict(v) for k, v in variables.items()}
+    converted = load_torchvision_weights(path, variables)
+    # the converter re-initializes the head (transfer recipe); wire the
+    # fc weights in manually so the comparison covers the full network
+    converted["params"]["Dense_0"] = {
+        "kernel": jnp.asarray(sd["fc.weight"].numpy().T),
+        "bias": jnp.asarray(sd["fc.bias"].numpy()),
+    }
+
+    ours = np.asarray(model.apply(converted, jnp.asarray(x_np), train=False))
+    theirs = _torch_resnet50_forward(
+        sd, torch.tensor(np.transpose(x_np, (0, 3, 1, 2)))
+    ).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=2e-4)
