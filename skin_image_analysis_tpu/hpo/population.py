@@ -344,6 +344,120 @@ def _wave_programs(skel: WaveSkeleton, k: int, microbatch: int,
     return init_wave, train_epoch, valid_accuracy
 
 
+@_functools.lru_cache(maxsize=None)
+def _rolling_programs(skel: WaveSkeleton, k: int, microbatch: int,
+                      n_micro: int):
+    """Programs for the rolling-lane wave driver: like _wave_programs but
+    batches GATHER from a whole-cohort device pool by per-trial index
+    ([K, n_batches, B] int32) — each lane trains on its OWN sample (the
+    reference's independent per-trial get_isic() resample,
+    tone_bias_optuna.py:175-231) — plus a masked lane-merge program so a
+    pruned/finished lane can be re-initialized with a freshly sampled
+    trial WITHOUT recompiling (slot refill: pruning frees real compute,
+    tone_bias_optuna.py:282-299)."""
+    model = build_model(skel.padded_model_config())
+    tx = _scale_tx(skel.optimizer)
+
+    def to_f32(px):
+        x = px.astype(jnp.float32)
+        return x / 255.0 if px.dtype == jnp.uint8 else x
+
+    def loss_fn(p, cw, lw, dr, pixels, labels, dkey):
+        log_probs = model.apply(
+            {"params": p}, to_f32(pixels), train=True,
+            rngs={"dropout": dkey}, dropout_rates=dr,
+        )
+        picked = jnp.take_along_axis(log_probs, labels[:, None], -1)[:, 0]
+        return -jnp.mean(picked)
+
+    def one_trial_step(p, opt, cw, lw, dr, lr, pixels, labels, dkey):
+        mpx = pixels.reshape(n_micro, microbatch, *pixels.shape[1:])
+        mlb = labels.reshape(n_micro, microbatch)
+        mkeys = jax.random.split(dkey, n_micro)
+
+        def micro(acc, mb):
+            px, lb, key = mb
+            g = jax.grad(loss_fn)(p, cw, lw, dr, px, lb, key)
+            return jax.tree.map(jnp.add, acc, g), None
+
+        zero = jax.tree.map(jnp.zeros_like, p)
+        grads, _ = jax.lax.scan(micro, zero, (mpx, mlb, mkeys))
+        grads = jax.tree.map(lambda g: g / n_micro, grads)
+        masks = trial_param_masks(skel, cw, lw)
+        grads = jax.tree.map(lambda g, m: g * m, grads, masks)
+        updates, opt = tx.update(grads, opt)
+        p = jax.tree.map(
+            lambda w, u, m: w - lr * u * m, p, updates, masks
+        )
+        return p, opt
+
+    vstep = jax.vmap(
+        one_trial_step, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0)
+    )
+
+    def init_one(key, cw, lw):
+        params = init_trial_params(skel, key, cw, lw)
+        return params, tx.init(params)
+
+    init_wave = jax.jit(jax.vmap(init_one))
+
+    @_functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_epoch(params, opt_state, epoch_key, tb_idx,
+                    pool_px, pool_lb, cw, lw, dr, lr):
+        n_batches = tb_idx.shape[1]
+
+        def body(carry, i):
+            p, opt, key = carry
+            key, sub = jax.random.split(key)
+            dkeys = jax.random.split(sub, k)
+            bidx = tb_idx[:, i]              # [K, B] pool rows
+            pixels = pool_px[bidx]           # [K, B, ...]
+            labels = pool_lb[bidx]
+            p, opt = vstep(p, opt, cw, lw, dr, lr, pixels, labels, dkeys)
+            return (p, opt, key), None
+
+        (params, opt_state, _), _ = jax.lax.scan(
+            body, (params, opt_state, epoch_key),
+            jnp.arange(n_batches),
+        )
+        return params, opt_state
+
+    def eval_one(p, pixels, labels):
+        log_probs = model.apply({"params": p}, to_f32(pixels), train=False)
+        return jnp.sum(jnp.argmax(log_probs, -1) == labels)
+
+    veval = jax.vmap(eval_one, in_axes=(0, 0, 0))
+
+    @jax.jit
+    def valid_accuracy(params, vb_idx, pool_px, pool_lb):
+        n_vb = vb_idx.shape[1]
+
+        def body(total, i):
+            bidx = vb_idx[:, i]             # [K, mb]
+            return total + veval(params, pool_px[bidx], pool_lb[bidx]), None
+
+        total, _ = jax.lax.scan(
+            body, jnp.zeros((k,), jnp.int32), jnp.arange(n_vb)
+        )
+        return total / (n_vb * vb_idx.shape[2])
+
+    @_functools.partial(jax.jit, donate_argnums=(0, 1))
+    def merge_lanes(params, opt_state, fresh_params, fresh_opt, mask):
+        """Replace lanes where mask[k] with the fresh trial's state —
+        the slot refill. All wave state has a leading K axis."""
+
+        def pick(old, new):
+            m = mask.reshape((k,) + (1,) * (old.ndim - 1))
+            return jnp.where(m, new, old)
+
+        return (
+            jax.tree.map(pick, params, fresh_params),
+            jax.tree.map(pick, opt_state, fresh_opt),
+        )
+
+    return init_wave, train_epoch, valid_accuracy, merge_lanes
+
+
 def train_wave(
     skel: WaveSkeleton,
     conv_widths: np.ndarray,    # [K, conv_count] int

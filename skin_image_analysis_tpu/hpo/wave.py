@@ -4,21 +4,25 @@ The reference runs 100 independent Optuna trials as MPI ranks
 (README.md:54) over a space that varies depth, per-layer width, dropout,
 optimizer kind and lr (tone_bias_optuna.py:123-173,:239-241). vmap can
 only stack same-shape programs, so this driver restructures the sweep
-into *waves*:
+into *waves* of rolling lanes:
 
 1. each wave samples the architecture **skeleton** once — (n_conv_layers,
    n_linear_layers, optimizer) — through the study's sampler (TPE or
    random), so skeleton choice still adapts across waves;
-2. the wave's K trials then sample everything else independently —
-   per-layer widths, per-layer dropout rates, lr — and train **in
-   lockstep as one padded super-network population**
-   (hpo.population.train_wave): one XLA program per skeleton, K trials
-   for ~the wall-clock of one;
-3. every trial reports its per-epoch validation accuracy and is run
-   through the median-pruner protocol (tone_bias_optuna.py:282-286) —
-   in lockstep execution pruned trials ride along for free, so pruning
-   here is bookkeeping parity (the reported history stops at the pruned
-   epoch), not a compute saving.
+2. the wave's K lanes each host a trial sampling everything else
+   independently — per-layer widths, per-layer dropout rates, lr, and its
+   OWN 300-row data sample (the reference's per-trial get_isic()
+   resample, tone_bias_optuna.py:175-231) — and train in lockstep as one
+   padded super-network population (hpo.population): one XLA program per
+   skeleton, K trials for ~the wall-clock of one;
+3. every trial reports per-epoch validation accuracy through the
+   median-pruner protocol (tone_bias_optuna.py:282-286). When a trial
+   prunes (or completes), its lane is REFILLED mid-wave with a freshly
+   sampled same-skeleton trial — re-initializing only that lane via a
+   masked merge, no recompile — so pruning frees real compute, exactly
+   what the reference's pruner does by freeing an MPI slot
+   (tone_bias_optuna.py:282-299). Lanes with no refill budget ride along
+   inert; the wave ends when every lane's trial is finished.
 
 K is auto-capped per skeleton by the padded parameter footprint
 (hpo.population.max_population).
@@ -31,35 +35,41 @@ from typing import Any
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from skin_image_analysis_tpu.config import HpoConfig
 from skin_image_analysis_tpu.hpo.population import (
     WaveSkeleton,
+    _rolling_programs,
+    default_microbatch,
     max_population,
-    train_wave,
 )
 from skin_image_analysis_tpu.hpo.space import MAX_EXTRA_CONV_LAYERS
 from skin_image_analysis_tpu.hpo.study import Study, TrialState, create_study
 
 
-def _sample_wave_trials(study: Study, skel_params: dict, k: int,
-                        n_conv: int, n_linear: int):
-    """Ask K trials; the first samples the skeleton (already done by the
-    caller via ``skel_params``), the rest record it verbatim so TPE sees
-    complete parameter vectors."""
-    trials = []
-    for _ in range(k):
-        t = study.ask()
-        t.params.update(skel_params)  # fixed for the wave, recorded for TPE
-        t.suggest_int("first_conv_out", 16, 256)
-        for j in range(n_conv):
-            t.suggest_int(f"conv_out_{j}", 16, 256)
-        for j in range(n_linear):
-            t.suggest_int(f"linear_out_{j}", 16, 256)
-        for j in range(n_linear):
-            t.suggest_float(f"dropout_{j}", 0.2, 0.5)
-        t.suggest_float("lr", 1e-5, 1e-1, log=True)
-        trials.append(t)
-    return trials
+def _suggest_non_skeleton(t, n_conv: int, n_linear: int):
+    """Sample the per-lane parameters (widths, dropouts, lr) for a trial
+    whose skeleton is already fixed."""
+    t.suggest_int("first_conv_out", 16, 256)
+    for j in range(n_conv):
+        t.suggest_int(f"conv_out_{j}", 16, 256)
+    for j in range(n_linear):
+        t.suggest_int(f"linear_out_{j}", 16, 256)
+    for j in range(n_linear):
+        t.suggest_float(f"dropout_{j}", 0.2, 0.5)
+    t.suggest_float("lr", 1e-5, 1e-1, log=True)
+    return t
+
+
+def _lane_vectors(t, n_conv: int, n_linear: int):
+    conv = [t.params["first_conv_out"]] + [
+        t.params[f"conv_out_{j}"] for j in range(n_conv)
+    ]
+    lin = [t.params[f"linear_out_{j}"] for j in range(n_linear)]
+    dr = [t.params[f"dropout_{j}"] for j in range(n_linear)]
+    return conv, lin, dr, t.params["lr"]
 
 
 def run_wave_study(
@@ -72,16 +82,32 @@ def run_wave_study(
     wave_size: int | None = None,
     verbose: bool = True,
 ) -> tuple[Study, dict[str, Any]]:
-    """Run ~cfg.trials trials as waves; returns (study, stats)."""
+    """Run ~cfg.trials trials as rolling-lane waves; returns
+    (study, stats). stats carries the compute accounting: lane_epochs
+    (total lockstep epochs run x lanes), live_lane_epochs (epochs spent
+    on un-finished trials) and refills (trials that reused a freed
+    lane)."""
     if image_size is None:
         image_size = pixels.shape[1]
     study = study or create_study("maximize")
     max_pools = max(1, image_size.bit_length() - 1)
     max_extra = max(1, min(MAX_EXTRA_CONV_LAYERS, max_pools - 1))
 
+    # the whole cohort goes to the device ONCE; every trial's sample is
+    # an index gather against this pool
+    pool_px = jnp.asarray(pixels)
+    pool_lb = jnp.asarray(labels.astype(np.int32))
+
     start = time.time()
-    waves = 0
     deadline = start + cfg.time_limit_hours * 3600
+    waves = 0
+    refills = 0
+    lane_epochs = 0
+    live_lane_epochs = 0
+
+    n_sample = min(cfg.sample_size, len(labels))
+    cut = int(2 / 3 * n_sample)
+
     while len(study.trials) < cfg.trials and time.time() < deadline:
         # --- skeleton for this wave (through the sampler) ---
         probe = study.ask()
@@ -95,87 +121,157 @@ def run_wave_study(
             image_size=image_size, compute_dtype=compute_dtype,
         )
         skel_params = dict(probe.params)
-        # the probe trial becomes the wave's first member
         k = min(
             wave_size or cfg.population or 8,
             max_population(skel, cfg.batch_size),
             cfg.trials - len(study.trials) + 1,
         )
         k = max(k, 1)
-        # fill in the probe's own remaining params + K-1 more trials
-        probe.suggest_int("first_conv_out", 16, 256)
-        for j in range(n_conv):
-            probe.suggest_int(f"conv_out_{j}", 16, 256)
-        for j in range(n_linear):
-            probe.suggest_int(f"linear_out_{j}", 16, 256)
-        for j in range(n_linear):
-            probe.suggest_float(f"dropout_{j}", 0.2, 0.5)
-        probe.suggest_float("lr", 1e-5, 1e-1, log=True)
-        rest = _sample_wave_trials(
-            study, skel_params, k - 1, n_conv, n_linear
-        )
-        wave_trials = [probe] + rest
 
-        conv_w = np.array(
-            [[t.params["first_conv_out"]]
-             + [t.params[f"conv_out_{j}"] for j in range(n_conv)]
-             for t in wave_trials]
-        )
-        lin_w = np.array(
-            [[t.params[f"linear_out_{j}"] for j in range(n_linear)]
-             for t in wave_trials]
-        )
-        drops = np.array(
-            [[t.params[f"dropout_{j}"] for j in range(n_linear)]
-             for t in wave_trials]
-        )
-        lrs = np.array([t.params["lr"] for t in wave_trials])
+        microbatch = min(default_microbatch(skel, cfg.batch_size),
+                         cfg.batch_size)
+        while cfg.batch_size % microbatch:
+            microbatch -= 1
+        n_micro = cfg.batch_size // microbatch
 
-        # --- wave data: reference get_isic() sample + 2/3-1/3 split ---
+        # per-trial sample geometry (identical shapes for every lane —
+        # the programs are shape-static)
+        n_tb = cut // cfg.batch_size
+        if cfg.n_train_examples:
+            n_tb = min(n_tb, max(cfg.n_train_examples // cfg.batch_size, 1))
+        n_vb = (n_sample - cut) // microbatch
+        if cfg.n_valid_examples:
+            n_vb = min(n_vb, max(cfg.n_valid_examples // microbatch, 1))
+        if n_tb < 1 or n_vb < 1:
+            raise ValueError(
+                f"sample_size {cfg.sample_size} too small for "
+                f"batch_size {cfg.batch_size}"
+            )
+
         rng = np.random.default_rng(cfg.seed + 31 * waves)
-        n = min(cfg.sample_size, len(labels))
-        idx = rng.permutation(len(labels))[:n]
-        cut = int(2 / 3 * n)
-        tr_idx, va_idx = idx[:cut], idx[cut:]
 
-        # --- report / prune per epoch as the wave trains; if every trial
-        # in the wave prunes, the wave itself stops early (lockstep
-        # trials ride along for free only while at least one is alive)
-        pruned_at: list[int | None] = [None] * len(wave_trials)
+        def new_lane_trial(ask_probe=None):
+            """Sample a trial (widths/drops/lr) + its own data rows."""
+            t = ask_probe
+            if t is None:
+                t = study.ask()
+                t.params.update(skel_params)
+            _suggest_non_skeleton(t, n_conv, n_linear)
+            sample = rng.permutation(len(labels))[:n_sample]
+            tr_rows = sample[:n_tb * cfg.batch_size]
+            va_rows = sample[cut:cut + n_vb * microbatch]
+            return {
+                "trial": t,
+                "vec": _lane_vectors(t, n_conv, n_linear),
+                "tr_rows": tr_rows,
+                "va_rows": va_rows,
+                "birth": 0,
+                "live": True,
+                "key": rng.integers(0, 2**31),
+            }
 
-        def epoch_cb(epoch, accs):
-            alive = False
-            for ti, trial in enumerate(wave_trials):
-                if pruned_at[ti] is not None:
-                    continue
-                trial.report(float(accs[ti]), epoch)
-                if trial.should_prune():
-                    pruned_at[ti] = epoch
-                else:
-                    alive = True
-            return alive
+        lanes = [new_lane_trial(probe)] + [new_lane_trial()
+                                           for _ in range(k - 1)]
+        wave_trials = k  # cap at 2k so one skeleton cannot eat the
+        # budget — skeleton choice must keep adapting across waves
 
-        t0 = time.time()
-        out = train_wave(
-            skel, conv_w, lin_w, drops, lrs,
-            pixels[tr_idx], labels[tr_idx],
-            pixels[va_idx], labels[va_idx],
-            epochs=cfg.epochs, batch_size=cfg.batch_size,
-            train_limit=cfg.n_train_examples,
-            valid_limit=cfg.n_valid_examples,
-            seed=cfg.seed + waves,
-            epoch_callback=epoch_cb,
+        conv_w = np.zeros((k, 1 + n_conv), np.int32)
+        lin_w = np.zeros((k, n_linear), np.int32)
+        drops = np.zeros((k, n_linear), np.float32)
+        lrs = np.zeros((k,), np.float32)
+        vb_idx = np.zeros((k, n_vb, microbatch), np.int64)
+
+        def load_lane(ti, lane):
+            conv, lin, dr, lr = lane["vec"]
+            conv_w[ti] = conv
+            lin_w[ti] = lin
+            drops[ti] = dr
+            lrs[ti] = lr
+            vb_idx[ti] = lane["va_rows"].reshape(n_vb, microbatch)
+
+        for ti, lane in enumerate(lanes):
+            load_lane(ti, lane)
+
+        init_wave, train_epoch, valid_accuracy, merge_lanes = (
+            _rolling_programs(skel, k, microbatch, n_micro)
         )
-        wave_s = time.time() - t0
-        history = out["accuracy_history"]  # [<=epochs, K]
+        keys = jax.random.split(jax.random.key(cfg.seed + waves), k)
+        params, opt_state = init_wave(
+            keys, jnp.asarray(conv_w), jnp.asarray(lin_w)
+        )
 
-        for ti, trial in enumerate(wave_trials):
-            if pruned_at[ti] is None:
-                study.tell(trial, float(history[-1, ti]),
-                           TrialState.COMPLETE)
-            else:
-                study.tell(trial, float(history[pruned_at[ti], ti]),
-                           TrialState.PRUNED)
+        # refills must be born early enough to run their full epochs
+        max_wave_epochs = 2 * cfg.epochs
+        root = jax.random.key(cfg.seed + 1000 + waves)
+        t0 = time.time()
+        epoch = 0
+        while any(lane["live"] for lane in lanes):
+            tb_idx = np.stack([
+                np.random.default_rng(lane["key"] + epoch)
+                .permutation(lane["tr_rows"])
+                .reshape(n_tb, cfg.batch_size)
+                for lane in lanes
+            ])
+            params, opt_state = train_epoch(
+                params, opt_state, jax.random.fold_in(root, epoch),
+                jnp.asarray(tb_idx, jnp.int32), pool_px, pool_lb,
+                jnp.asarray(conv_w), jnp.asarray(lin_w),
+                jnp.asarray(drops), jnp.asarray(lrs),
+            )
+            accs = np.asarray(valid_accuracy(
+                params, jnp.asarray(vb_idx, jnp.int32), pool_px, pool_lb
+            ))
+            lane_epochs += k
+            live_lane_epochs += sum(lane["live"] for lane in lanes)
+
+            refill_mask = np.zeros(k, bool)
+            for ti, lane in enumerate(lanes):
+                if not lane["live"]:
+                    continue
+                local = epoch - lane["birth"]
+                trial = lane["trial"]
+                trial.report(float(accs[ti]), local)
+                done = local >= cfg.epochs - 1
+                pruned = not done and trial.should_prune()
+                if not (done or pruned):
+                    continue
+                study.tell(
+                    trial, float(accs[ti]),
+                    TrialState.COMPLETE if done else TrialState.PRUNED,
+                )
+                # slot refill: a freed lane hosts a fresh same-skeleton
+                # trial when budget and wave horizon allow
+                can_refill = (
+                    len(study.trials) < cfg.trials
+                    and wave_trials < 2 * k
+                    and epoch + 1 + cfg.epochs <= max_wave_epochs
+                    and time.time() < deadline
+                )
+                if can_refill:
+                    fresh = new_lane_trial()
+                    fresh["birth"] = epoch + 1
+                    lanes[ti] = fresh
+                    load_lane(ti, fresh)
+                    refill_mask[ti] = True
+                    refills += 1
+                    wave_trials += 1
+                else:
+                    lane["live"] = False
+
+            if refill_mask.any():
+                fkeys = jax.random.split(
+                    jax.random.key(cfg.seed + 7000 + waves * 100 + epoch),
+                    k,
+                )
+                fresh_params, fresh_opt = init_wave(
+                    fkeys, jnp.asarray(conv_w), jnp.asarray(lin_w)
+                )
+                params, opt_state = merge_lanes(
+                    params, opt_state, fresh_params, fresh_opt,
+                    jnp.asarray(refill_mask),
+                )
+            epoch += 1
+        wave_s = time.time() - t0
         waves += 1
         if verbose:
             best = max(
@@ -185,7 +281,7 @@ def run_wave_study(
             )
             print(
                 f"wave {waves}: skeleton=({n_conv}conv,{n_linear}lin,"
-                f"{optimizer}) K={len(wave_trials)} {wave_s:.1f}s "
+                f"{optimizer}) K={k} epochs={epoch} {wave_s:.1f}s "
                 f"best_so_far={best:.4f}"
             )
 
@@ -193,5 +289,8 @@ def run_wave_study(
         "waves": waves,
         "trials": len(study.trials),
         "elapsed_s": time.time() - start,
+        "refills": refills,
+        "lane_epochs": lane_epochs,
+        "live_lane_epochs": live_lane_epochs,
     }
     return study, stats

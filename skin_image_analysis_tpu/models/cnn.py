@@ -323,9 +323,13 @@ def resolve_stem(cfg: ModelConfig) -> str:
     kernel should emit the space-to-depth layout."""
     if cfg.stem != "auto":
         return cfg.stem
-    return "phase"  # pending round-3 hardware measurement (the s2d
-    # candidate is driven with stem="s2d" explicitly; flip this if the
-    # ladder shows it winning — docs/PERF.md)
+    # measured (docs/PERF.md round-3 ladder): the s2d 5x5x12 stem LOSES
+    # to the phase-packed 8x8/s2 form (conv0 fwd 5.31 vs 4.58 ms, bench
+    # 11,512 vs 11,792 img/s) — the 1.56x MAC inflation of the s2d hull
+    # outweighs any channel-density gain because XLA's conv emitter
+    # already contracts over the full k²·Cin patch. Kept as "s2d" for
+    # the record; auto = the measured winner.
+    return "phase"
 
 
 def build_model(cfg: ModelConfig) -> nn.Module:

@@ -209,13 +209,15 @@ def test_max_population_caps_by_memory():
 
 
 def test_run_wave_study_full_space():
-    """Wave-structured study: full search space, TPE-compatible param
-    records, median-prune bookkeeping, trials target respected."""
+    """Rolling-lane wave study: full search space, TPE-compatible param
+    records, median-prune bookkeeping, trials target respected, freed
+    lanes refilled with fresh same-skeleton trials (compute accounting
+    in stats)."""
     from skin_image_analysis_tpu.config import HpoConfig
     from skin_image_analysis_tpu.hpo.wave import run_wave_study
 
     pixels, labels = _tiny_data(n=120, size=16, seed=1)
-    cfg = HpoConfig(trials=6, sample_size=90, batch_size=8, epochs=2,
+    cfg = HpoConfig(trials=10, sample_size=90, batch_size=8, epochs=2,
                     n_train_examples=48, n_valid_examples=24,
                     population=3, seed=0)
     study, stats = run_wave_study(
@@ -224,6 +226,10 @@ def test_run_wave_study_full_space():
     )
     assert len(study.trials) >= cfg.trials
     assert stats["waves"] >= 2
+    # completed trials reuse freed lanes: with epochs=2 every trial
+    # completes fast, so refills must have happened
+    assert stats["refills"] >= 1
+    assert stats["lane_epochs"] >= stats["live_lane_epochs"] > 0
     for t in study.trials:
         # complete parameter vectors (skeleton + widths + dropout + lr)
         assert "n_conv_layers" in t.params and "lr" in t.params
@@ -232,6 +238,29 @@ def test_run_wave_study_full_space():
         assert t.state in ("COMPLETE", "PRUNED")
         assert t.intermediate_values  # per-epoch reports happened
     assert study.best_trial.value is not None
+
+
+def test_rolling_lane_refill_trains_independently():
+    """A refilled lane must host a genuinely fresh trial: its own
+    sample, its own params (the merge re-initializes the lane), and a
+    recorded outcome for BOTH the evicted and the refilled trial."""
+    from skin_image_analysis_tpu.config import HpoConfig
+    from skin_image_analysis_tpu.hpo.wave import run_wave_study
+
+    pixels, labels = _tiny_data(n=100, size=16, seed=3)
+    cfg = HpoConfig(trials=4, sample_size=60, batch_size=8, epochs=1,
+                    n_train_examples=32, n_valid_examples=16,
+                    population=2, seed=1)
+    study, stats = run_wave_study(
+        pixels, labels, cfg, image_size=16, compute_dtype="float32",
+        verbose=False,
+    )
+    assert len(study.trials) >= 4
+    done = [t for t in study.trials if t.state == "COMPLETE"]
+    assert len(done) >= 4  # epochs=1: everyone completes
+    # every completed trial reported exactly its epochs
+    for t in done:
+        assert len(t.intermediate_values) == 1
 
 
 def test_wave_early_stop_when_all_pruned():
