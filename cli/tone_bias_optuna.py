@@ -86,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
     study = create_study("maximize", sampler=sampler)
 
     start = time.time()
+    stats = None
     wave_size = int(opts["parallel"])
     if wave_size > 1:
         # wave-structured parallel sweep over the FULL search space:
@@ -97,7 +98,11 @@ def main(argv: list[str] | None = None) -> int:
             pixels, labels, cfg, image_size=image_size,
             study=study, wave_size=wave_size,
         )
-        print(f"waves: {stats['waves']}  trials: {stats['trials']}")
+        print(
+            f"waves: {stats['waves']}  trials: {stats['trials']}  "
+            f"refills: {stats['refills']}  lane-epochs "
+            f"{stats['live_lane_epochs']}/{stats['lane_epochs']} live"
+        )
     else:
         objective = make_objective(pixels, labels, cfg, image_size=image_size)
         study.optimize(
@@ -132,6 +137,14 @@ def main(argv: list[str] | None = None) -> int:
                 "batch_size": cfg.batch_size,
                 "sample_size": cfg.sample_size,
                 "elapsed_s": elapsed,
+                "n_pruned": len(study.pruned_trials),
+                "n_complete": len(study.completed_trials),
+                **({
+                    "waves": stats["waves"],
+                    "refills": stats["refills"],
+                    "lane_epochs": stats["lane_epochs"],
+                    "live_lane_epochs": stats["live_lane_epochs"],
+                } if stats else {}),
             },
             f,
             indent=2,

@@ -199,6 +199,12 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
     # Planar arenas + the Pallas fused preprocess kernel: on TPU backends
     # the augmented train path preprocesses inside one VMEM pass
     # (docs/PERF.md — the jnp path alone cost ~6.7 ms of the 33 ms step).
+    # Streaming (archive-scale, ISIC-2020 config) keeps the jnp path by
+    # design: those runs are ~99% host/link-bound (docs/PERF.md
+    # §Streaming), so the kernel's ~4 ms/batch saving is invisible there
+    # while planar chunk transposes would add host work to the binding
+    # resource. Cohorts that fit HBM — including ISIC-2020 itself at 256²
+    # — use the default device-cache mode and get the kernel.
     use_planar = not cfg.data.streaming and (
         cfg.data.pallas_preprocess == "on"
         or (

@@ -20,8 +20,15 @@ FITZ = ["I", "II", "III", "IV", "V", "VI"]
 
 
 def make_synthetic_dataset(
-    root: str, n: int = 48, seed: int = 0, image_size: int = 64
+    root: str, n: int = 48, seed: int = 0, image_size: int = 64,
+    base_gap: int = 120, noise: int = 60, label_noise: float = 0.0
 ) -> list[dict]:
+    """``base_gap``/``noise`` set the brightness separation vs in-class
+    spread of the label signal; ``label_noise`` flips that fraction of
+    image appearances relative to their label. Defaults reproduce the
+    easy (fully separable) cohort; a HARD cohort (e.g. base_gap=30,
+    noise=60, label_noise=0.15) keeps HPO/accuracy spreads informative
+    instead of saturating at 1.0."""
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
     rows = []
@@ -51,8 +58,13 @@ def make_synthetic_dataset(
         )
         # Tiny JPEG whose mean brightness correlates with the label so a
         # model can actually learn from the fixture.
-        base = 60 if bm == "malignant" else 180
-        img = rng.integers(0, 60, (image_size, image_size, 3)) + base
+        appear_malignant = bm == "malignant"
+        if label_noise and rng.random() < label_noise:
+            appear_malignant = not appear_malignant
+        mid = 120
+        base = (mid - base_gap // 2 if appear_malignant
+                else mid + base_gap // 2)
+        img = rng.integers(0, noise, (image_size, image_size, 3)) + base
         Image.fromarray(img.astype(np.uint8)).save(
             os.path.join(root, f"{isic_id}.jpg"), quality=90
         )

@@ -96,3 +96,90 @@ def test_xception_7_class():
     variables = model.init(jax.random.key(0), x, train=False)
     out = model.apply(variables, x, train=False)
     assert out.shape == (1, 7)
+
+
+def test_keras_xception_weight_conversion_numerical_parity(tmp_path):
+    """Full-oracle transfer fidelity for the HAM config's backbone: a
+    LIVE keras.applications.Xception (random weights + randomized BN
+    stats — no downloads) writes its weights in the legacy .h5 layout
+    every downloadable xception_weights_*.h5 uses; the h5py-only
+    converter maps them into the Flax model, whose forward must match
+    the Keras forward numerically. Covers every layer-name mapping,
+    depthwise transpose, residual-conv ordering, VALID/SAME padding and
+    the BN epsilon. (jgi_ham_2018_tf.ipynb cell 70.)"""
+    keras = pytest.importorskip("keras")
+    import h5py
+
+    from skin_image_analysis_tpu.models.xception import (
+        Xception,
+        load_keras_xception_weights,
+    )
+
+    rng = np.random.default_rng(0)
+    kmodel = keras.applications.Xception(
+        weights=None, include_top=False, input_shape=(96, 96, 3)
+    )
+    # randomize BN stats/scales so any gamma/beta/mean/var mix-up or
+    # epsilon mismatch changes the output
+    for layer in kmodel.layers:
+        if isinstance(layer, keras.layers.BatchNormalization):
+            c = layer.get_weights()[0].shape[0]
+            layer.set_weights([
+                rng.uniform(0.5, 1.5, c).astype(np.float32),
+                rng.normal(0, 0.1, c).astype(np.float32),
+                rng.normal(0, 0.05, c).astype(np.float32),
+                rng.uniform(0.5, 1.5, c).astype(np.float32),
+            ])
+
+    def weight_names(layer):
+        if isinstance(layer, keras.layers.SeparableConv2D):
+            return ["depthwise_kernel", "pointwise_kernel"]
+        if isinstance(layer, keras.layers.BatchNormalization):
+            return ["gamma", "beta", "moving_mean", "moving_variance"]
+        if isinstance(layer, keras.layers.Conv2D):
+            return ["kernel", "bias"][: 1 + int(layer.use_bias)]
+        if isinstance(layer, keras.layers.Dense):
+            return ["kernel", "bias"]
+        raise TypeError(layer)
+
+    path = str(tmp_path / "xception_legacy.h5")
+    with h5py.File(path, "w") as f:
+        layer_names = []
+        for layer in kmodel.layers:
+            ws = layer.get_weights()
+            if not ws:
+                continue
+            layer_names.append(layer.name)
+            g = f.create_group(layer.name)
+            names = weight_names(layer)
+            assert len(names) == len(ws), layer.name
+            g.attrs["weight_names"] = [
+                f"{layer.name}/{n}:0".encode() for n in names
+            ]
+            for n, w in zip(names, ws):
+                g.create_dataset(f"{layer.name}/{n}:0", data=w)
+        f.attrs["layer_names"] = [n.encode() for n in layer_names]
+
+    model = Xception(num_classes=2, middle_blocks=8,
+                     compute_dtype="float32")
+    x_np = rng.normal(0, 1, (2, 96, 96, 3)).astype(np.float32)
+    variables = model.init(
+        jax.random.key(0), jnp.asarray(x_np), train=False
+    )
+    variables = {k: dict(v) for k, v in variables.items()}
+    converted = load_keras_xception_weights(path, variables)
+
+    # head: GAP -> Dense on the converted features, same W on both sides
+    w_head = rng.normal(0, 0.05, (2048, 2)).astype(np.float32)
+    b_head = rng.normal(0, 0.05, 2).astype(np.float32)
+    converted["params"]["Dense_0"] = {
+        "kernel": jnp.asarray(w_head), "bias": jnp.asarray(b_head),
+    }
+    ours = np.asarray(
+        model.apply(converted, jnp.asarray(x_np), train=False)
+    )
+
+    feats = np.asarray(kmodel(x_np, training=False))  # [2, 3, 3, 2048]
+    logits = feats.mean(axis=(1, 2)) @ w_head + b_head
+    theirs = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=5e-4)
