@@ -74,9 +74,24 @@ class LesionTable:
     def get_class(self, index: int) -> str:
         return self.class_names[index]
 
+    #: probe order when ``<isic_id>.jpg`` is absent — the ISIC-2020
+    #: archive distributes ``<isic_id>.dcm`` DICOMs (jgi_isic_2020
+    #: notebook); png covers re-exports
+    _EXT_PROBE = (".jpg", ".jpeg", ".png", ".dcm")
+
     def get_file_path(self, image_name: str) -> str:
-        """``<root>/<isic_id>.jpg`` (reference: tone_bias_dataset.py:357-362)."""
-        return os.path.join(self.root_dir, image_name + ".jpg")
+        """``<root>/<isic_id>.jpg`` (reference: tone_bias_dataset.py:357-362),
+        falling back through ``.jpeg``/``.png``/``.dcm`` when the jpg is
+        not on disk (one-time probe per image; the loader dispatches
+        decode by extension)."""
+        default = os.path.join(self.root_dir, image_name + ".jpg")
+        if os.path.exists(default):
+            return default
+        for ext in self._EXT_PROBE[1:]:
+            p = os.path.join(self.root_dir, image_name + ext)
+            if os.path.exists(p):
+                return p
+        return default  # missing either way; decode reports the row
 
     def file_paths(self) -> list[str]:
         return [self.get_file_path(n) for n in self.metadata_df["isic_id"]]

@@ -62,6 +62,21 @@ def decode_image(path: str, size: int, mode: str = "square") -> np.ndarray:
     aspect (reference Rescale(int), tone_bias_dataset.py:397-427) then
     center-crops to the square the fixed-shape arenas need.
     """
+    if path.lower().endswith(".dcm"):
+        # ISIC-2020 archive layout: DICOM pixels through the built-in
+        # parser (data.dicom — no pydicom needed), then the same resize
+        # geometry as the JPEG paths
+        from skin_image_analysis_tpu.data.dicom import read_dicom_image
+
+        img = read_dicom_image(path)
+        if mode == "shortest":
+            img = rescale_image(img, size)
+            h, w = img.shape[:2]
+            y0, x0 = (h - size) // 2, (w - size) // 2
+            return np.ascontiguousarray(
+                img[y0 : y0 + size, x0 : x0 + size]
+            )
+        return rescale_image(img, (size, size))
     if mode == "shortest":
         try:
             import cv2
@@ -138,6 +153,11 @@ class HostImageStore:
         if resize_mode != "square":
             use_native = False  # native decoder emits exact squares only
         paths = table.file_paths()
+        if paths and all(p.lower().endswith(".dcm") for p in paths):
+            # all-DICOM cohort (ISIC-2020 archive): the libjpeg decoder
+            # would fail-and-report every slot; go straight to the
+            # python path (mixed cohorts keep native + per-slot retry)
+            use_native = False
         shape = (
             (len(paths), canonical_size, canonical_size, 3)
             if layout == "hwc"

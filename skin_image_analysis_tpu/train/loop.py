@@ -646,6 +646,7 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
             _mark_progress(folder, base_done + epoch + 1)
 
         if cfg.eval_every and (epoch + 1) % cfg.eval_every == 0:
+            eval_start = time.time()
             record = evaluate_fairness(
                 state.params, state.apply_fn, test_loader, test_table,
                 eval_step=eval_step, batch_stats=state.batch_stats,
@@ -655,6 +656,7 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
             record["train_accuracy"] = train_accuracy
             record["epoch"] = epoch
             record["epoch_time_s"] = epoch_time
+            record["eval_time_s"] = time.time() - eval_start
             jsonl.append_record(results_path, record)
 
         if cfg.checkpoint_best and (

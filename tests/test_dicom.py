@@ -176,3 +176,50 @@ def test_dicom_folder(tmp_path):
     assert len(folder) == 3
     img = folder.decode(0)
     assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+
+
+def test_dicom_cohort_trains_end_to_end(tmp_path, synth_root):
+    """An ISIC-2020-style cohort of .dcm files (no JPEGs on disk) must
+    flow through the FULL training pipeline — LesionTable extension
+    probing, decode_image DICOM dispatch, HostImageStore, run_training
+    with per-epoch fairness eval — not just the standalone parser."""
+    import csv as _csv
+    import shutil
+
+    from skin_image_analysis_tpu.data import LesionTable, read_isic_metadata
+    from skin_image_analysis_tpu.data.loader import HostImageStore
+    from tests.test_e2e_train import _tiny_cfg
+    from skin_image_analysis_tpu.train.loop import run_training
+
+    rng = np.random.default_rng(4)
+    root = tmp_path / "isic2020"
+    root.mkdir()
+    shutil.copy(f"{synth_root}/metadata.csv", root / "metadata.csv")
+    with open(root / "metadata.csv") as f:
+        rows = list(_csv.DictReader(f))
+    # label-correlated brightness, mixed RGB/encapsulated-JPEG syntaxes
+    for i, row in enumerate(rows):
+        base = 60 if row["benign_malignant"] == "malignant" else 180
+        arr = (rng.integers(0, 60, (48, 48, 3)) + base).astype(np.uint8)
+        blob = (make_implicit_rgb(arr) if i % 2
+                else make_encapsulated_jpeg(arr))
+        (root / f"{row['isic_id']}.dcm").write_bytes(blob)
+
+    df = read_isic_metadata(str(root), seed=0)
+    table = LesionTable(df, str(root))
+    assert all(p.endswith(".dcm") for p in table.file_paths())
+    store = HostImageStore(table, canonical_size=32, workers=2)
+    assert not getattr(store, "bad_rows", [])  # every DICOM decoded
+    assert store.images.std() > 0
+
+    cfg = _tiny_cfg(str(root), tmp_path, epochs=1)
+    folder = run_training(cfg, verbose=False)
+    import json
+    import os
+
+    records = []
+    for name in os.listdir(folder):
+        if name.endswith(".json") and name[0].isdigit():
+            with open(os.path.join(folder, name)) as f:
+                records += [json.loads(ln) for ln in f if ln.strip()]
+    assert len(records) == 1 and "tone_di_results" in records[0]

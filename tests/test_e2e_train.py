@@ -124,7 +124,8 @@ def test_seeded_runs_reproduce(synth_root, tmp_path):
     a = run("a")
     b = run("b")
     for ra, rb in zip(a, b):
-        ra.pop("epoch_time_s"), rb.pop("epoch_time_s")
+        for k in ("epoch_time_s", "eval_time_s"):  # wall times vary
+            ra.pop(k), rb.pop(k)
         assert ra == rb
 
 
