@@ -48,8 +48,10 @@ def main() -> int:
     batch_size = int(os.environ.get("BENCH_BATCH", "256"))
     image_size = 224
     canonical = 256
-    k = int(os.environ.get("BENCH_K", "16"))  # steps per dispatch
-    # (measured +1.7% over 8 — DataConfig.steps_per_dispatch)
+    k = int(os.environ.get("BENCH_K", "32"))  # steps per dispatch
+    # (same-window ladder: k=16 11,688 vs k=32 11,917 img/s (+2.0%) —
+    # DataConfig.steps_per_dispatch; CLI default stays 8 because small
+    # cohorts (~10 batches/epoch) would waste k-padding)
     arena_n = 2048
     n_devices = len(jax.devices())
 
