@@ -55,7 +55,7 @@ def main() -> int:
     arena_n = 2048
     n_devices = len(jax.devices())
 
-    from skin_image_analysis_tpu.models.cnn import resolve_stem
+    from skin_image_analysis_tpu.models.cnn import stem_wants_s2d
 
     stem = os.environ.get("BENCH_STEM", "auto")  # auto|phase|s2d sweeps
     model_cfg = ModelConfig(compute_dtype="bfloat16", stem=stem)
@@ -70,7 +70,7 @@ def main() -> int:
         image_size, train=True,
         augment=AugmentConfig(brightness=0.1, contrast=0.1, saturation=0.1),
         layout="planar", pallas="on", out_dtype="bfloat16",
-        space_to_depth=resolve_stem(model_cfg) == "s2d",
+        space_to_depth=stem_wants_s2d(model_cfg),
     )
     multi_step = make_multi_train_step(k, preprocess_fn=pre)
 

@@ -82,16 +82,24 @@ class LesionTable:
     def get_file_path(self, image_name: str) -> str:
         """``<root>/<isic_id>.jpg`` (reference: tone_bias_dataset.py:357-362),
         falling back through ``.jpeg``/``.png``/``.dcm`` when the jpg is
-        not on disk (one-time probe per image; the loader dispatches
+        not on disk (probed once per image, memoized — file_paths() runs
+        per loader init and per instance lookup; the loader dispatches
         decode by extension)."""
+        cache = self.__dict__.setdefault("_path_cache", {})
+        hit = cache.get(image_name)
+        if hit is not None:
+            return hit
         default = os.path.join(self.root_dir, image_name + ".jpg")
-        if os.path.exists(default):
-            return default
-        for ext in self._EXT_PROBE[1:]:
-            p = os.path.join(self.root_dir, image_name + ext)
-            if os.path.exists(p):
-                return p
-        return default  # missing either way; decode reports the row
+        path = default
+        if not os.path.exists(default):
+            for ext in self._EXT_PROBE[1:]:
+                p = os.path.join(self.root_dir, image_name + ext)
+                if os.path.exists(p):
+                    path = p
+                    break
+            # else: missing either way; decode reports the row
+        cache[image_name] = path
+        return path
 
     def file_paths(self) -> list[str]:
         return [self.get_file_path(n) for n in self.metadata_df["isic_id"]]

@@ -100,12 +100,16 @@ class ChunkedBatchIterator:
             self._bad_file = cache_path + ".bad"
             self._cache_ready = np.zeros(n, bool)
             if os.path.exists(flag):
-                self._cache_ready[:] = np.fromfile(flag, bool)[:n]
                 if os.path.exists(self._bad_file):
+                    self._cache_ready[:] = np.fromfile(flag, bool)[:n]
                     self._bad.update(
                         int(i)
                         for i in np.fromfile(self._bad_file, np.int64)
                     )
+                # else: a ready flag WITHOUT the bad-row sidecar (cache
+                # written by a pre-sidecar revision) cannot prove which
+                # zero frames are corrupt — distrust it and re-validate
+                # by decoding (the cache rewrites with both files)
 
     def _decode_chunk(self, idx: np.ndarray) -> np.ndarray:
         if self._cache is not None and self._cache_ready[idx].all():

@@ -258,6 +258,20 @@ def run_wave_study(
                 else:
                     lane["live"] = False
 
+            if time.time() >= deadline:
+                # time budget expired mid-wave: record every live trial
+                # as pruned at its last report instead of training the
+                # wave out (the old per-wave overshoot bound was
+                # cfg.epochs; rolling lanes would double it)
+                for ti, lane in enumerate(lanes):
+                    if lane["live"]:
+                        lane["live"] = False
+                        study.tell(
+                            lane["trial"], float(accs[ti]),
+                            TrialState.PRUNED,
+                        )
+                epoch += 1
+                break
             if refill_mask.any():
                 fkeys = jax.random.split(
                     jax.random.key(cfg.seed + 7000 + waves * 100 + epoch),

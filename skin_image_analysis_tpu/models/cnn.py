@@ -332,6 +332,22 @@ def resolve_stem(cfg: ModelConfig) -> str:
     return "phase"
 
 
+def stem_wants_s2d(cfg: ModelConfig) -> bool:
+    """Whether the model will actually CONSUME a space-to-depth input —
+    the full predicate SkinCancerListModel.use_s2d applies (resolved
+    stem, fused_pool on, a conv stack, odd first kernel). Input-geometry
+    guards (even dims, RGB) live in the preprocess kernel itself.
+    Feeding an s2d layout to a model that fails this predicate would
+    shape-error at the first conv."""
+    return (
+        cfg.name in ("skin_cancer_list", "skin_cancer")
+        and resolve_stem(cfg) == "s2d"
+        and cfg.fused_pool
+        and len(cfg.conv_features) > 0
+        and cfg.first_kernel % 2 == 1
+    )
+
+
 def build_model(cfg: ModelConfig) -> nn.Module:
     """Instantiate the model described by a :class:`ModelConfig`."""
     if cfg.name == "skin_cancer_list":

@@ -269,13 +269,14 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         if cfg.data.augment
         else None
     )
-    from skin_image_analysis_tpu.models.cnn import resolve_stem
+    from skin_image_analysis_tpu.models.cnn import stem_wants_s2d
 
     # s2d stem models take the space-to-depth layout straight from the
     # Pallas kernel's store (free); every other path hands the model
     # plain NHWC and it transforms internally. model_cfg may come from
-    # a checkpoint (resume/fine-tune), so resolve from it, not cfg.model
-    emit_s2d = resolve_stem(model_cfg) == "s2d"
+    # a checkpoint (resume/fine-tune), so resolve from it, not cfg.model;
+    # the predicate mirrors the model's own use_s2d gate exactly
+    emit_s2d = stem_wants_s2d(model_cfg)
     train_pre = make_preprocess_fn(
         cfg.data.image_size, train=True, augment=augment,
         normalize_imagenet=cfg.data.normalize_imagenet,
@@ -474,6 +475,24 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
             if verbose:
                 print(f"multi-batch eval: {k_spd} batches/program "
                       f"(compiled in {t_ev.elapsed:.1f}s)")
+            if replicated is not None:
+                # mesh runs: commit the [k,B] index arrays to the same
+                # replicated sharding the program was warm-compiled
+                # with — uncommitted args would miss the jit cache and
+                # recompile through the relay on the first real eval
+                _em, _rep = eval_multi, replicated
+
+                def eval_multi(params, apply_fn, arena, ib, rid, vd,
+                               batch_stats=None):
+                    import jax.numpy as jnp
+
+                    ib, rid, vd = jax.device_put(
+                        (jnp.asarray(ib), jnp.asarray(rid),
+                         jnp.asarray(vd)),
+                        _rep,
+                    )
+                    return _em(params, apply_fn, arena, ib, rid, vd,
+                               batch_stats)
         except Exception as e:
             if verbose:
                 print(f"multi-batch eval disabled "

@@ -197,3 +197,22 @@ def test_model_s2d_falls_back_on_even_kernel_or_odd_dims():
     x2 = jnp.asarray(rng.random((2, 15, 15, 3)), jnp.float32)
     v2 = m2.init({"params": jax.random.key(0)}, x2, train=False)
     assert m2.apply(v2, x2, train=False).shape == (2, 2)
+
+
+def test_stem_wants_s2d_mirrors_model_gate():
+    """The preprocess-side predicate must match the model's use_s2d gate
+    exactly — emitting s2d for a model that will not consume it would
+    shape-error at the first conv."""
+    from skin_image_analysis_tpu.config import ModelConfig
+    from skin_image_analysis_tpu.models.cnn import stem_wants_s2d
+
+    base = dict(conv_features=(8,), linear_features=(8,), dropout=(0.2,))
+    assert stem_wants_s2d(ModelConfig(stem="s2d", **base))
+    assert not stem_wants_s2d(ModelConfig(stem="phase", **base))
+    assert not stem_wants_s2d(
+        ModelConfig(stem="s2d", fused_pool=False, **base)
+    )
+    assert not stem_wants_s2d(
+        ModelConfig(stem="s2d", first_kernel=4, **base)
+    )
+    assert not stem_wants_s2d(ModelConfig(name="resnet18", stem="s2d"))

@@ -178,3 +178,32 @@ def test_stream_cache_remembers_corrupt_rows_across_processes(
     )
     assert it2._cache_ready.all()
     assert collect_invalid(it2) == victim_rows
+
+
+def test_stream_cache_without_bad_sidecar_is_distrusted(table, tmp_path):
+    """A .ready flag written by a pre-sidecar revision (no .bad file)
+    cannot prove which zero frames were corrupt — the cache must be
+    re-validated by decoding rather than trusted with an empty bad set."""
+    import os
+
+    cache = str(tmp_path / "legacy_cache.npy")
+    it = ChunkedBatchIterator(
+        table, canonical_size=24, batch_size=8, chunk_size=16,
+        shuffle=False, drop_remainder=False, seed=0,
+        device_chunks=False, cache_path=cache,
+    )
+    for _ in it:
+        pass
+    assert os.path.exists(cache + ".bad")
+    os.remove(cache + ".bad")  # simulate the pre-sidecar cache
+
+    it2 = ChunkedBatchIterator(
+        table, canonical_size=24, batch_size=8, chunk_size=16,
+        shuffle=False, drop_remainder=False, seed=0,
+        device_chunks=False, cache_path=cache,
+    )
+    assert not it2._cache_ready.any()  # distrusted → re-decodes
+    for _ in it2:
+        pass
+    assert os.path.exists(cache + ".bad")  # rewritten with the flag
+    assert it2._cache_ready.all()
