@@ -136,6 +136,7 @@ def main(argv: list[str] | None = None) -> int:
                 "device": device,
                 "batch_size": cfg.batch_size,
                 "sample_size": cfg.sample_size,
+                "image_size": image_size,
                 "elapsed_s": elapsed,
                 "n_pruned": len(study.pruned_trials),
                 "n_complete": len(study.completed_trials),

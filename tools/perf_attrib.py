@@ -37,10 +37,15 @@ import numpy as np
 
 
 def _fence(x) -> float:
-    """Force completion of the async chain by reading one value back."""
+    """Force completion of the async chain by reading ONE value back.
+    The slice happens on device — ``np.asarray(leaf)`` would fetch the
+    whole tensor over the ~100 MB/s link, which for a 200 MB activation
+    costs 1000x the program being timed."""
     import jax
 
     leaf = jax.tree.leaves(x)[0]
+    if hasattr(leaf, "device"):  # jax array: slice on device
+        return float(leaf.reshape(-1)[0])
     return float(np.asarray(leaf).reshape(-1)[0])
 
 
