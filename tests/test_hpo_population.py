@@ -281,3 +281,30 @@ def test_wave_early_stop_when_all_pruned():
     )
     assert calls == [0]
     assert out["accuracy_history"].shape[0] == 1
+
+
+def test_wave_deadline_closes_live_trials():
+    """When the study time budget expires mid-wave, the rolling loop
+    must stop and record every live trial (PRUNED) instead of training
+    the wave out — no dangling RUNNING trials, bounded overshoot."""
+    import time as _time
+
+    from skin_image_analysis_tpu.config import HpoConfig
+    from skin_image_analysis_tpu.hpo.wave import run_wave_study
+
+    pixels, labels = _tiny_data(n=100, size=16, seed=5)
+    # ~1.5 s budget: the first wave starts, the deadline lands inside it
+    cfg = HpoConfig(trials=50, time_limit_hours=1.5 / 3600,
+                    sample_size=60, batch_size=8, epochs=50,
+                    n_train_examples=32, n_valid_examples=16,
+                    population=2, seed=2)
+    t0 = _time.time()
+    study, stats = run_wave_study(
+        pixels, labels, cfg, image_size=16, compute_dtype="float32",
+        verbose=False,
+    )
+    assert len(study.trials) >= 2
+    for t in study.trials:
+        assert t.state in ("COMPLETE", "PRUNED")  # nothing dangling
+    # overshoot bounded by ~one epoch + teardown, not 2*epochs
+    assert _time.time() - t0 < 60
