@@ -41,7 +41,10 @@ def main() -> int:
         make_preprocess_fn,
     )
     from skin_image_analysis_tpu.train.state import create_train_state
-    from skin_image_analysis_tpu.train.step import make_multi_train_step
+    from skin_image_analysis_tpu.train.step import (
+        make_multi_train_step,
+        make_train_step,
+    )
 
     # BENCH_BATCH / BENCH_K env overrides exist for sweeps; the defaults
     # are the measured-best operating point on v5e.
@@ -93,6 +96,28 @@ def main() -> int:
             jnp.asarray(labels_all[idx]),
             jnp.ones((k, batch_size), bool),
         )
+
+    # Compile ORDER matters through the remote relay (docs/PERF.md §Cold
+    # start): the scan-of-k program compiled COLD measures 500 to >900 s
+    # (timeouts in degraded windows), but ~11-20 s when the 1-step train
+    # program compiled immediately before in the same process. Warm the
+    # 1-step program first, exactly as run_training does.
+    one_step = make_train_step(preprocess_fn=pre)
+    warm_state = jax.tree.map(
+        lambda x: x.copy() if hasattr(x, "copy") else x, state
+    )
+    warm_batch = {
+        "pixels": jnp.asarray(
+            rng.integers(0, 255, (batch_size, 3, canonical, canonical)),
+            jnp.uint8,
+        ),
+        "label": jnp.zeros((batch_size,), jnp.int32),
+        "row_id": jnp.zeros((batch_size,), jnp.int32),
+        "valid": jnp.ones((batch_size,), bool),
+    }
+    warm_state, m1 = one_step(warm_state, warm_batch)
+    float(m1["loss"])
+    del warm_state, warm_batch
 
     args = super_step_args(1)
     # warmup / compile; sync via value readback (block_until_ready returns
