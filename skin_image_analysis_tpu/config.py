@@ -34,6 +34,13 @@ class DataConfig:
                                    # gather batches on-device (bounded by
                                    # device_cache_max_bytes)
     device_cache_max_bytes: int = 8 << 30
+    early_commit_min_bytes: int = 1 << 30
+    # single-device runs ship each split's arena to HBM from the decode
+    # thread (overlapping the slow host link with decode + compiles) —
+    # but the materialization fence costs one extra XLA program compile
+    # per arena shape (~30-90 s through the remote-compile relay), so it
+    # only pays when the transfer itself is relay-window-sized. Arenas
+    # below this threshold keep the lazy post-join commit.
     streaming: bool = False        # archive-scale path: chunked decode-
                                    # ahead instead of whole-cohort arenas
     chunk_size: int = 2048         # images per streaming chunk

@@ -198,3 +198,24 @@ def test_pallas_planar_pipeline_run(synth_root, tmp_path):
     with open(os.path.join(folder, json_files[0])) as f:
         [rec] = [json.loads(line) for line in f if line.strip()]
     assert rec["total"] > 0 and "auc" in rec
+
+
+def test_single_device_early_arena_commit(synth_root, tmp_path, monkeypatch):
+    """On one device the uint8 arenas ship from the decode thread (the
+    link transfer overlaps decode + compiles); training results must be
+    identical to the post-join commit path."""
+    import jax
+
+    real = jax.devices()
+
+    monkeypatch.setattr(jax, "devices", lambda *a: real[:1])
+    # threshold 0: the tiny arena must still take the early-commit path
+    # (production gates it to >=1 GB where the fence compile pays off)
+    cfg = _tiny_cfg(synth_root, tmp_path, epochs=1, early_commit_min_bytes=0)
+    folder = run_training(cfg, verbose=False)
+    names = os.listdir(folder)
+    assert "session_model.msgpack" in names
+    json_files = [n for n in names if n.endswith(".json") and n[0].isdigit()]
+    with open(os.path.join(folder, json_files[0])) as f:
+        recs = [json.loads(line) for line in f if line.strip()]
+    assert len(recs) == 1 and 0 <= recs[0]["accuracy"] <= 1
