@@ -2,7 +2,7 @@
 """HPO sweep CLI — reference surface (tone_bias_optuna.py:291-343)::
 
     python cli/tone_bias_optuna.py [<image root>] [--trials N] [--hours H]
-        [--sample-size N] [--population K]
+        [--sample-size N] [--population K] [--parallel K] [--mesh N]
 
 Runs the architecture search over a sample of the tone dataset with median
 pruning, prints pruned/complete counts + best parameters, and writes
@@ -36,7 +36,7 @@ def main(argv: list[str] | None = None) -> int:
         argv,
         {"trials": 100, "hours": 16.0, "sample-size": 300,
          "population": 0, "epochs": 10, "batch-size": 32, "seed": 0,
-         "image-size": 224, "sampler": "tpe", "parallel": 0},
+         "image-size": 224, "sampler": "tpe", "parallel": 0, "mesh": 0},
     )
     root = positional[0] if positional else None
 
@@ -94,9 +94,22 @@ def main(argv: list[str] | None = None) -> int:
         # (hpo/wave.py — the TPU replacement for MPI ranks, README.md:54)
         from skin_image_analysis_tpu.hpo.wave import run_wave_study
 
+        mesh = None
+        n_mesh = int(opts["mesh"])
+        if n_mesh > 1:
+            # shard the wave's lane axis over N devices: K/N supernet
+            # trials per chip, no cross-device collectives
+            from jax.sharding import Mesh
+
+            devices = jax.devices()[:n_mesh]
+            if len(devices) < n_mesh:
+                raise SystemExit(
+                    f"--mesh {n_mesh} but only {len(devices)} devices"
+                )
+            mesh = Mesh(np.asarray(devices), ("trial",))
         study, stats = run_wave_study(
             pixels, labels, cfg, image_size=image_size,
-            study=study, wave_size=wave_size,
+            study=study, wave_size=wave_size, mesh=mesh,
         )
         print(
             f"waves: {stats['waves']}  trials: {stats['trials']}  "

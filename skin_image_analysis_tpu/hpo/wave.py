@@ -26,6 +26,14 @@ into *waves* of rolling lanes:
 
 K is auto-capped per skeleton by the padded parameter footprint
 (hpo.population.max_population).
+
+With ``mesh=`` the wave's lane axis is sharded over the mesh's devices
+(every per-lane array — params, optimizer state, widths, dropouts, lrs,
+index gathers — carries a leading K axis, so a NamedSharding on that
+axis turns the vmap-over-K programs into SPMD programs with zero
+cross-lane collectives; the data pool is replicated). K lanes x N chips
+is the full TPU-slice replacement for the reference's MPI ranks
+(README.md:54): each chip hosts K/N padded-supernet trials.
 """
 
 from __future__ import annotations
@@ -80,23 +88,47 @@ def run_wave_study(
     compute_dtype: str = "bfloat16",
     study: Study | None = None,
     wave_size: int | None = None,
+    mesh=None,
     verbose: bool = True,
 ) -> tuple[Study, dict[str, Any]]:
     """Run ~cfg.trials trials as rolling-lane waves; returns
     (study, stats). stats carries the compute accounting: lane_epochs
     (total lockstep epochs run x lanes), live_lane_epochs (epochs spent
     on un-finished trials) and refills (trials that reused a freed
-    lane)."""
+    lane).
+
+    ``mesh``: a `jax.sharding.Mesh` to shard the lane axis over — K is
+    rounded to a multiple of the mesh's device count and every per-lane
+    array is placed with a leading-axis NamedSharding (the data pool is
+    replicated), so each device trains K/N of the wave's supernet trials
+    with no cross-device collectives."""
     if image_size is None:
         image_size = pixels.shape[1]
     study = study or create_study("maximize")
     max_pools = max(1, image_size.bit_length() - 1)
     max_extra = max(1, min(MAX_EXTRA_CONV_LAYERS, max_pools - 1))
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        lane_sh = NamedSharding(mesh, PartitionSpec(tuple(mesh.axis_names)))
+        repl_sh = NamedSharding(mesh, PartitionSpec())
+    else:
+        n_dev, lane_sh, repl_sh = 1, None, None
+
+    def _lane(x):
+        """Per-lane array (leading K axis) → lane-sharded device array."""
+        x = jnp.asarray(x)
+        return jax.device_put(x, lane_sh) if lane_sh is not None else x
+
     # the whole cohort goes to the device ONCE; every trial's sample is
-    # an index gather against this pool
+    # an index gather against this pool (replicated under a mesh)
     pool_px = jnp.asarray(pixels)
     pool_lb = jnp.asarray(labels.astype(np.int32))
+    if repl_sh is not None:
+        pool_px = jax.device_put(pool_px, repl_sh)
+        pool_lb = jax.device_put(pool_lb, repl_sh)
 
     start = time.time()
     deadline = start + cfg.time_limit_hours * 3600
@@ -127,6 +159,15 @@ def run_wave_study(
             cfg.trials - len(study.trials) + 1,
         )
         k = max(k, 1)
+        if mesh is not None:
+            # the lane axis shards over the mesh: K must divide evenly
+            cap = max_population(skel, cfg.batch_size)
+            if cap < n_dev:
+                raise ValueError(
+                    f"skeleton {skel} fits only {cap} padded lanes but "
+                    f"the mesh has {n_dev} devices"
+                )
+            k = max(n_dev, (k // n_dev) * n_dev)
 
         microbatch = min(default_microbatch(skel, cfg.batch_size),
                          cfg.batch_size)
@@ -195,9 +236,9 @@ def run_wave_study(
         init_wave, train_epoch, valid_accuracy, merge_lanes = (
             _rolling_programs(skel, k, microbatch, n_micro)
         )
-        keys = jax.random.split(jax.random.key(cfg.seed + waves), k)
+        keys = _lane(jax.random.split(jax.random.key(cfg.seed + waves), k))
         params, opt_state = init_wave(
-            keys, jnp.asarray(conv_w), jnp.asarray(lin_w)
+            keys, _lane(conv_w), _lane(lin_w)
         )
 
         # refills must be born early enough to run their full epochs
@@ -214,12 +255,12 @@ def run_wave_study(
             ])
             params, opt_state = train_epoch(
                 params, opt_state, jax.random.fold_in(root, epoch),
-                jnp.asarray(tb_idx, jnp.int32), pool_px, pool_lb,
-                jnp.asarray(conv_w), jnp.asarray(lin_w),
-                jnp.asarray(drops), jnp.asarray(lrs),
+                _lane(tb_idx.astype(np.int32)), pool_px, pool_lb,
+                _lane(conv_w), _lane(lin_w),
+                _lane(drops), _lane(lrs),
             )
             accs = np.asarray(valid_accuracy(
-                params, jnp.asarray(vb_idx, jnp.int32), pool_px, pool_lb
+                params, _lane(vb_idx.astype(np.int32)), pool_px, pool_lb
             ))
             lane_epochs += k
             live_lane_epochs += sum(lane["live"] for lane in lanes)
@@ -273,16 +314,16 @@ def run_wave_study(
                 epoch += 1
                 break
             if refill_mask.any():
-                fkeys = jax.random.split(
+                fkeys = _lane(jax.random.split(
                     jax.random.key(cfg.seed + 7000 + waves * 100 + epoch),
                     k,
-                )
+                ))
                 fresh_params, fresh_opt = init_wave(
-                    fkeys, jnp.asarray(conv_w), jnp.asarray(lin_w)
+                    fkeys, _lane(conv_w), _lane(lin_w)
                 )
                 params, opt_state = merge_lanes(
                     params, opt_state, fresh_params, fresh_opt,
-                    jnp.asarray(refill_mask),
+                    _lane(refill_mask),
                 )
             epoch += 1
         wave_s = time.time() - t0
