@@ -3,7 +3,8 @@
 
     python cli/ham_train.py <image root> <metadata csv> <epochs>
         [--classes binary|dx] [--model xception|resnet50|skin_cancer_list]
-        [--batch-size N] [--lr F] [--image-size N] [--out DIR]
+        [--batch-size N] [--lr F] [--image-size N] [--freeze-backbone]
+        [--out DIR]
 
 ``binary`` trains benign/malignant (mel/bcc/akiec malignant — the TF
 notebook's transfer config); ``dx`` trains the 7-class dx labels (the
@@ -31,6 +32,7 @@ def main(argv: list[str] | None = None) -> int:
         {"classes": "binary", "model": "xception", "batch-size": 32,
          "lr": 1e-3, "image-size": 224, "canonical-size": 256,
          "out": "ham_runs", "seed": 0},
+        bool_flags={"freeze-backbone"},
     )
     if len(positional) != 3:
         print("Usage: <image root> <metadata csv> <epochs> "
@@ -73,6 +75,7 @@ def main(argv: list[str] | None = None) -> int:
         image_size=opts["image-size"], canonical_size=opts["canonical-size"],
         batch_size=opts["batch-size"], epochs=epochs,
         learning_rate=opts["lr"], seed=opts["seed"], out_dir=opts["out"],
+        freeze_backbone=opts["freeze-backbone"],
     )
     out = train_classifier(train_table, test_table, cfg)
     print(f"final test metrics: {out['test_metrics']}")

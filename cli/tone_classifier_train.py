@@ -5,7 +5,7 @@ trainer surface (notebooks/ToneClassifier/CNNTrial.py)::
     python cli/tone_classifier_train.py <image root> <epochs>
         [--model resnet50|resnet18|xception|skin_cancer_list]
         [--batch-size N] [--lr F] [--image-size N] [--oversample]
-        [--no-class-weights] [--out DIR]
+        [--freeze-backbone] [--no-class-weights] [--out DIR]
 
 Splits the cohort 70/30 (TestTrainSplit semantics), trains the ResNet
 transfer model on {light, dark} Fitzpatrick-derived labels with
@@ -34,12 +34,12 @@ def main(argv: list[str] | None = None) -> int:
         {"model": "resnet50", "batch-size": 32, "lr": 1e-3,
          "image-size": 224, "out": "tone_runs", "seed": 0,
          "canonical-size": 256},
-        bool_flags={"oversample", "no-class-weights"},
+        bool_flags={"oversample", "no-class-weights", "freeze-backbone"},
     )
     if len(positional) != 2:
         print("Usage: <image root> <epochs> [--model NAME] [--batch-size N]"
               " [--lr F] [--image-size N] [--oversample]"
-              " [--no-class-weights] [--out DIR]")
+              " [--freeze-backbone] [--no-class-weights] [--out DIR]")
         return 1
     root, epochs = positional[0], int(positional[1])
 
@@ -64,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
         learning_rate=opts["lr"],
         use_class_weights=not opts["no-class-weights"],
         oversample=opts["oversample"],
+        freeze_backbone=opts["freeze-backbone"],
         seed=opts["seed"],
         out_dir=opts["out"],
     )

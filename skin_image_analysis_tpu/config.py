@@ -96,6 +96,18 @@ class ModelConfig:
                                       # s2d input layout + 5x5 conv at 4x
                                       # the input channels); "auto" =
                                       # measured-best (docs/PERF.md)
+    freeze_backbone: bool = False     # frozen-feature transfer (the
+                                      # reference's ResNet-18 recipe,
+                                      # jgi_ham_2018_torch.ipynb cells
+                                      # 30-32): stop_gradient on the
+                                      # pooled features so XLA prunes the
+                                      # whole backbone backward, plus a
+                                      # masked optimizer (head-only
+                                      # updates, no backbone moments).
+                                      # BatchNorm running stats still
+                                      # update in train mode (torch
+                                      # requires_grad=False semantics).
+                                      # resnet*/xception* families only.
 
     def __post_init__(self) -> None:
         if len(self.dropout) not in (1, len(self.linear_features)):

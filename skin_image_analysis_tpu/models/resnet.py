@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -99,6 +100,14 @@ class ResNet(nn.Module):
     num_classes: int = 2
     head_dropout: float = 0.5
     compute_dtype: str = "bfloat16"
+    # Frozen-feature transfer (jgi_ham_2018_torch.ipynb cells 30-32:
+    # requires_grad=False on the backbone, train the new head only).
+    # stop_gradient on the pooled features zeroes every backbone VJP, so
+    # XLA dead-code-eliminates the entire backbone backward — the train
+    # step costs a forward plus a head-only backward. BatchNorm running
+    # stats still update in train mode, matching torch's frozen-params
+    # semantics (freezing grads does not switch BN to eval).
+    freeze_backbone: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -118,39 +127,47 @@ class ResNet(nn.Module):
                     x, train=train
                 )
         x = jnp.mean(x, axis=(1, 2))  # global average pool
+        if self.freeze_backbone:
+            x = jax.lax.stop_gradient(x)
         x = nn.Dropout(self.head_dropout, deterministic=not train)(x)
         x = nn.Dense(self.num_classes, dtype=dtype)(x)
         return nn.log_softmax(x.astype(jnp.float32), axis=-1)
 
 
-def resnet18(num_classes: int = 2, compute_dtype: str = "bfloat16") -> ResNet:
+def resnet18(num_classes: int = 2, compute_dtype: str = "bfloat16",
+             freeze_backbone: bool = False) -> ResNet:
     return ResNet((2, 2, 2, 2), "basic", num_classes,
-                  compute_dtype=compute_dtype)
+                  compute_dtype=compute_dtype,
+                  freeze_backbone=freeze_backbone)
 
 
-def resnet34(num_classes: int = 2, compute_dtype: str = "bfloat16") -> ResNet:
+def resnet34(num_classes: int = 2, compute_dtype: str = "bfloat16",
+             freeze_backbone: bool = False) -> ResNet:
     return ResNet((3, 4, 6, 3), "basic", num_classes,
-                  compute_dtype=compute_dtype)
+                  compute_dtype=compute_dtype,
+                  freeze_backbone=freeze_backbone)
 
 
-def resnet50(num_classes: int = 2, compute_dtype: str = "bfloat16") -> ResNet:
+def resnet50(num_classes: int = 2, compute_dtype: str = "bfloat16",
+             freeze_backbone: bool = False) -> ResNet:
     return ResNet((3, 4, 6, 3), "bottleneck", num_classes,
-                  compute_dtype=compute_dtype)
+                  compute_dtype=compute_dtype,
+                  freeze_backbone=freeze_backbone)
 
 
 @register_model("resnet18")
 def _build_r18(cfg: ModelConfig):
-    return resnet18(cfg.num_classes, cfg.compute_dtype)
+    return resnet18(cfg.num_classes, cfg.compute_dtype, cfg.freeze_backbone)
 
 
 @register_model("resnet34")
 def _build_r34(cfg: ModelConfig):
-    return resnet34(cfg.num_classes, cfg.compute_dtype)
+    return resnet34(cfg.num_classes, cfg.compute_dtype, cfg.freeze_backbone)
 
 
 @register_model("resnet50")
 def _build_r50(cfg: ModelConfig):
-    return resnet50(cfg.num_classes, cfg.compute_dtype)
+    return resnet50(cfg.num_classes, cfg.compute_dtype, cfg.freeze_backbone)
 
 
 def load_torchvision_weights(path: str, variables: Any) -> Any:

@@ -20,6 +20,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -65,6 +66,10 @@ class Xception(nn.Module):
     middle_blocks: int = 8
     head_dropout: float = 0.5
     compute_dtype: str = "bfloat16"
+    # Frozen-feature transfer (see models/resnet.py): stop_gradient on
+    # the pooled features prunes the backbone backward; BN running stats
+    # still update in train mode.
+    freeze_backbone: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -141,6 +146,8 @@ class Xception(nn.Module):
         x = nn.relu(x)
 
         x = jnp.mean(x, axis=(1, 2))  # GAP
+        if self.freeze_backbone:
+            x = jax.lax.stop_gradient(x)
         x = nn.Dropout(self.head_dropout, deterministic=not train)(x)
         x = nn.Dense(self.num_classes, dtype=dtype)(x)
         return nn.log_softmax(x.astype(jnp.float32), axis=-1)
@@ -149,13 +156,15 @@ class Xception(nn.Module):
 @register_model("xception")
 def _build_xception(cfg: ModelConfig):
     return Xception(num_classes=cfg.num_classes,
-                    compute_dtype=cfg.compute_dtype)
+                    compute_dtype=cfg.compute_dtype,
+                    freeze_backbone=cfg.freeze_backbone)
 
 
 @register_model("xception_small")
 def _build_xception_small(cfg: ModelConfig):
     return Xception(num_classes=cfg.num_classes, middle_blocks=2,
-                    compute_dtype=cfg.compute_dtype)
+                    compute_dtype=cfg.compute_dtype,
+                    freeze_backbone=cfg.freeze_backbone)
 
 
 def load_keras_xception_weights(path: str, variables: Any) -> Any:

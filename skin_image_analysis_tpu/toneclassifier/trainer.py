@@ -37,6 +37,7 @@ class ToneTrainConfig:
     weight_decay: float = 0.01
     use_class_weights: bool = True
     oversample: bool = False        # WeightedRandomSampler equivalent
+    freeze_backbone: bool = False   # frozen-feature transfer (head-only)
     seed: int = 0
     compute_dtype: str = "bfloat16"
     out_dir: str = "tone_runs"
@@ -87,6 +88,7 @@ def train_tone_classifier(
             optimizer="adamw",
             use_class_weights=cfg.use_class_weights,
             oversample=cfg.oversample,
+            freeze_backbone=cfg.freeze_backbone,
             augment=True,
             normalize_imagenet=True,
             seed=cfg.seed,

@@ -47,6 +47,9 @@ class ClassifyConfig:
     seed: int = 0
     compute_dtype: str = "bfloat16"
     out_dir: str = "classify_runs"
+    freeze_backbone: bool = False   # frozen-feature transfer: train the
+                                    # head only (jgi_ham_2018_torch
+                                    # cells 30-32; see ModelConfig)
 
 
 def multiclass_metrics(preds, labels, n_classes: int) -> dict[str, float]:
@@ -101,6 +104,7 @@ def train_classifier(
     model_cfg = ModelConfig(
         name=cfg.model_name, num_classes=cfg.num_classes,
         image_size=cfg.image_size, compute_dtype=cfg.compute_dtype,
+        freeze_backbone=cfg.freeze_backbone,
     )
     optim_cfg = OptimConfig(
         optimizer=cfg.optimizer, learning_rate=cfg.learning_rate,

@@ -187,6 +187,30 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
 
+def _freeze_labels(params: Any) -> Any:
+    """Per-leaf 'trainable'/'frozen' labels for frozen-backbone transfer.
+
+    The transfer families (resnet*/xception*) all end in a single
+    top-level Dense head (GAP → Dropout → Dense); everything else is the
+    backbone. Combined with the model's stop_gradient (zero backbone
+    grads), optax.multi_transform + set_to_zero means frozen params get
+    no updates at all — no weight-decay drift under adamw — and hold no
+    optimizer moments (masked leaves are MaskedNode, saving the
+    backbone's worth of adam state)."""
+    head = {k for k in params if k.startswith("Dense_")}
+    if not head:
+        raise ValueError(
+            "freeze_backbone needs a model with a top-level Dense head "
+            f"(resnet*/xception*); got top-level params {sorted(params)}"
+        )
+    return {
+        k: jax.tree.map(
+            lambda _: "trainable" if k in head else "frozen", v
+        )
+        for k, v in params.items()
+    }
+
+
 def create_train_state(
     model_cfg: ModelConfig,
     optim_cfg: OptimConfig,
@@ -205,6 +229,19 @@ def create_train_state(
         variables = variables.unfreeze()
     params = variables["params"]
     tx = make_optimizer(optim_cfg)
+    if getattr(model_cfg, "freeze_backbone", False):
+        if not getattr(model, "freeze_backbone", False):
+            # the registry builder for supported families threads the
+            # flag onto the module; anything else silently training the
+            # full net would misreport a "frozen" run
+            raise ValueError(
+                f"model {model_cfg.name!r} does not support "
+                "freeze_backbone (resnet*/xception* only)"
+            )
+        tx = optax.multi_transform(
+            {"trainable": tx, "frozen": optax.set_to_zero()},
+            _freeze_labels(params),
+        )
     state = TrainState(
         step=jax.numpy.zeros((), jax.numpy.int32),
         params=params,

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Training/inference throughput for the transfer-model families
+(ResNet-50, Xception — the reference's CNNTrial.py / jgi_ham_2018_tf
+backbones) on the real chip, through the production step machinery
+(train.step.make_train_step / make_eval_step, bf16 compute, BN state).
+
+Usage: python tools/bench_models.py [--freeze] [model ...]
+       (default models: resnet50 xception; --freeze benches the
+       frozen-backbone transfer step — head-only backward)
+
+Prints one line per model: fwd+bwd step ms, train img/s/chip, eval
+img/s/chip. Fences with value readbacks (block_until_ready returns
+early through the axon relay)."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv: list[str]) -> int:
+    freeze = "--freeze" in argv
+    argv = [a for a in argv if a != "--freeze"]
+    names = argv or ["resnet50", "xception"]
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    image = 224
+
+    import jax
+    import jax.numpy as jnp
+
+    from skin_image_analysis_tpu.config import ModelConfig, OptimConfig
+    from skin_image_analysis_tpu.train.state import create_train_state
+    from skin_image_analysis_tpu.train.step import make_eval_step, make_train_step
+
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(
+        rng.normal(0.0, 1.0, (batch, image, image, 3)), jnp.float32
+    )
+    labels = jnp.asarray(rng.integers(0, 2, batch), jnp.int32)
+    base = {
+        "pixels": pixels,
+        "label": labels,
+        "row_id": jnp.arange(batch, dtype=jnp.int32),
+        "valid": jnp.ones((batch,), bool),
+    }
+
+    for name in names:
+        cfg = ModelConfig(name=name, image_size=image,
+                          compute_dtype="bfloat16", freeze_backbone=freeze)
+        state, _ = create_train_state(
+            cfg, OptimConfig(learning_rate=1e-3, optimizer="adamw"),
+            jax.random.key(0), batch_size=batch,
+        )
+        step = make_train_step()
+        estep = make_eval_step()
+
+        t0 = time.perf_counter()
+        state, m = step(state, base)
+        float(m["loss"])
+        compile_s = time.perf_counter() - t0
+
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, base)
+        float(m["loss"])
+        train_ms = (time.perf_counter() - t0) / iters * 1e3
+
+        out = estep(state.params, state.apply_fn, base,
+                    batch_stats=state.batch_stats)
+        np.asarray(out["pred"])  # readback fence (tiny i32 vector)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = estep(state.params, state.apply_fn, base,
+                        batch_stats=state.batch_stats)
+        np.asarray(out["pred"])
+        eval_ms = (time.perf_counter() - t0) / iters * 1e3
+
+        n_params = sum(x.size for x in jax.tree.leaves(state.params))
+        tag = f"{name}+freeze" if freeze else name
+        print(
+            f"{tag}: params={n_params / 1e6:.1f}M compile={compile_s:.1f}s "
+            f"train {train_ms:.1f} ms/step ({batch / train_ms * 1e3:,.0f} "
+            f"img/s/chip)  eval {eval_ms:.1f} ms ({batch / eval_ms * 1e3:,.0f} "
+            f"img/s/chip)  B={batch}@{image}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
