@@ -5,7 +5,14 @@ trainer surface (notebooks/ToneClassifier/CNNTrial.py)::
     python cli/tone_classifier_train.py <image root> <epochs>
         [--model resnet50|resnet18|xception|skin_cancer_list]
         [--batch-size N] [--lr F] [--image-size N] [--oversample]
-        [--freeze-backbone] [--no-class-weights] [--out DIR]
+        [--freeze-backbone] [--input rgb|ita] [--five-crop]
+        [--no-class-weights] [--out DIR]
+
+``--input ita`` trains on fused on-device [ITA/90, skin-mask] channels —
+stage 3 of the ToneClassifier plan (readme.md's "ITA-matrix CNN", which
+the reference only prepared .npy matrices for). ``--five-crop`` evaluates
+with 4-corner+center test-time augmentation (the documented
+CNNTrialDataset.py:61-65 experiment) as one 5x-batched forward.
 
 Splits the cohort 70/30 (TestTrainSplit semantics), trains the ResNet
 transfer model on {light, dark} Fitzpatrick-derived labels with
@@ -33,13 +40,15 @@ def main(argv: list[str] | None = None) -> int:
         argv,
         {"model": "resnet50", "batch-size": 32, "lr": 1e-3,
          "image-size": 224, "out": "tone_runs", "seed": 0,
-         "canonical-size": 256},
-        bool_flags={"oversample", "no-class-weights", "freeze-backbone"},
+         "canonical-size": 256, "input": "rgb"},
+        bool_flags={"oversample", "no-class-weights", "freeze-backbone",
+                    "five-crop"},
     )
     if len(positional) != 2:
         print("Usage: <image root> <epochs> [--model NAME] [--batch-size N]"
               " [--lr F] [--image-size N] [--oversample]"
-              " [--freeze-backbone] [--no-class-weights] [--out DIR]")
+              " [--freeze-backbone] [--input rgb|ita] [--five-crop]"
+              " [--no-class-weights] [--out DIR]")
         return 1
     root, epochs = positional[0], int(positional[1])
 
@@ -65,6 +74,8 @@ def main(argv: list[str] | None = None) -> int:
         use_class_weights=not opts["no-class-weights"],
         oversample=opts["oversample"],
         freeze_backbone=opts["freeze-backbone"],
+        input_mode=opts["input"],
+        five_crop_eval=opts["five-crop"],
         seed=opts["seed"],
         out_dir=opts["out"],
     )

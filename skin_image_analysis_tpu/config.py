@@ -96,6 +96,11 @@ class ModelConfig:
                                       # s2d input layout + 5x5 conv at 4x
                                       # the input channels); "auto" =
                                       # measured-best (docs/PERF.md)
+    in_channels: int = 3              # model-input channels (Flax convs
+                                      # infer the rest; this only shapes
+                                      # the init dummy). 2 for the
+                                      # ITA-matrix input mode
+                                      # (data.ita.ita_input).
     freeze_backbone: bool = False     # frozen-feature transfer (the
                                       # reference's ResNet-18 recipe,
                                       # jgi_ham_2018_torch.ipynb cells

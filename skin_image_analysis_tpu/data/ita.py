@@ -128,6 +128,28 @@ def image_tone_binary(ita: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
+def ita_input(rgb: jnp.ndarray) -> jnp.ndarray:
+    """RGB batch → 2-channel ITA model input: stage 3 of the
+    ToneClassifier plan (readme.md's "ITA-matrix CNN"; the reference only
+    got as far as saving per-image ITA ``.npy`` matrices for it,
+    ImagesToITAMatrices.py:129).
+
+    rgb: [B, H, W, 3] float in [0,1] (or uint8) → [B, H, W, 2] float32:
+    channel 0 = ITA/90 with non-skin pixels as 0 (the saved matrices'
+    NaNs made finite for the MXU), channel 1 = the skin-gamut mask, so
+    the CNN can tell "no skin" from "ITA≈0" instead of relying on a NaN
+    sentinel. Fused on device inside the jitted step — no ``.npy``
+    intermediates."""
+    ita = ita_matrix(rgb)
+    mask = ~jnp.isnan(ita)
+    return jnp.stack(
+        [jnp.where(mask, ita, 0.0) * (1.0 / 90.0),
+         mask.astype(jnp.float32)],
+        axis=-1,
+    )
+
+
+@jax.jit
 def ita_pipeline(pixels_u8: jnp.ndarray) -> dict[str, jnp.ndarray]:
     """uint8 [B,H,W,3] batch → {ita [B,H,W], fitzpatrick [B,H,W],
     modal_ita [B], tone [B]} — the full preprocessor as ONE fused device

@@ -78,6 +78,28 @@ def _center_crops(x: jnp.ndarray, size: int) -> jnp.ndarray:
     return jax.lax.dynamic_slice(x, (0, y0, x0, 0), (b, size, size, c))
 
 
+def five_crop_batch(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """[B, H, W, C] → [5·B, size, size, C]: four corner crops + the
+    center crop, concatenated along the batch axis (torchvision FiveCrop
+    order: TL, TR, BL, BR, center — the test-time-augmentation
+    experiment CNNTrialDataset.py:61-65 documents; the reference rejected
+    it for its 5x eval cost, :97-104 — here the five crops ride one
+    batched forward, so the cost is one 5x-larger MXU batch, not five
+    dispatches)."""
+    b, h, w, c = x.shape
+    if h < size or w < size:
+        raise ValueError(f"five_crop needs source >= {size}, got {h}x{w}")
+    offsets = (
+        (0, 0), (0, w - size), (h - size, 0), (h - size, w - size),
+        ((h - size) // 2, (w - size) // 2),
+    )
+    return jnp.concatenate(
+        [jax.lax.dynamic_slice(x, (0, y, x0, 0), (b, size, size, c))
+         for y, x0 in offsets],
+        axis=0,
+    )
+
+
 def _color_jitter(
     x: jnp.ndarray, key: jax.Array, cfg: AugmentConfig
 ) -> jnp.ndarray:

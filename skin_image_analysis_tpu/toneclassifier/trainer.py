@@ -38,6 +38,8 @@ class ToneTrainConfig:
     use_class_weights: bool = True
     oversample: bool = False        # WeightedRandomSampler equivalent
     freeze_backbone: bool = False   # frozen-feature transfer (head-only)
+    input_mode: str = "rgb"         # "ita" = stage-3 ITA-matrix CNN
+    five_crop_eval: bool = False    # 5-crop TTA (CNNTrialDataset.py:61-65)
     seed: int = 0
     compute_dtype: str = "bfloat16"
     out_dir: str = "tone_runs"
@@ -89,6 +91,8 @@ def train_tone_classifier(
             use_class_weights=cfg.use_class_weights,
             oversample=cfg.oversample,
             freeze_backbone=cfg.freeze_backbone,
+            input_mode=cfg.input_mode,
+            five_crop_eval=cfg.five_crop_eval,
             augment=True,
             normalize_imagenet=True,
             seed=cfg.seed,

@@ -50,6 +50,15 @@ class ClassifyConfig:
     freeze_backbone: bool = False   # frozen-feature transfer: train the
                                     # head only (jgi_ham_2018_torch
                                     # cells 30-32; see ModelConfig)
+    input_mode: str = "rgb"         # "ita" = the ToneClassifier plan's
+                                    # stage-3 "ITA-matrix CNN"
+                                    # (readme.md): train on fused
+                                    # on-device [ITA/90, skin-mask]
+                                    # channels instead of RGB
+                                    # (data.ita.ita_input)
+    five_crop_eval: bool = False    # test-time 5-crop TTA, averaged
+                                    # (CNNTrialDataset.py:61-65); needs
+                                    # canonical_size > image_size
 
 
 def multiclass_metrics(preds, labels, n_classes: int) -> dict[str, float]:
@@ -105,6 +114,7 @@ def train_classifier(
         name=cfg.model_name, num_classes=cfg.num_classes,
         image_size=cfg.image_size, compute_dtype=cfg.compute_dtype,
         freeze_backbone=cfg.freeze_backbone,
+        in_channels=2 if cfg.input_mode == "ita" else 3,
     )
     optim_cfg = OptimConfig(
         optimizer=cfg.optimizer, learning_rate=cfg.learning_rate,
@@ -115,19 +125,49 @@ def train_classifier(
         batch_size=cfg.batch_size,
     )
 
+    if cfg.input_mode not in ("rgb", "ita"):
+        raise ValueError(f"input_mode must be rgb|ita, got {cfg.input_mode!r}")
+    ita_mode = cfg.input_mode == "ita"
+    # ITA needs raw sRGB in [0,1]; its own channels replace the ImageNet
+    # normalization
+    norm = cfg.normalize_imagenet and not ita_mode
     train_pre = make_preprocess_fn(
         cfg.image_size, train=True,
         augment=AugmentConfig(random_crop=True, horizontal_flip=True)
         if cfg.augment else None,
-        normalize_imagenet=cfg.normalize_imagenet,
+        normalize_imagenet=norm,
     )
     eval_pre = make_preprocess_fn(
-        cfg.image_size, train=False, normalize_imagenet=cfg.normalize_imagenet
+        cfg.image_size, train=False, normalize_imagenet=norm
     )
+    if ita_mode:
+        from skin_image_analysis_tpu.data.ita import ita_input
+
+        def _ita_wrap(pre):
+            def fn(pixels, key=None):
+                return ita_input(pre(pixels, key))
+
+            return fn
+
+        train_pre, eval_pre = _ita_wrap(train_pre), _ita_wrap(eval_pre)
     train_step = make_train_step(
         class_weights=class_weights, preprocess_fn=train_pre
     )
-    eval_step = make_eval_step(preprocess_fn=eval_pre)
+    if cfg.five_crop_eval:
+        from skin_image_analysis_tpu.data.ita import ita_input as _ita_in
+        from skin_image_analysis_tpu.train.step import make_five_crop_eval_step
+
+        if cfg.canonical_size <= cfg.image_size:
+            raise ValueError(
+                "five_crop_eval needs canonical_size > image_size "
+                f"({cfg.canonical_size} <= {cfg.image_size})"
+            )
+        eval_step = make_five_crop_eval_step(
+            cfg.image_size, normalize_imagenet=norm,
+            channels_fn=_ita_in if ita_mode else None,
+        )
+    else:
+        eval_step = make_eval_step(preprocess_fn=eval_pre)
 
     order_fn = (
         (lambda rng: _oversampled_order(train_table.labels, rng))

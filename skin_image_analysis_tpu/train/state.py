@@ -221,7 +221,8 @@ def create_train_state(
     model = build_model(model_cfg)
     params_rng, state_rng = jax.random.split(rng)
     dummy = jax.numpy.zeros(
-        (batch_size, model_cfg.image_size, model_cfg.image_size, 3),
+        (batch_size, model_cfg.image_size, model_cfg.image_size,
+         getattr(model_cfg, "in_channels", 3)),
         jax.numpy.float32,
     )
     variables = model.init({"params": params_rng}, dummy, train=False)

@@ -287,3 +287,60 @@ def make_eval_step(
         return out
 
     return jax.jit(step, static_argnums=(1,))
+
+
+def make_five_crop_eval_step(
+    crop_size: int,
+    normalize_imagenet: bool = False,
+    channels_fn: Callable | None = None,
+) -> Callable[[Any, Callable, dict], dict]:
+    """Five-crop test-time-augmentation eval step (the experiment
+    CNNTrialDataset.py:61-65 documents: four corners + center, predictions
+    averaged).
+
+    Expects ``batch["pixels"]`` at canonical (pre-crop) size. The five
+    crops are concatenated along the batch axis and ride ONE batched
+    forward (a 5x-larger MXU batch, not five dispatches — the cost that
+    made the reference shelve the idea, CNNTrialDataset.py:97-104, mostly
+    amortizes on the systolic array). Per-crop log-probs are averaged
+    (geometric-mean ensemble over the softmax probabilities) before the
+    argmax. ``channels_fn`` maps the cropped f32 RGB batch to the model
+    input (e.g. data.ita.ita_input for the ITA-matrix CNN); identity when
+    None.
+    """
+    from skin_image_analysis_tpu.ops.preprocess import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        five_crop_batch,
+    )
+
+    def step(
+        params: Any, apply_fn: Callable, batch: dict, batch_stats: Any = None
+    ) -> dict:
+        x = batch["pixels"].astype(jnp.float32)
+        if batch["pixels"].dtype == jnp.uint8:
+            x = x * (1.0 / 255.0)
+        x = five_crop_batch(x, crop_size)
+        if channels_fn is not None:
+            x = channels_fn(x)
+        elif normalize_imagenet:
+            mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+            std = jnp.asarray(IMAGENET_STD, jnp.float32)
+            x = (x - mean) / std
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        log_probs = apply_fn(variables, x, train=False)
+        log_probs = jnp.mean(
+            log_probs.reshape(5, -1, log_probs.shape[-1]), axis=0
+        )
+        out = {
+            "pred": jnp.argmax(log_probs, axis=-1),
+            "log_probs": log_probs,
+            "row_id": batch["row_id"],
+        }
+        if "valid" in batch:
+            out["valid"] = batch["valid"]
+        return out
+
+    return jax.jit(step, static_argnums=(1,))
