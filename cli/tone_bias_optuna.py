@@ -88,6 +88,12 @@ def main(argv: list[str] | None = None) -> int:
     start = time.time()
     stats = None
     wave_size = int(opts["parallel"])
+    if int(opts["mesh"]) > 1 and wave_size <= 1:
+        raise SystemExit(
+            "--mesh shards the parallel wave's lane axis and needs "
+            "--parallel K (K a multiple of the mesh size); without it "
+            "the sweep would silently run single-device"
+        )
     if wave_size > 1:
         # wave-structured parallel sweep over the FULL search space:
         # K padded-super-network trials per wave in one XLA program

@@ -54,7 +54,12 @@ from skin_image_analysis_tpu.hpo.population import (
     max_population,
 )
 from skin_image_analysis_tpu.hpo.space import MAX_EXTRA_CONV_LAYERS
-from skin_image_analysis_tpu.hpo.study import Study, TrialState, create_study
+from skin_image_analysis_tpu.hpo.study import (
+    Study,
+    Trial,
+    TrialState,
+    create_study,
+)
 
 
 def _suggest_non_skeleton(t, n_conv: int, n_linear: int):
@@ -159,6 +164,7 @@ def run_wave_study(
             cfg.trials - len(study.trials) + 1,
         )
         k = max(k, 1)
+        n_real = k
         if mesh is not None:
             # the lane axis shards over the mesh: K must divide evenly
             cap = max_population(skel, cfg.batch_size)
@@ -168,6 +174,12 @@ def run_wave_study(
                     f"the mesh has {n_dev} devices"
                 )
             k = max(n_dev, (k // n_dev) * n_dev)
+            # rounding K up past the remaining-trial budget must not
+            # inflate the protocol: extra lanes ride as FILLERS (their
+            # trials are never registered/told to the study, so the
+            # artifact stays an honest N-trial run); a freed filler lane
+            # can still host a real refill when budget allows
+            n_real = min(n_real, k)
 
         microbatch = min(default_microbatch(skel, cfg.batch_size),
                          cfg.batch_size)
@@ -191,11 +203,16 @@ def run_wave_study(
 
         rng = np.random.default_rng(cfg.seed + 31 * waves)
 
-        def new_lane_trial(ask_probe=None):
-            """Sample a trial (widths/drops/lr) + its own data rows."""
+        def new_lane_trial(ask_probe=None, filler=False):
+            """Sample a trial (widths/drops/lr) + its own data rows.
+
+            ``filler`` lanes (mesh K-rounding overflow) sample through an
+            UNREGISTERED trial object: they train like any lane but are
+            never reported/told, so they cannot distort the study."""
             t = ask_probe
             if t is None:
-                t = study.ask()
+                t = (Trial(study, -1, study.sampler) if filler
+                     else study.ask())
                 t.params.update(skel_params)
             _suggest_non_skeleton(t, n_conv, n_linear)
             sample = rng.permutation(len(labels))[:n_sample]
@@ -208,12 +225,16 @@ def run_wave_study(
                 "va_rows": va_rows,
                 "birth": 0,
                 "live": True,
+                "filler": filler,
                 "key": rng.integers(0, 2**31),
             }
 
-        lanes = [new_lane_trial(probe)] + [new_lane_trial()
-                                           for _ in range(k - 1)]
-        wave_trials = k  # cap at 2k so one skeleton cannot eat the
+        lanes = (
+            [new_lane_trial(probe)]
+            + [new_lane_trial() for _ in range(n_real - 1)]
+            + [new_lane_trial(filler=True) for _ in range(k - n_real)]
+        )
+        wave_trials = n_real  # cap at 2k so one skeleton cannot eat the
         # budget — skeleton choice must keep adapting across waves
 
         conv_w = np.zeros((k, 1 + n_conv), np.int32)
@@ -233,13 +254,26 @@ def run_wave_study(
         for ti, lane in enumerate(lanes):
             load_lane(ti, lane)
 
+        # wave-constant lane arrays go to the device ONCE per wave (and
+        # again only after a refill mutates them) instead of per epoch —
+        # the host->device link is the slow resource here
+        d_conv_w = d_lin_w = d_drops = d_lrs = d_vb = None
+
+        def _commit_lanes():
+            nonlocal d_conv_w, d_lin_w, d_drops, d_lrs, d_vb
+            d_conv_w = _lane(conv_w)
+            d_lin_w = _lane(lin_w)
+            d_drops = _lane(drops)
+            d_lrs = _lane(lrs)
+            d_vb = _lane(vb_idx.astype(np.int32))
+
+        _commit_lanes()
+
         init_wave, train_epoch, valid_accuracy, merge_lanes = (
             _rolling_programs(skel, k, microbatch, n_micro)
         )
         keys = _lane(jax.random.split(jax.random.key(cfg.seed + waves), k))
-        params, opt_state = init_wave(
-            keys, _lane(conv_w), _lane(lin_w)
-        )
+        params, opt_state = init_wave(keys, d_conv_w, d_lin_w)
 
         # refills must be born early enough to run their full epochs
         max_wave_epochs = 2 * cfg.epochs
@@ -256,11 +290,10 @@ def run_wave_study(
             params, opt_state = train_epoch(
                 params, opt_state, jax.random.fold_in(root, epoch),
                 _lane(tb_idx.astype(np.int32)), pool_px, pool_lb,
-                _lane(conv_w), _lane(lin_w),
-                _lane(drops), _lane(lrs),
+                d_conv_w, d_lin_w, d_drops, d_lrs,
             )
             accs = np.asarray(valid_accuracy(
-                params, _lane(vb_idx.astype(np.int32)), pool_px, pool_lb
+                params, d_vb, pool_px, pool_lb
             ))
             lane_epochs += k
             live_lane_epochs += sum(lane["live"] for lane in lanes)
@@ -271,15 +304,22 @@ def run_wave_study(
                     continue
                 local = epoch - lane["birth"]
                 trial = lane["trial"]
-                trial.report(float(accs[ti]), local)
                 done = local >= cfg.epochs - 1
-                pruned = not done and trial.should_prune()
+                if lane["filler"]:
+                    # filler lanes (mesh K-rounding overflow) never
+                    # report — they exist only to keep the lane axis a
+                    # mesh multiple
+                    pruned = False
+                else:
+                    trial.report(float(accs[ti]), local)
+                    pruned = not done and trial.should_prune()
                 if not (done or pruned):
                     continue
-                study.tell(
-                    trial, float(accs[ti]),
-                    TrialState.COMPLETE if done else TrialState.PRUNED,
-                )
+                if not lane["filler"]:
+                    study.tell(
+                        trial, float(accs[ti]),
+                        TrialState.COMPLETE if done else TrialState.PRUNED,
+                    )
                 # slot refill: a freed lane hosts a fresh same-skeleton
                 # trial when budget and wave horizon allow
                 can_refill = (
@@ -305,21 +345,34 @@ def run_wave_study(
                 # wave out (the old per-wave overshoot bound was
                 # cfg.epochs; rolling lanes would double it)
                 for ti, lane in enumerate(lanes):
-                    if lane["live"]:
-                        lane["live"] = False
-                        study.tell(
-                            lane["trial"], float(accs[ti]),
-                            TrialState.PRUNED,
-                        )
+                    if not lane["live"]:
+                        continue
+                    lane["live"] = False
+                    if lane["filler"]:
+                        continue
+                    if lane["birth"] > epoch:
+                        # refilled THIS epoch and never trained (the
+                        # merge below is skipped by this break): accs[ti]
+                        # belongs to the lane's previous occupant, so
+                        # withdraw the trial instead of recording a
+                        # fabricated value
+                        study.trials.remove(lane["trial"])
+                        refills -= 1
+                        continue
+                    study.tell(
+                        lane["trial"], float(accs[ti]),
+                        TrialState.PRUNED,
+                    )
                 epoch += 1
                 break
             if refill_mask.any():
+                _commit_lanes()  # load_lane mutated the lane arrays
                 fkeys = _lane(jax.random.split(
                     jax.random.key(cfg.seed + 7000 + waves * 100 + epoch),
                     k,
                 ))
                 fresh_params, fresh_opt = init_wave(
-                    fkeys, _lane(conv_w), _lane(lin_w)
+                    fkeys, d_conv_w, d_lin_w
                 )
                 params, opt_state = merge_lanes(
                     params, opt_state, fresh_params, fresh_opt,

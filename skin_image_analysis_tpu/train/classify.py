@@ -99,6 +99,14 @@ def train_classifier(
     verbose: bool = True,
 ) -> dict:
     """Returns {state, history, test_metrics, out_dir}."""
+    # validate config before any decode/init/compile work
+    if cfg.input_mode not in ("rgb", "ita"):
+        raise ValueError(f"input_mode must be rgb|ita, got {cfg.input_mode!r}")
+    if cfg.five_crop_eval and cfg.canonical_size <= cfg.image_size:
+        raise ValueError(
+            "five_crop_eval needs canonical_size > image_size "
+            f"({cfg.canonical_size} <= {cfg.image_size})"
+        )
     train_store = HostImageStore(train_table, cfg.canonical_size)
     test_store = HostImageStore(test_table, cfg.canonical_size)
     train_arena = train_store.to_device()
@@ -125,8 +133,6 @@ def train_classifier(
         batch_size=cfg.batch_size,
     )
 
-    if cfg.input_mode not in ("rgb", "ita"):
-        raise ValueError(f"input_mode must be rgb|ita, got {cfg.input_mode!r}")
     ita_mode = cfg.input_mode == "ita"
     # ITA needs raw sRGB in [0,1]; its own channels replace the ImageNet
     # normalization
@@ -157,11 +163,6 @@ def train_classifier(
         from skin_image_analysis_tpu.data.ita import ita_input as _ita_in
         from skin_image_analysis_tpu.train.step import make_five_crop_eval_step
 
-        if cfg.canonical_size <= cfg.image_size:
-            raise ValueError(
-                "five_crop_eval needs canonical_size > image_size "
-                f"({cfg.canonical_size} <= {cfg.image_size})"
-            )
         eval_step = make_five_crop_eval_step(
             cfg.image_size, normalize_imagenet=norm,
             channels_fn=_ita_in if ita_mode else None,

@@ -250,9 +250,14 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         # still cost epoch 1 its full transfer). Force materialization
         # with a scalar readback; block_until_ready returns early
         # through the relay, so the readback is the only real fence.
-        arena = jax.device_put(stores[split].images)
-        float(arena.reshape(-1)[0])
-        early_arenas[split] = arena
+        try:
+            arena = jax.device_put(stores[split].images)
+            float(arena.reshape(-1)[0])
+            early_arenas[split] = arena
+        except Exception as e:  # surfaced at join; the main path
+            # re-commits any split missing from early_arenas
+            print(f"early arena commit failed for {split!r}: {e!r} "
+                  "(will re-commit on the main thread)")
 
     def _decode():
         if cfg.data.streaming:
@@ -604,26 +609,30 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
                 train_store.images.nbytes + test_store.images.nbytes
             )
             if total_bytes <= cfg.data.device_cache_max_bytes:
-                if (early_commit and "test" in early_arenas
-                        and "train" in early_arenas):
-                    # already shipped + materialized by the committer
-                    # threads — the link transfer overlapped decode +
-                    # compiles
-                    train_arena = early_arenas["train"]
-                    test_arena = early_arenas["test"]
-                else:
-                    arena_sharding = None
-                    if mesh is not None:
-                        from jax.sharding import (
-                            NamedSharding,
-                            PartitionSpec,
-                        )
+                arena_sharding = None
+                if mesh is not None:
+                    from jax.sharding import (
+                        NamedSharding,
+                        PartitionSpec,
+                    )
 
-                        arena_sharding = NamedSharding(
-                            mesh, PartitionSpec()
-                        )
-                    train_arena = train_store.to_device(arena_sharding)
-                    test_arena = test_store.to_device(arena_sharding)
+                    arena_sharding = NamedSharding(
+                        mesh, PartitionSpec()
+                    )
+
+                # reuse whichever splits the committer threads already
+                # shipped + materialized (the link transfer overlapped
+                # decode + compiles); re-commit ONLY the missing ones —
+                # keeping a half-committed early arena alive while
+                # re-committing both splits would hold a duplicate
+                # multi-GB buffer in HBM for the whole run
+                def _arena(split, store):
+                    if early_commit and split in early_arenas:
+                        return early_arenas[split]
+                    return store.to_device(arena_sharding)
+
+                train_arena = _arena("train", train_store)
+                test_arena = _arena("test", test_store)
                 if verbose:
                     print(f"device-cached {total_bytes / 1e6:.0f} MB of images")
 

@@ -309,24 +309,23 @@ def make_five_crop_eval_step(
     None.
     """
     from skin_image_analysis_tpu.ops.preprocess import (
-        IMAGENET_MEAN,
-        IMAGENET_STD,
         five_crop_batch,
+        preprocess_batch,
     )
 
     def step(
         params: Any, apply_fn: Callable, batch: dict, batch_stats: Any = None
     ) -> dict:
-        x = batch["pixels"].astype(jnp.float32)
-        if batch["pixels"].dtype == jnp.uint8:
-            x = x * (1.0 / 255.0)
-        x = five_crop_batch(x, crop_size)
+        # crop first (dtype-preserving), then run the standard eval
+        # preprocess on the 5B batch — cast/scale/normalize stay owned by
+        # ops.preprocess (the resize inside is a no-op at crop_size)
+        x = five_crop_batch(batch["pixels"], crop_size)
+        x = preprocess_batch(
+            x, None, image_size=crop_size, train=False,
+            normalize_imagenet=normalize_imagenet and channels_fn is None,
+        )
         if channels_fn is not None:
             x = channels_fn(x)
-        elif normalize_imagenet:
-            mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-            std = jnp.asarray(IMAGENET_STD, jnp.float32)
-            x = (x - mean) / std
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats

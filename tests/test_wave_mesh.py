@@ -107,6 +107,10 @@ def test_run_wave_study_over_mesh():
         verbose=False,
     )
     assert len(study.trials) >= cfg.trials
+    # mesh K-rounding must not inflate the protocol: overflow lanes ride
+    # as unregistered fillers, so the study holds at most one extra
+    # trial (the remaining+1 ask cap), not a whole rounded wave
+    assert len(study.trials) <= cfg.trials + 1
     for t in study.trials:
         assert t.state in ("COMPLETE", "PRUNED")
         if t.value is not None:
