@@ -31,7 +31,7 @@ def main(argv: list[str] | None = None) -> int:
         argv,
         {"classes": "binary", "model": "xception", "batch-size": 32,
          "lr": 1e-3, "image-size": 224, "canonical-size": 256,
-         "out": "ham_runs", "seed": 0},
+         "out": "ham_runs", "seed": 0, "steps-per-dispatch": 8},
         bool_flags={"freeze-backbone"},
     )
     if len(positional) != 3:
@@ -76,6 +76,7 @@ def main(argv: list[str] | None = None) -> int:
         batch_size=opts["batch-size"], epochs=epochs,
         learning_rate=opts["lr"], seed=opts["seed"], out_dir=opts["out"],
         freeze_backbone=opts["freeze-backbone"],
+        steps_per_dispatch=opts["steps-per-dispatch"],
     )
     out = train_classifier(train_table, test_table, cfg)
     print(f"final test metrics: {out['test_metrics']}")

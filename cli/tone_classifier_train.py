@@ -40,7 +40,8 @@ def main(argv: list[str] | None = None) -> int:
         argv,
         {"model": "resnet50", "batch-size": 32, "lr": 1e-3,
          "image-size": 224, "out": "tone_runs", "seed": 0,
-         "canonical-size": 256, "input": "rgb"},
+         "canonical-size": 256, "input": "rgb",
+         "steps-per-dispatch": 8},
         bool_flags={"oversample", "no-class-weights", "freeze-backbone",
                     "five-crop"},
     )
@@ -78,6 +79,7 @@ def main(argv: list[str] | None = None) -> int:
         five_crop_eval=opts["five-crop"],
         seed=opts["seed"],
         out_dir=opts["out"],
+        steps_per_dispatch=opts["steps-per-dispatch"],
     )
     out = train_tone_classifier(train_df, test_df, root, cfg)
     print(f"final test metrics: {out['test_metrics']}")

@@ -243,17 +243,14 @@ def _scale_tx(optimizer: str) -> optax.GradientTransformation:
 
 
 @_functools.lru_cache(maxsize=None)
-def _wave_programs(skel: WaveSkeleton, k: int, microbatch: int,
+def _trial_kernels(skel: WaveSkeleton, k: int, microbatch: int,
                    n_micro: int):
-    """The wave's compiled programs, cached per skeleton.
-
-    Everything that varies between waves — pixel stacks, widths,
-    dropouts, lrs, batch permutations — is an ARGUMENT, so waves sharing
-    a skeleton reuse ONE jitted callable (jax.jit then re-specializes
-    only when array shapes actually differ). Building fresh @jax.jit
-    closures per wave (the round-2 first cut) recompiled every wave
-    through the ~30-90 s remote-compile relay and baked the wave's
-    sample into the program as constants."""
+    """Per-trial math shared by BOTH wave drivers (lockstep
+    `_wave_programs` and rolling `_rolling_programs`): the padded model,
+    the masked microbatched gradient step vmapped over K lanes, the
+    vmapped init, and the single-trial eval. One definition means an
+    optimizer-semantics fix (like the round-3 rmsprop parity change)
+    cannot land in one driver and silently miss the other."""
     model = build_model(skel.padded_model_config())
     tx = _scale_tx(skel.optimizer)
 
@@ -303,6 +300,27 @@ def _wave_programs(skel: WaveSkeleton, k: int, microbatch: int,
 
     init_wave = jax.jit(jax.vmap(init_one))
 
+    def eval_one(p, pixels, labels):
+        log_probs = model.apply({"params": p}, to_f32(pixels), train=False)
+        return jnp.sum(jnp.argmax(log_probs, -1) == labels)
+
+    return vstep, init_wave, eval_one
+
+
+@_functools.lru_cache(maxsize=None)
+def _wave_programs(skel: WaveSkeleton, k: int, microbatch: int,
+                   n_micro: int):
+    """The wave's compiled programs, cached per skeleton.
+
+    Everything that varies between waves — pixel stacks, widths,
+    dropouts, lrs, batch permutations — is an ARGUMENT, so waves sharing
+    a skeleton reuse ONE jitted callable (jax.jit then re-specializes
+    only when array shapes actually differ). Building fresh @jax.jit
+    closures per wave (the round-2 first cut) recompiled every wave
+    through the ~30-90 s remote-compile relay and baked the wave's
+    sample into the program as constants."""
+    vstep, init_wave, eval_one = _trial_kernels(skel, k, microbatch, n_micro)
+
     @_functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_epoch(params, opt_state, epoch_key, perms,
                     tb_px, tb_lb, cw, lw, dr, lr):
@@ -323,10 +341,6 @@ def _wave_programs(skel: WaveSkeleton, k: int, microbatch: int,
             jnp.arange(n_batches),
         )
         return params, opt_state
-
-    def eval_one(p, pixels, labels):
-        log_probs = model.apply({"params": p}, to_f32(pixels), train=False)
-        return jnp.sum(jnp.argmax(log_probs, -1) == labels)
 
     veval = jax.vmap(eval_one, in_axes=(0, None, None))
 
@@ -355,51 +369,7 @@ def _rolling_programs(skel: WaveSkeleton, k: int, microbatch: int,
     pruned/finished lane can be re-initialized with a freshly sampled
     trial WITHOUT recompiling (slot refill: pruning frees real compute,
     tone_bias_optuna.py:282-299)."""
-    model = build_model(skel.padded_model_config())
-    tx = _scale_tx(skel.optimizer)
-
-    def to_f32(px):
-        x = px.astype(jnp.float32)
-        return x / 255.0 if px.dtype == jnp.uint8 else x
-
-    def loss_fn(p, cw, lw, dr, pixels, labels, dkey):
-        log_probs = model.apply(
-            {"params": p}, to_f32(pixels), train=True,
-            rngs={"dropout": dkey}, dropout_rates=dr,
-        )
-        picked = jnp.take_along_axis(log_probs, labels[:, None], -1)[:, 0]
-        return -jnp.mean(picked)
-
-    def one_trial_step(p, opt, cw, lw, dr, lr, pixels, labels, dkey):
-        mpx = pixels.reshape(n_micro, microbatch, *pixels.shape[1:])
-        mlb = labels.reshape(n_micro, microbatch)
-        mkeys = jax.random.split(dkey, n_micro)
-
-        def micro(acc, mb):
-            px, lb, key = mb
-            g = jax.grad(loss_fn)(p, cw, lw, dr, px, lb, key)
-            return jax.tree.map(jnp.add, acc, g), None
-
-        zero = jax.tree.map(jnp.zeros_like, p)
-        grads, _ = jax.lax.scan(micro, zero, (mpx, mlb, mkeys))
-        grads = jax.tree.map(lambda g: g / n_micro, grads)
-        masks = trial_param_masks(skel, cw, lw)
-        grads = jax.tree.map(lambda g, m: g * m, grads, masks)
-        updates, opt = tx.update(grads, opt)
-        p = jax.tree.map(
-            lambda w, u, m: w - lr * u * m, p, updates, masks
-        )
-        return p, opt
-
-    vstep = jax.vmap(
-        one_trial_step, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0)
-    )
-
-    def init_one(key, cw, lw):
-        params = init_trial_params(skel, key, cw, lw)
-        return params, tx.init(params)
-
-    init_wave = jax.jit(jax.vmap(init_one))
+    vstep, init_wave, eval_one = _trial_kernels(skel, k, microbatch, n_micro)
 
     @_functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_epoch(params, opt_state, epoch_key, tb_idx,
@@ -421,10 +391,6 @@ def _rolling_programs(skel: WaveSkeleton, k: int, microbatch: int,
             jnp.arange(n_batches),
         )
         return params, opt_state
-
-    def eval_one(p, pixels, labels):
-        log_probs = model.apply({"params": p}, to_f32(pixels), train=False)
-        return jnp.sum(jnp.argmax(log_probs, -1) == labels)
 
     veval = jax.vmap(eval_one, in_axes=(0, 0, 0))
 

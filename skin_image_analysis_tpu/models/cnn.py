@@ -232,6 +232,11 @@ class SkinCancerListModel(nn.Module):
     fused_pool: bool = True
     pool_mode: str = "auto"
     stem: str = "auto"
+    # Raw input channels. Disambiguates an already-space-to-depth input
+    # (exactly 4*in_channels, e.g. the Pallas kernel's [B,112,112,12])
+    # from a raw one — a shape-only `% 4 == 0` heuristic would silently
+    # misread a genuine 4-channel raw input as 2x2 pixel phases.
+    in_channels: int = 3
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, dropout_rates=None):
@@ -254,11 +259,15 @@ class SkinCancerListModel(nn.Module):
             and len(self.conv_features) > 0
             and self.first_kernel % 2 == 1  # SAME-padding derivation
             and (
-                x.shape[-1] % 4 == 0
-                or (x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+                x.shape[-1] == 4 * self.in_channels
+                or (
+                    x.shape[-1] == self.in_channels
+                    and x.shape[1] % 2 == 0
+                    and x.shape[2] % 2 == 0
+                )
             )
         )
-        if use_s2d and x.shape[-1] % 4 != 0:
+        if use_s2d and x.shape[-1] == self.in_channels:
             from skin_image_analysis_tpu.ops.pooling import (
                 space_to_depth_nhwc,
             )
@@ -301,6 +310,10 @@ class SkinCancerModel(nn.Module):
     num_classes: int = 2
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    fused_pool: bool = True
+    pool_mode: str = "auto"
+    stem: str = "auto"
+    in_channels: int = 3
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -313,6 +326,10 @@ class SkinCancerModel(nn.Module):
             num_classes=self.num_classes,
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
+            fused_pool=self.fused_pool,
+            pool_mode=self.pool_mode,
+            stem=self.stem,
+            in_channels=self.in_channels,
         )(x, train=train)
 
 
@@ -364,12 +381,17 @@ def build_model(cfg: ModelConfig) -> nn.Module:
             fused_pool=cfg.fused_pool,
             pool_mode=cfg.pool_mode,
             stem=resolve_stem(cfg),
+            in_channels=cfg.in_channels,
         )
     if cfg.name == "skin_cancer":
         return SkinCancerModel(
             num_classes=cfg.num_classes,
             compute_dtype=cfg.compute_dtype,
             param_dtype=cfg.param_dtype,
+            fused_pool=cfg.fused_pool,
+            pool_mode=cfg.pool_mode,
+            stem=resolve_stem(cfg),
+            in_channels=cfg.in_channels,
         )
     from skin_image_analysis_tpu.models.registry import get_model
 

@@ -43,6 +43,7 @@ class ToneTrainConfig:
     seed: int = 0
     compute_dtype: str = "bfloat16"
     out_dir: str = "tone_runs"
+    steps_per_dispatch: int = 1     # >1: scanned multi-step dispatch
 
 
 class ToneTable(LesionTable):
@@ -98,6 +99,7 @@ def train_tone_classifier(
             seed=cfg.seed,
             compute_dtype=cfg.compute_dtype,
             out_dir=cfg.out_dir,
+            steps_per_dispatch=cfg.steps_per_dispatch,
         ),
         verbose=verbose,
     )

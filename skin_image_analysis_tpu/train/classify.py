@@ -59,6 +59,12 @@ class ClassifyConfig:
     five_crop_eval: bool = False    # test-time 5-crop TTA, averaged
                                     # (CNNTrialDataset.py:61-65); needs
                                     # canonical_size > image_size
+    steps_per_dispatch: int = 1     # >1: scan k train steps / k eval
+                                    # batches per XLA program over the
+                                    # device arenas (the flagship loop's
+                                    # multi-step dispatch — amortizes the
+                                    # ~2 ms/program relay tax,
+                                    # docs/PERF.md §Transfer)
 
 
 def multiclass_metrics(preds, labels, n_classes: int) -> dict[str, float]:
@@ -184,31 +190,123 @@ def train_classifier(
         device_arena=test_arena,
     )
 
+    # Multi-step dispatch (the flagship loop's scan-of-k machinery,
+    # train.step.make_multi_*): k train steps / k eval batches per XLA
+    # program over the device arenas — only [k, B] index arrays cross
+    # the host link, and the ~2 ms/program relay dispatch amortizes.
+    # Five-crop eval keeps the per-batch path (its step consumes
+    # canonical pixels with a different signature).
+    k_spd = max(1, cfg.steps_per_dispatch)
+    multi_train = multi_eval = None
+    if k_spd > 1:
+        import jax.numpy as jnp
+
+        from skin_image_analysis_tpu.train.step import (
+            make_multi_eval_step,
+            make_multi_train_step,
+        )
+
+        multi_train = make_multi_train_step(
+            k_spd, class_weights=class_weights, preprocess_fn=train_pre
+        )
+        if not cfg.five_crop_eval:
+            multi_eval = make_multi_eval_step(
+                k_spd, preprocess_fn=eval_pre
+            )
+        # Warm-compile in dependency order: the 1-step program FIRST
+        # makes the scan-of-k compile ~30-50x faster through the
+        # remote-compile relay (docs/PERF.md §Cold start). Warm steps
+        # donate a throwaway copy of the state; the scanned warms run
+        # inert (all-False valid) super-steps on the REAL arenas —
+        # side-effect-free, and no arena-sized zeros duplicate in HBM.
+        def _copy_state():
+            return jax.tree.map(
+                lambda x: x.copy() if hasattr(x, "copy") else x, state
+            )
+
+        dummy = {
+            "pixels": jnp.zeros(
+                (cfg.batch_size, cfg.canonical_size, cfg.canonical_size,
+                 3), jnp.uint8),
+            "label": jnp.zeros((cfg.batch_size,), jnp.int32),
+            "row_id": jnp.zeros((cfg.batch_size,), jnp.int32),
+            "valid": jnp.zeros((cfg.batch_size,), bool),
+        }
+        ws, _ = train_step(_copy_state(), dummy)
+        jax.device_get(ws.step)
+        zi = jnp.zeros((k_spd, cfg.batch_size), jnp.int32)
+        zv = jnp.zeros((k_spd, cfg.batch_size), bool)
+        ws, wm = multi_train(_copy_state(), train_arena, zi, zi.copy(), zv)
+        jax.device_get(wm["loss"])
+        del ws
+        if multi_eval is not None:
+            wo = multi_eval(state.params, state.apply_fn, test_arena,
+                            zi, zi.copy(), zv, state.batch_stats)
+            jax.device_get(wo["pred"])
+
     history = []
     with MetricsLogger(cfg.out_dir, run_name=f"classify_{cfg.model_name}") as logger:
         step_idx = 0
         for epoch in range(cfg.epochs):
-            losses = []
-            for batch in train_loader:
-                state, metrics = train_step(state, batch)
-                losses.append(metrics["loss"])
-                step_idx += 1
-            losses = [float(v) for v in jax.device_get(losses)]
-
-            outs, host_labels = [], []
-            for batch in test_loader:
-                outs.append(
-                    eval_step(state.params, state.apply_fn, batch,
-                              state.batch_stats)
+            if multi_train is not None:
+                metric_handles = []
+                for ib, lb, vd in train_loader.super_batches(k_spd):
+                    state, metrics = multi_train(
+                        state, train_arena, ib, lb, vd
+                    )
+                    metric_handles.append(metrics)
+                fetched = jax.device_get(metric_handles)
+                losses_arr = np.concatenate(
+                    [m["loss"] for m in fetched]
                 )
-                host_labels.append(np.asarray(batch["label"]))
-            outs = jax.device_get(outs)
-            preds = np.concatenate(
-                [o["pred"][o["valid"]] for o in outs]
-            )
-            labels = np.concatenate(
-                [lab[o["valid"]] for o, lab in zip(outs, host_labels)]
-            )
+                live = np.concatenate(
+                    [m["count"] for m in fetched]
+                ) > 0  # padded tail super-steps are inert
+                losses = [float(v) for v in losses_arr[live]]
+                step_idx += len(losses)
+            else:
+                losses = []
+                for batch in train_loader:
+                    state, metrics = train_step(state, batch)
+                    losses.append(metrics["loss"])
+                    step_idx += 1
+                losses = [float(v) for v in jax.device_get(losses)]
+
+            if multi_eval is not None:
+                outs, host_labels = [], []
+                for ib, lb, rid, vd in test_loader.super_batches(
+                    k_spd, with_row_ids=True
+                ):
+                    outs.append(multi_eval(
+                        state.params, state.apply_fn, test_arena,
+                        ib, rid, vd, state.batch_stats,
+                    ))
+                    host_labels.append(lb)
+                outs = jax.device_get(outs)
+                valid = np.concatenate(
+                    [np.asarray(o["valid"]).reshape(-1) for o in outs]
+                )
+                preds = np.concatenate(
+                    [np.asarray(o["pred"]).reshape(-1) for o in outs]
+                )[valid]
+                labels = np.concatenate(
+                    [lab.reshape(-1) for lab in host_labels]
+                )[valid]
+            else:
+                outs, host_labels = [], []
+                for batch in test_loader:
+                    outs.append(
+                        eval_step(state.params, state.apply_fn, batch,
+                                  state.batch_stats)
+                    )
+                    host_labels.append(np.asarray(batch["label"]))
+                outs = jax.device_get(outs)
+                preds = np.concatenate(
+                    [o["pred"][o["valid"]] for o in outs]
+                )
+                labels = np.concatenate(
+                    [lab[o["valid"]] for o, lab in zip(outs, host_labels)]
+                )
             m = multiclass_metrics(preds, labels, cfg.num_classes)
             m["epoch"] = epoch
             m["train_loss_mean"] = float(np.mean(losses)) if losses else 0.0

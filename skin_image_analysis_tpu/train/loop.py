@@ -229,17 +229,27 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
     # overlaps the remaining decode + compiles instead of serializing
     # into epoch 1. Mesh runs keep the post-join replicated commit (the
     # sharding objects don't exist yet when the thread starts).
+    # ONE arena-size formula for every gate below (early commit,
+    # will_multi, and — via HostImageStore's exact (n,3,s,s) uint8
+    # layout — the post-decode device-cache check): uint8 canonical
+    # frames, n rows x 3 channels x s². Duplicating it per-gate risked
+    # an early-committed arena the device-cache branch then refuses —
+    # a multi-GB orphan buffer held in HBM for the whole run.
     _s = cfg.data.canonical_size
-    _predicted_bytes = (len(train_table) + len(test_table)) * 3 * _s * _s
+
+    def _arena_bytes(n_rows: int) -> int:
+        return n_rows * 3 * _s * _s
+
+    predicted_arena_bytes = _arena_bytes(len(train_table) + len(test_table))
     early_commit = (
         not cfg.data.streaming
         and cfg.data.device_cache
         and len(jax.devices()) == 1
-        and _predicted_bytes <= cfg.data.device_cache_max_bytes
+        and predicted_arena_bytes <= cfg.data.device_cache_max_bytes
         # below this the materialization fence's extra per-shape program
         # compiles (~30-90 s each through the relay) cost more than the
         # transfer they overlap — measured +145 s on a 7 MB cohort
-        and _predicted_bytes >= cfg.data.early_commit_min_bytes
+        and predicted_arena_bytes >= cfg.data.early_commit_min_bytes
     )
 
     commit_threads: list = []
@@ -371,7 +381,6 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
     # warm-compiles on predicted shapes while the decode thread works.
     bs, s = cfg.data.batch_size, cfg.data.canonical_size
     k_spd = cfg.data.steps_per_dispatch
-    predicted_arena_bytes = (len(train_table) + len(test_table)) * 3 * s * s
     will_multi = (
         not cfg.data.streaming
         and cfg.data.device_cache
@@ -417,9 +426,34 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
             jax.device_get(ev["pred"])  # fence: compiles done
         return t_compile.elapsed
 
+    # The zeros-arena warm compiles run CONCURRENTLY with the early-
+    # commit threads shipping the real arenas: near the device-cache
+    # budget the transient peak (real train+test arenas + one arena-
+    # sized zeros buffer) could crowd HBM. When that peak exceeds
+    # 2x the cache budget (the headroom a 16 GB chip has over the
+    # default 8 GB arena budget), wait for decode+commit and warm on
+    # the REAL arena instead — the warm rows are inert (all-False
+    # valid / garbage pixels through a pure forward), and neither
+    # multi program donates its arena argument, so this is side-
+    # effect-free; the overlap is sacrificed only in the extreme case.
+    def _warm_buffer(split, n_rows, shape):
+        import jax.numpy as jnp
+
+        peak = predicted_arena_bytes + _arena_bytes(n_rows)
+        if early_commit and peak > 2 * cfg.data.device_cache_max_bytes:
+            decode_thread.join()  # ensures all committers are spawned
+            for t in commit_threads:
+                t.join()
+            if split in early_arenas:
+                return early_arenas[split]
+        buf = jnp.zeros(shape, jnp.uint8)
+        if replicated is not None:
+            buf = jax.device_put(buf, replicated)
+        return buf
+
     def _warm_multi(ms):
-        """One inert super-step (all-False valid) on a zeros arena of
-        the predicted shape — compiles the real program before decode
+        """One inert super-step (all-False valid) on an arena of the
+        predicted shape — compiles the real program before decode
         finishes; the real arena has the same shape so the epoch loop
         hits the cache."""
         import jax.numpy as jnp
@@ -427,9 +461,7 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         n = len(train_table)
         arena_shape = (n, 3, s, s) if layout == "planar" else (n, s, s, 3)
         with Timer("compile-multi") as t_multi:
-            warm_arena = jnp.zeros(arena_shape, jnp.uint8)
-            if replicated is not None:
-                warm_arena = jax.device_put(warm_arena, replicated)
+            warm_arena = _warm_buffer("train", n, arena_shape)
             zi = jnp.zeros((k_spd, bs), jnp.int32)
             zv = jnp.zeros((k_spd, bs), bool)
             if replicated is not None:
@@ -511,13 +543,11 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
             n_test = len(test_table)
             ev_shape = ((n_test, 3, s, s) if layout == "planar"
                         else (n_test, s, s, 3))
-            warm_ev = jnp.zeros(ev_shape, jnp.uint8)
+            warm_ev = _warm_buffer("test", n_test, ev_shape)
             zi = jnp.zeros((k_spd, bs), jnp.int32)
             zv = jnp.zeros((k_spd, bs), bool)
             if replicated is not None:
-                warm_ev, zi, zv = jax.device_put(
-                    (warm_ev, zi, zv), replicated
-                )
+                zi, zv = jax.device_put((zi, zv), replicated)
             with Timer("compile-eval-multi") as t_ev:
                 out = eval_multi(
                     state.params, state.apply_fn, warm_ev, zi,

@@ -160,6 +160,19 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     mu_dtype = _dt(cfg.moment_dtype)
     nu_dtype = _dt(cfg.nu_dtype)
     lr = make_lr(cfg)
+    if (
+        name != "adam"
+        and nu_dtype is not None
+        and nu_dtype != jax.numpy.float32
+    ):
+        # the both-moments-narrow path is only implemented for plain adam
+        # (_scale_by_adam_lowp); silently returning f32-nu adamw would let
+        # the user believe they enabled the documented bench mode
+        raise ValueError(
+            f"nu_dtype={cfg.nu_dtype!r} is only supported with "
+            f"optimizer='adam' (got {cfg.optimizer!r}); use "
+            "moment_dtype to narrow adamw's first moment"
+        )
     if name == "adam":
         if nu_dtype is not None and nu_dtype != jax.numpy.float32:
             # both-moments-narrow + folded lr: the bench operating point

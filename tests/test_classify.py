@@ -97,3 +97,54 @@ def test_ham_cli_e2e(ham_style_root, tmp_path):
          "--out", str(tmp_path / "hamrun")]
     )
     assert rc == 0
+
+
+def test_train_classifier_multi_step_parity(ham_style_root, tmp_path):
+    """steps_per_dispatch>1 (scanned multi-step + scanned eval over the
+    device arenas) must reproduce the per-batch path exactly: same RNG
+    stream, same batch order, inert padded tail steps (4 batches with
+    k=3 → one full super-step + one with 2 inert lanes)."""
+    import jax
+
+    from skin_image_analysis_tpu.data.dataset import LesionTable
+    from skin_image_analysis_tpu.data.ham import DX_CLASSES, read_ham_metadata
+
+    df = read_ham_metadata(
+        os.path.join(ham_style_root, "HAM10000_metadata.csv")
+    )
+    tables = [
+        LesionTable(d, ham_style_root, class_names=DX_CLASSES,
+                    label_column="dx")
+        for d in (df[:28], df[28:])
+    ]
+    base = dict(
+        model_name="skin_cancer_list", num_classes=7, image_size=24,
+        canonical_size=32, batch_size=7, epochs=2, learning_rate=1e-3,
+        compute_dtype="float32",
+    )
+    out1 = train_classifier(
+        *tables, ClassifyConfig(out_dir=str(tmp_path / "a"), **base),
+        verbose=False,
+    )
+    outk = train_classifier(
+        *tables,
+        ClassifyConfig(out_dir=str(tmp_path / "b"), steps_per_dispatch=3,
+                       **base),
+        verbose=False,
+    )
+    # parity is to float tolerance, not bit-exact: the scanned program
+    # fuses differently from the separate per-batch programs (measured
+    # ~1e-7/step of f32 reassociation noise, same as the flagship
+    # multi-step equivalence tests)
+    for a, b in zip(
+        jax.tree.leaves(out1["state"].params),
+        jax.tree.leaves(outk["state"].params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+    m1, mk = out1["test_metrics"], outk["test_metrics"]
+    assert m1["accuracy"] == pytest.approx(mk["accuracy"], abs=1e-9)
+    assert m1["train_loss_mean"] == pytest.approx(
+        mk["train_loss_mean"], abs=1e-4
+    )

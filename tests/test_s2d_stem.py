@@ -216,3 +216,56 @@ def test_stem_wants_s2d_mirrors_model_gate():
         ModelConfig(stem="s2d", first_kernel=4, **base)
     )
     assert not stem_wants_s2d(ModelConfig(name="resnet18", stem="s2d"))
+
+
+def test_legacy_model_threads_s2d_stem():
+    """ModelConfig(name='skin_cancer', stem='s2d') must actually thread
+    the stem into the legacy model (stem_wants_s2d says the kernel may
+    emit the s2d layout for it): raw NHWC and kernel-emitted s2d inputs
+    produce identical outputs, both matching the default lowering."""
+    from skin_image_analysis_tpu.config import ModelConfig
+    from skin_image_analysis_tpu.models.cnn import build_model, stem_wants_s2d
+
+    cfg = ModelConfig(name="skin_cancer", stem="s2d", image_size=32,
+                      compute_dtype="float32")
+    assert stem_wants_s2d(cfg)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32)
+    m_ref = build_model(ModelConfig(name="skin_cancer", image_size=32,
+                                    compute_dtype="float32", stem="phase"))
+    m = build_model(cfg)
+    v = m_ref.init({"params": jax.random.key(0)}, x, train=False)
+    assert jax.tree.structure(
+        m.init({"params": jax.random.key(0)}, x, train=False)
+    ) == jax.tree.structure(v)
+    o_ref = m_ref.apply(v, x, train=False)
+    o_raw = m.apply(v, x, train=False)
+    o_s2d = m.apply(v, space_to_depth_nhwc(x), train=False)
+    np.testing.assert_allclose(np.asarray(o_ref), np.asarray(o_raw),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_raw), np.asarray(o_s2d),
+                               atol=1e-6)
+
+
+def test_s2d_raw_input_with_4_channels_not_misread_as_phases():
+    """A RAW input whose channel count is a multiple of 4 (in_channels=4)
+    must still be space-to-depth-transformed — the already-s2d detection
+    keys on exactly 4*in_channels, not on divisibility by 4 (a shape-only
+    heuristic would silently scramble geometry)."""
+    from skin_image_analysis_tpu.config import ModelConfig
+    from skin_image_analysis_tpu.models.cnn import build_model
+
+    kw = dict(conv_features=(8,), linear_features=(8,), dropout=(0.0,),
+              image_size=16, in_channels=4, compute_dtype="float32")
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((2, 16, 16, 4)), jnp.float32)
+    m_ref = build_model(ModelConfig(stem="phase", **kw))
+    m = build_model(ModelConfig(stem="s2d", **kw))
+    v = m_ref.init({"params": jax.random.key(0)}, x, train=False)
+    o_ref = m_ref.apply(v, x, train=False)
+    o_raw = m.apply(v, x, train=False)           # must transform inside
+    o_pre = m.apply(v, space_to_depth_nhwc(x), train=False)  # 16-channel
+    np.testing.assert_allclose(np.asarray(o_ref), np.asarray(o_raw),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_raw), np.asarray(o_pre),
+                               atol=1e-6)

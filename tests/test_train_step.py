@@ -435,3 +435,25 @@ def test_multi_eval_matches_per_batch_eval(synth_root):
         base["score_malignant"][order_a],
         scanned["score_malignant"][order_b], rtol=1e-6,
     )
+
+
+def test_nu_dtype_rejected_for_non_adam():
+    """nu_dtype (the both-moments-bf16 bench mode) is implemented only
+    for plain adam; silently ignoring it for adamw/rmsprop/sgd would let
+    the user believe they enabled it (review finding, round 3)."""
+    import pytest
+
+    from skin_image_analysis_tpu.config import OptimConfig
+    from skin_image_analysis_tpu.train.state import make_optimizer
+
+    for opt in ("adamw", "rmsprop", "sgd"):
+        with pytest.raises(ValueError, match="nu_dtype"):
+            make_optimizer(
+                OptimConfig(optimizer=opt, learning_rate=1e-3,
+                            nu_dtype="bfloat16")
+            )
+    # f32 nu_dtype is a no-op and stays allowed everywhere
+    make_optimizer(
+        OptimConfig(optimizer="adamw", learning_rate=1e-3,
+                    nu_dtype="float32")
+    )

@@ -4,9 +4,13 @@
 backbones) on the real chip, through the production step machinery
 (train.step.make_train_step / make_eval_step, bf16 compute, BN state).
 
-Usage: python tools/bench_models.py [--freeze] [model ...]
+Usage: python tools/bench_models.py [--freeze] [--scan K] [model ...]
        (default models: resnet50 xception; --freeze benches the
-       frozen-backbone transfer step — head-only backward)
+       frozen-backbone transfer step — head-only backward; --scan K
+       benches the classify trainer's production pipeline instead:
+       uint8 canonical arena + crop/flip/ImageNet preprocess, per-batch
+       vs K-steps-per-dispatch scanned programs
+       (train.classify steps_per_dispatch))
 
 Prints one line per model: fwd+bwd step ms, train img/s/chip, eval
 img/s/chip. Fences with value readbacks (block_until_ready returns
@@ -26,6 +30,11 @@ import numpy as np
 def main(argv: list[str]) -> int:
     freeze = "--freeze" in argv
     argv = [a for a in argv if a != "--freeze"]
+    scan_k = 0
+    if "--scan" in argv:
+        i = argv.index("--scan")
+        scan_k = int(argv[i + 1])
+        del argv[i : i + 2]
     names = argv or ["resnet50", "xception"]
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     image = 224
@@ -49,6 +58,37 @@ def main(argv: list[str]) -> int:
         "valid": jnp.ones((batch,), bool),
     }
 
+    pre_t = pre_e = None
+    arena = None
+    if scan_k:
+        from skin_image_analysis_tpu.ops.preprocess import (
+            AugmentConfig,
+            make_preprocess_fn,
+        )
+        from skin_image_analysis_tpu.train.step import (
+            make_multi_eval_step,
+            make_multi_train_step,
+        )
+
+        canonical = 256
+        pre_t = make_preprocess_fn(
+            image, train=True,
+            augment=AugmentConfig(random_crop=True, horizontal_flip=True),
+            normalize_imagenet=True,
+        )
+        pre_e = make_preprocess_fn(image, train=False,
+                                   normalize_imagenet=True)
+        arena = jnp.asarray(
+            rng.integers(0, 255, (batch, canonical, canonical, 3)),
+            jnp.uint8,
+        )
+        base = dict(base)
+        base["pixels"] = arena  # per-batch path: same uint8 + preprocess
+        idx = jnp.tile(jnp.arange(batch, dtype=jnp.int32)[None],
+                       (scan_k, 1))
+        lbl = jnp.tile(labels[None], (scan_k, 1))
+        vld = jnp.ones((scan_k, batch), bool)
+
     for name in names:
         cfg = ModelConfig(name=name, image_size=image,
                           compute_dtype="bfloat16", freeze_backbone=freeze)
@@ -56,8 +96,8 @@ def main(argv: list[str]) -> int:
             cfg, OptimConfig(learning_rate=1e-3, optimizer="adamw"),
             jax.random.key(0), batch_size=batch,
         )
-        step = make_train_step()
-        estep = make_eval_step()
+        step = make_train_step(preprocess_fn=pre_t)
+        estep = make_eval_step(preprocess_fn=pre_e)
 
         t0 = time.perf_counter()
         state, m = step(state, base)
@@ -89,6 +129,40 @@ def main(argv: list[str]) -> int:
             f"img/s/chip)  eval {eval_ms:.1f} ms ({batch / eval_ms * 1e3:,.0f} "
             f"img/s/chip)  B={batch}@{image}"
         )
+
+        if scan_k:
+            # scanned programs: K steps / K eval batches per dispatch
+            # (the warm 1-step compile above also makes these scans
+            # compile fast through the relay — docs/PERF.md §Cold start)
+            mstep = make_multi_train_step(scan_k, preprocess_fn=pre_t)
+            meval = make_multi_eval_step(scan_k, preprocess_fn=pre_e)
+            state, m = mstep(state, arena, idx, lbl, vld)
+            float(m["loss"][0])
+            iters = max(2, 10 // scan_k)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, m = mstep(state, arena, idx, lbl, vld)
+            float(m["loss"][0])
+            scan_train_ms = (
+                (time.perf_counter() - t0) / (iters * scan_k) * 1e3
+            )
+            out = meval(state.params, state.apply_fn, arena, idx, idx,
+                        vld, state.batch_stats)
+            np.asarray(out["pred"])
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = meval(state.params, state.apply_fn, arena, idx,
+                            idx, vld, state.batch_stats)
+            np.asarray(out["pred"])
+            scan_eval_ms = (
+                (time.perf_counter() - t0) / (iters * scan_k) * 1e3
+            )
+            print(
+                f"{tag} scan-of-{scan_k}: train {scan_train_ms:.1f} "
+                f"ms/step ({batch / scan_train_ms * 1e3:,.0f} img/s/chip)"
+                f"  eval {scan_eval_ms:.1f} ms "
+                f"({batch / scan_eval_ms * 1e3:,.0f} img/s/chip)"
+            )
     return 0
 
 
