@@ -1,0 +1,140 @@
+"""AOT serving export: the inference program as a portable artifact.
+
+The reference "deploys" by unpickling the whole torch module in-process
+(tone_bias_model.py:305-338 — ``torch.load(session_model.pth,
+weights_only=False)`` requires the model class importable at the
+deployment site). The TPU-native serving story is the opposite: trace
+the FULL inference program once — uint8 ``[b, S, S, C]`` pixels →
+resize/normalize preprocess → bf16 forward → ``{log_probs, pred,
+p_malignant}`` — lower it to StableHLO via :mod:`jax.export`, and
+serialize it with a SYMBOLIC batch dimension. One self-contained
+artifact (weights embedded as constants) then serves ANY batch size on
+any JAX runtime — TPU serving container, CPU canary — with no model
+code, no Python class, no pickle.
+
+A tiny JSON manifest rides next to the artifact (class names, input
+spec, lowering platforms) so downstream systems can validate inputs
+without deserializing the program.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+MANIFEST_SUFFIX = ".json"
+
+
+def build_infer_fn(model_cfg, params, batch_stats=None,
+                   malignant_index: int = 1):
+    """The production inference program: eval preprocess (reference
+    Rescale semantics) + forward + argmax + malignant probability
+    (softmax of the log-probs head, tone_bias_explain.py:103)."""
+    from skin_image_analysis_tpu.models.cnn import build_model
+    from skin_image_analysis_tpu.ops.preprocess import make_preprocess_fn
+
+    model = build_model(model_cfg)
+    pre = make_preprocess_fn(model_cfg.image_size, train=False)
+    variables: dict[str, Any] = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+
+    def infer(pixels):
+        x = pre(pixels, None)
+        log_probs = model.apply(variables, x, train=False)
+        return {
+            "log_probs": log_probs,
+            "pred": jnp.argmax(log_probs, axis=-1),
+            "p_malignant": jnp.exp(log_probs[:, malignant_index]),
+        }
+
+    return infer
+
+
+def export_model(
+    experiment_folder: str,
+    out_path: str,
+    canonical_size: int | None = None,
+    platforms: Sequence[str] | None = None,
+    class_names: Sequence[str] = ("benign", "malignant"),
+) -> dict:
+    """Export the experiment's trained model as a serialized StableHLO
+    program at ``out_path`` (+ ``out_path + ".json"`` manifest).
+
+    The batch dimension is exported symbolically when the lowering
+    supports it (any batch size at serve time); if symbolic lowering
+    fails for the model/preprocess combination, the export falls back
+    to a concrete batch recorded in the manifest.
+    """
+    from jax import export as jexport
+
+    from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
+
+    model_cfg, loaded = ckpt_lib.load_model(
+        os.path.join(experiment_folder, ckpt_lib.MODEL_FILENAME)
+    )
+    params, batch_stats = ckpt_lib.split_variables(loaded)
+    s = canonical_size or model_cfg.image_size
+    c = getattr(model_cfg, "in_channels", 3)
+    infer = build_infer_fn(model_cfg, params, batch_stats)
+
+    kwargs: dict[str, Any] = {}
+    if platforms:
+        kwargs["platforms"] = tuple(platforms)
+
+    batch: int | str
+    try:
+        specs = jexport.symbolic_args_specs(
+            (jnp.zeros((2, s, s, c), jnp.uint8),), "b, _, _, _"
+        )
+        exported = jexport.export(jax.jit(infer), **kwargs)(*specs)
+        batch = "symbolic"
+    except Exception:
+        # some lowerings reject symbolic dims; a fixed-batch artifact
+        # still serves (callers pad to the exported batch)
+        exported = jexport.export(jax.jit(infer), **kwargs)(
+            jax.ShapeDtypeStruct((64, s, s, c), jnp.uint8)
+        )
+        batch = 64
+
+    blob = exported.serialize()
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    manifest = {
+        "format": "jax.export/StableHLO",
+        "input": {"shape": [batch, s, s, c], "dtype": "uint8",
+                  "layout": "NHWC, [0,255] pixels"},
+        "outputs": ["log_probs", "pred", "p_malignant"],
+        "class_names": list(class_names),
+        "image_size": model_cfg.image_size,
+        "canonical_size": s,
+        "platforms": list(exported.platforms),
+        "model": model_cfg.name,
+        "bytes": len(blob),
+        "experiment_folder": os.path.abspath(experiment_folder),
+    }
+    with open(out_path + MANIFEST_SUFFIX, "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+def load_exported(path: str):
+    """Deserialize an exported artifact; returns the jax.export.Exported
+    (call it via ``.call(pixels)`` — jit-compatible)."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        return jexport.deserialize(f.read())
+
+
+def predict_exported(path: str, pixels: np.ndarray) -> dict[str, np.ndarray]:
+    """Convenience serve call: deserialize + run one batch."""
+    exported = load_exported(path)
+    out = exported.call(jnp.asarray(pixels))
+    return {k: np.asarray(v) for k, v in out.items()}

@@ -1,0 +1,98 @@
+"""AOT serving export (jax.export/StableHLO): round-trip + symbolic
+batch + CLI. The TPU-native replacement for the reference's
+pickle-the-module deployment (tone_bias_model.py:305-338)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from skin_image_analysis_tpu.config import ModelConfig, OptimConfig
+from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
+from skin_image_analysis_tpu.train.state import create_train_state
+
+
+@pytest.fixture(scope="module")
+def exp_folder(tmp_path_factory):
+    """A minimal experiment folder: just the saved model artifact."""
+    folder = tmp_path_factory.mktemp("exp")
+    cfg = ModelConfig(
+        conv_features=(4, 8), linear_features=(8,), dropout=(0.0,),
+        image_size=16, compute_dtype="float32",
+    )
+    state, _ = create_train_state(
+        cfg, OptimConfig(learning_rate=1e-3), jax.random.key(0),
+        batch_size=2,
+    )
+    ckpt_lib.save_model(
+        str(folder / ckpt_lib.MODEL_FILENAME), cfg, state.params,
+        state.batch_stats,
+    )
+    return str(folder)
+
+
+def test_export_roundtrip_symbolic_batch(exp_folder, tmp_path):
+    from skin_image_analysis_tpu.serve import (
+        export_model,
+        load_exported,
+    )
+
+    out = str(tmp_path / "model.stablehlo")
+    manifest = export_model(exp_folder, out, canonical_size=20)
+    assert os.path.exists(out) and os.path.exists(out + ".json")
+    assert manifest["input"]["dtype"] == "uint8"
+    assert manifest["input"]["shape"][0] == "symbolic"
+    assert manifest["outputs"] == ["log_probs", "pred", "p_malignant"]
+    with open(out + ".json") as f:
+        assert json.load(f)["class_names"] == ["benign", "malignant"]
+
+    exported = load_exported(out)
+    rng = np.random.default_rng(0)
+    # the SAME artifact serves two different batch sizes
+    for b in (3, 7):
+        pixels = rng.integers(0, 255, (b, 20, 20, 3), np.uint8)
+        got = exported.call(jnp.asarray(pixels))
+        assert got["log_probs"].shape == (b, 2)
+        assert got["pred"].shape == (b,)
+        # log-softmax head: probabilities sum to 1
+        np.testing.assert_allclose(
+            np.exp(np.asarray(got["log_probs"])).sum(-1),
+            np.ones(b), atol=1e-5,
+        )
+        # matches the in-process model bit-for-bit (same program)
+        from skin_image_analysis_tpu.serve import build_infer_fn
+
+        model_cfg, loaded = ckpt_lib.load_model(
+            os.path.join(exp_folder, ckpt_lib.MODEL_FILENAME)
+        )
+        params, batch_stats = ckpt_lib.split_variables(loaded)
+        ref = build_infer_fn(model_cfg, params, batch_stats)(
+            jnp.asarray(pixels)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["log_probs"]), np.asarray(ref["log_probs"]),
+            atol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got["pred"]), np.asarray(ref["pred"])
+        )
+
+
+def test_export_cli(exp_folder, tmp_path, capsys):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from cli import tone_bias_export
+
+    out = str(tmp_path / "cli_model.stablehlo")
+    rc = tone_bias_export.main([exp_folder, out])
+    assert rc == 0
+    assert os.path.exists(out)
+    assert "exported" in capsys.readouterr().out
+
+    # bad args -> usage, not a traceback
+    assert tone_bias_export.main([]) == 1
