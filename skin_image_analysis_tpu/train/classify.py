@@ -113,10 +113,19 @@ def train_classifier(
             "five_crop_eval needs canonical_size > image_size "
             f"({cfg.canonical_size} <= {cfg.image_size})"
         )
-    train_store = HostImageStore(train_table, cfg.canonical_size)
-    test_store = HostImageStore(test_table, cfg.canonical_size)
-    train_arena = train_store.to_device()
-    test_arena = test_store.to_device()
+    # Decode in the background: JPEG decode and the model/step compiles
+    # are the two cold-start costs — overlap them (the flagship loop's
+    # trick, train/loop.py). Arenas commit after the join.
+    import threading
+
+    stores: dict[str, HostImageStore] = {}
+
+    def _decode():
+        stores["train"] = HostImageStore(train_table, cfg.canonical_size)
+        stores["test"] = HostImageStore(test_table, cfg.canonical_size)
+
+    decode_thread = threading.Thread(target=_decode, daemon=True)
+    decode_thread.start()
 
     class_weights = (
         tuple(balanced_class_weights(train_table.labels, cfg.num_classes))
@@ -176,6 +185,76 @@ def train_classifier(
     else:
         eval_step = make_eval_step(preprocess_fn=eval_pre)
 
+    # Multi-step dispatch (the flagship loop's scan-of-k machinery,
+    # train.step.make_multi_*): k train steps / k eval batches per XLA
+    # program over the device arenas — only [k, B] index arrays cross
+    # the host link, and the ~2 ms/program relay dispatch amortizes.
+    # Five-crop eval keeps the per-batch path (its step consumes
+    # canonical pixels with a different signature).
+    import jax.numpy as jnp
+
+    k_spd = max(1, cfg.steps_per_dispatch)
+    multi_train = multi_eval = None
+    if k_spd > 1:
+        from skin_image_analysis_tpu.train.step import (
+            make_multi_eval_step,
+            make_multi_train_step,
+        )
+
+        multi_train = make_multi_train_step(
+            k_spd, class_weights=class_weights, preprocess_fn=train_pre
+        )
+        if not cfg.five_crop_eval:
+            multi_eval = make_multi_eval_step(
+                k_spd, preprocess_fn=eval_pre
+            )
+
+    def _copy_state():
+        # warm steps donate their state argument; give them a copy
+        return jax.tree.map(
+            lambda x: x.copy() if hasattr(x, "copy") else x, state
+        )
+
+    # Warm the 1-step program on a dummy batch WHILE the decode thread
+    # works: same shapes/dtypes as the real batches, so the epoch loop
+    # hits the compile cache. Also the compile-order trick — a 1-step
+    # compile immediately before the scan-of-k compile makes the scan
+    # ~30-50x faster through the remote-compile relay (docs/PERF.md
+    # §Cold start).
+    dummy = {
+        "pixels": jnp.zeros(
+            (cfg.batch_size, cfg.canonical_size, cfg.canonical_size,
+             3), jnp.uint8),
+        "label": jnp.zeros((cfg.batch_size,), jnp.int32),
+        "row_id": jnp.zeros((cfg.batch_size,), jnp.int32),
+        "valid": jnp.zeros((cfg.batch_size,), bool),
+    }
+    try:
+        ws, _ = train_step(_copy_state(), dummy)
+        jax.device_get(ws.step)
+        del ws
+    except Exception:
+        pass  # first real batch will compile instead
+
+    decode_thread.join()
+    train_store, test_store = stores["train"], stores["test"]
+    train_arena = train_store.to_device()
+    test_arena = test_store.to_device()
+
+    if k_spd > 1:
+        # The scanned warms run inert (all-False valid) super-steps on
+        # the REAL arenas — side-effect-free (no optimizer update, no
+        # BN motion), and no arena-sized zeros duplicate in HBM.
+        zi = jnp.zeros((k_spd, cfg.batch_size), jnp.int32)
+        zv = jnp.zeros((k_spd, cfg.batch_size), bool)
+        ws, wm = multi_train(_copy_state(), train_arena, zi, zi.copy(), zv)
+        jax.device_get(wm["loss"])
+        del ws
+        if multi_eval is not None:
+            wo = multi_eval(state.params, state.apply_fn, test_arena,
+                            zi, zi.copy(), zv, state.batch_stats)
+            jax.device_get(wo["pred"])
+
     order_fn = (
         (lambda rng: _oversampled_order(train_table.labels, rng))
         if cfg.oversample
@@ -189,60 +268,6 @@ def train_classifier(
         test_store, cfg.batch_size, shuffle=False, drop_remainder=False,
         device_arena=test_arena,
     )
-
-    # Multi-step dispatch (the flagship loop's scan-of-k machinery,
-    # train.step.make_multi_*): k train steps / k eval batches per XLA
-    # program over the device arenas — only [k, B] index arrays cross
-    # the host link, and the ~2 ms/program relay dispatch amortizes.
-    # Five-crop eval keeps the per-batch path (its step consumes
-    # canonical pixels with a different signature).
-    k_spd = max(1, cfg.steps_per_dispatch)
-    multi_train = multi_eval = None
-    if k_spd > 1:
-        import jax.numpy as jnp
-
-        from skin_image_analysis_tpu.train.step import (
-            make_multi_eval_step,
-            make_multi_train_step,
-        )
-
-        multi_train = make_multi_train_step(
-            k_spd, class_weights=class_weights, preprocess_fn=train_pre
-        )
-        if not cfg.five_crop_eval:
-            multi_eval = make_multi_eval_step(
-                k_spd, preprocess_fn=eval_pre
-            )
-        # Warm-compile in dependency order: the 1-step program FIRST
-        # makes the scan-of-k compile ~30-50x faster through the
-        # remote-compile relay (docs/PERF.md §Cold start). Warm steps
-        # donate a throwaway copy of the state; the scanned warms run
-        # inert (all-False valid) super-steps on the REAL arenas —
-        # side-effect-free, and no arena-sized zeros duplicate in HBM.
-        def _copy_state():
-            return jax.tree.map(
-                lambda x: x.copy() if hasattr(x, "copy") else x, state
-            )
-
-        dummy = {
-            "pixels": jnp.zeros(
-                (cfg.batch_size, cfg.canonical_size, cfg.canonical_size,
-                 3), jnp.uint8),
-            "label": jnp.zeros((cfg.batch_size,), jnp.int32),
-            "row_id": jnp.zeros((cfg.batch_size,), jnp.int32),
-            "valid": jnp.zeros((cfg.batch_size,), bool),
-        }
-        ws, _ = train_step(_copy_state(), dummy)
-        jax.device_get(ws.step)
-        zi = jnp.zeros((k_spd, cfg.batch_size), jnp.int32)
-        zv = jnp.zeros((k_spd, cfg.batch_size), bool)
-        ws, wm = multi_train(_copy_state(), train_arena, zi, zi.copy(), zv)
-        jax.device_get(wm["loss"])
-        del ws
-        if multi_eval is not None:
-            wo = multi_eval(state.params, state.apply_fn, test_arena,
-                            zi, zi.copy(), zv, state.batch_stats)
-            jax.device_get(wo["pred"])
 
     history = []
     with MetricsLogger(cfg.out_dir, run_name=f"classify_{cfg.model_name}") as logger:
