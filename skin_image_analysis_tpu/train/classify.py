@@ -317,6 +317,10 @@ def train_classifier(
                 labels = np.concatenate(
                     [lab.reshape(-1) for lab in host_labels]
                 )[valid]
+                log_probs = np.concatenate(
+                    [np.asarray(o["log_probs"]).reshape(
+                        -1, cfg.num_classes) for o in outs]
+                )[valid]
             else:
                 outs, host_labels = [], []
                 for batch in test_loader:
@@ -332,7 +336,16 @@ def train_classifier(
                 labels = np.concatenate(
                     [lab[o["valid"]] for o, lab in zip(outs, host_labels)]
                 )
+                log_probs = np.concatenate(
+                    [np.asarray(o["log_probs"])[o["valid"]] for o in outs]
+                )
             m = multiclass_metrics(preds, labels, cfg.num_classes)
+            if cfg.num_classes == 2 and labels.size:
+                # the BASELINE north-star metric: binary AUC over the
+                # positive-class score (exp of the log-softmax head)
+                from skin_image_analysis_tpu.metrics.auc import roc_auc
+
+                m["auc"] = roc_auc(labels, np.exp(log_probs[:, 1]))
             m["epoch"] = epoch
             m["train_loss_mean"] = float(np.mean(losses)) if losses else 0.0
             for i, loss in enumerate(losses):
