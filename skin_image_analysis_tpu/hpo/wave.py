@@ -192,13 +192,21 @@ def run_wave_study(
         n_tb = cut // cfg.batch_size
         if cfg.n_train_examples:
             n_tb = min(n_tb, max(cfg.n_train_examples // cfg.batch_size, 1))
-        n_vb = (n_sample - cut) // microbatch
+        # eval batches need not match the train microbatch: clamp to the
+        # validation rows actually available so small cohorts (below
+        # sample_size) still run the protocol instead of erroring
+        avail_v = n_sample - cut
+        mb_eval = min(microbatch, max(avail_v, 1))
+        n_vb = avail_v // mb_eval
         if cfg.n_valid_examples:
-            n_vb = min(n_vb, max(cfg.n_valid_examples // microbatch, 1))
+            n_vb = min(n_vb, max(cfg.n_valid_examples // mb_eval, 1))
         if n_tb < 1 or n_vb < 1:
             raise ValueError(
-                f"sample_size {cfg.sample_size} too small for "
-                f"batch_size {cfg.batch_size}"
+                f"cohort of {len(labels)} rows (sample {n_sample}, "
+                f"2/3 train cut {cut}) cannot fill one train batch of "
+                f"{cfg.batch_size} plus one validation row — need at "
+                f"least ~{cfg.batch_size * 3 // 2} rows or a smaller "
+                "--batch-size"
             )
 
         rng = np.random.default_rng(cfg.seed + 31 * waves)
@@ -217,7 +225,7 @@ def run_wave_study(
             _suggest_non_skeleton(t, n_conv, n_linear)
             sample = rng.permutation(len(labels))[:n_sample]
             tr_rows = sample[:n_tb * cfg.batch_size]
-            va_rows = sample[cut:cut + n_vb * microbatch]
+            va_rows = sample[cut:cut + n_vb * mb_eval]
             return {
                 "trial": t,
                 "vec": _lane_vectors(t, n_conv, n_linear),
@@ -241,7 +249,7 @@ def run_wave_study(
         lin_w = np.zeros((k, n_linear), np.int32)
         drops = np.zeros((k, n_linear), np.float32)
         lrs = np.zeros((k,), np.float32)
-        vb_idx = np.zeros((k, n_vb, microbatch), np.int64)
+        vb_idx = np.zeros((k, n_vb, mb_eval), np.int64)
 
         def load_lane(ti, lane):
             conv, lin, dr, lr = lane["vec"]
@@ -249,7 +257,7 @@ def run_wave_study(
             lin_w[ti] = lin
             drops[ti] = dr
             lrs[ti] = lr
-            vb_idx[ti] = lane["va_rows"].reshape(n_vb, microbatch)
+            vb_idx[ti] = lane["va_rows"].reshape(n_vb, mb_eval)
 
         for ti, lane in enumerate(lanes):
             load_lane(ti, lane)

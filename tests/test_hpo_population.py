@@ -308,3 +308,36 @@ def test_wave_deadline_closes_live_trials():
         assert t.state in ("COMPLETE", "PRUNED")  # nothing dangling
     # overshoot bounded by ~one epoch + teardown, not 2*epochs
     assert _time.time() - t0 < 60
+
+
+def test_wave_study_cohort_smaller_than_sample_size():
+    """A cohort below sample_size (the reference protocol's 300) must
+    still run the sweep: the validation microbatch clamps to the rows
+    available instead of erroring (the HPO CLI on a 60-image cohort with
+    batch 32 previously raised a misleading 'sample_size too small')."""
+    from skin_image_analysis_tpu.config import HpoConfig
+    from skin_image_analysis_tpu.hpo.wave import run_wave_study
+
+    pixels, labels = _tiny_data(n=52, size=16, seed=9)
+    cfg = HpoConfig(trials=2, sample_size=300, batch_size=32, epochs=2,
+                    population=2, seed=3)
+    study, stats = run_wave_study(
+        pixels, labels, cfg, image_size=16, compute_dtype="float32",
+        verbose=False,
+    )
+    assert len(study.trials) >= 2
+    for t in study.trials:
+        assert t.state in ("COMPLETE", "PRUNED")
+
+    # a cohort that cannot even fill one train batch raises the
+    # accurate message
+    import pytest
+
+    tiny_px, tiny_lb = _tiny_data(n=20, size=16, seed=9)
+    with pytest.raises(ValueError, match="cohort of 20 rows"):
+        run_wave_study(
+            tiny_px, tiny_lb,
+            HpoConfig(trials=2, sample_size=300, batch_size=32,
+                      epochs=1, population=2),
+            image_size=16, compute_dtype="float32", verbose=False,
+        )
