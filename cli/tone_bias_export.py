@@ -26,11 +26,13 @@ def main(argv: list[str] | None = None) -> int:
 
     argv = list(sys.argv[1:] if argv is None else argv)
     positional, opts = parse(
-        argv, {"canonical-size": 0, "platforms": ""}
+        argv, {"canonical-size": 0, "platforms": ""},
+        bool_flags={"normalize-imagenet"},
     )
     if len(positional) != 2:
         print("Usage: <experiment folder> <out path> "
-              "[--canonical-size N] [--platforms tpu,cpu]")
+              "[--canonical-size N] [--platforms tpu,cpu] "
+              "[--normalize-imagenet]")
         return 1
     folder, out_path = positional
 
@@ -39,6 +41,9 @@ def main(argv: list[str] | None = None) -> int:
     manifest = export_model(
         folder, out_path,
         canonical_size=opts["canonical-size"] or None,
+        # True forces it; default None = read the folder's
+        # train_config.json (False if absent)
+        normalize_imagenet=opts["normalize-imagenet"] or None,
         platforms=(
             [p.strip() for p in opts["platforms"].split(",") if p.strip()]
             or None

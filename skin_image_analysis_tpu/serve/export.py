@@ -32,15 +32,18 @@ MANIFEST_SUFFIX = ".json"
 
 
 def build_infer_fn(model_cfg, params, batch_stats=None,
-                   malignant_index: int = 1):
+                   malignant_index: int = 1,
+                   normalize_imagenet: bool = False):
     """The production inference program: eval preprocess (reference
-    Rescale semantics) + forward + argmax + malignant probability
+    Rescale semantics; ``normalize_imagenet`` must match the training
+    run's DataConfig) + forward + argmax + malignant probability
     (softmax of the log-probs head, tone_bias_explain.py:103)."""
     from skin_image_analysis_tpu.models.cnn import build_model
     from skin_image_analysis_tpu.ops.preprocess import make_preprocess_fn
 
     model = build_model(model_cfg)
-    pre = make_preprocess_fn(model_cfg.image_size, train=False)
+    pre = make_preprocess_fn(model_cfg.image_size, train=False,
+                             normalize_imagenet=normalize_imagenet)
     variables: dict[str, Any] = {"params": params}
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
@@ -63,14 +66,22 @@ def export_model(
     canonical_size: int | None = None,
     platforms: Sequence[str] | None = None,
     class_names: Sequence[str] = ("benign", "malignant"),
+    normalize_imagenet: bool | None = None,
 ) -> dict:
     """Export the experiment's trained model as a serialized StableHLO
     program at ``out_path`` (+ ``out_path + ".json"`` manifest).
 
+    ``normalize_imagenet`` must match the training run's eval
+    preprocess; when None it is read from the experiment folder's
+    ``train_config.json`` (the flagship loop writes one), defaulting to
+    False — exporting with the wrong normalization would silently score
+    differently-scaled inputs.
+
     The batch dimension is exported symbolically when the lowering
     supports it (any batch size at serve time); if symbolic lowering
     fails for the model/preprocess combination, the export falls back
-    to a concrete batch recorded in the manifest.
+    to a concrete batch recorded in the manifest (predict_exported pads
+    to it).
     """
     from jax import export as jexport
 
@@ -80,9 +91,19 @@ def export_model(
         os.path.join(experiment_folder, ckpt_lib.MODEL_FILENAME)
     )
     params, batch_stats = ckpt_lib.split_variables(loaded)
+    if normalize_imagenet is None:
+        normalize_imagenet = False
+        cfg_path = os.path.join(experiment_folder, "train_config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                normalize_imagenet = bool(
+                    json.load(f).get("data", {}).get(
+                        "normalize_imagenet", False)
+                )
     s = canonical_size or model_cfg.image_size
     c = getattr(model_cfg, "in_channels", 3)
-    infer = build_infer_fn(model_cfg, params, batch_stats)
+    infer = build_infer_fn(model_cfg, params, batch_stats,
+                           normalize_imagenet=normalize_imagenet)
 
     kwargs: dict[str, Any] = {}
     if platforms:
@@ -95,9 +116,13 @@ def export_model(
         )
         exported = jexport.export(jax.jit(infer), **kwargs)(*specs)
         batch = "symbolic"
-    except Exception:
+    except Exception as e:
         # some lowerings reject symbolic dims; a fixed-batch artifact
-        # still serves (callers pad to the exported batch)
+        # still serves (predict_exported pads to the manifest batch).
+        # Loud, not silent: a real export bug should not be mistaken
+        # for a symbolic-dim limitation.
+        print(f"symbolic-batch export failed ({type(e).__name__}: {e}); "
+              "falling back to a fixed batch of 64")
         exported = jexport.export(jax.jit(infer), **kwargs)(
             jax.ShapeDtypeStruct((64, s, s, c), jnp.uint8)
         )
@@ -114,6 +139,7 @@ def export_model(
         "class_names": list(class_names),
         "image_size": model_cfg.image_size,
         "canonical_size": s,
+        "normalize_imagenet": bool(normalize_imagenet),
         "platforms": list(exported.platforms),
         "model": model_cfg.name,
         "bytes": len(blob),
@@ -134,7 +160,28 @@ def load_exported(path: str):
 
 
 def predict_exported(path: str, pixels: np.ndarray) -> dict[str, np.ndarray]:
-    """Convenience serve call: deserialize + run one batch."""
+    """Convenience serve call: deserialize + run one batch.
+
+    Fixed-batch artifacts (the symbolic-lowering fallback) accept any
+    smaller batch here: inputs pad with zero rows to the exported batch
+    and outputs slice back."""
     exported = load_exported(path)
+    pixels = np.asarray(pixels)
+    n = pixels.shape[0]
+    want = None
+    manifest_path = path + MANIFEST_SUFFIX
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            shape0 = json.load(f)["input"]["shape"][0]
+        if isinstance(shape0, int):
+            want = shape0
+    if want is not None and n != want:
+        if n > want:
+            raise ValueError(
+                f"{path} was exported with a fixed batch of {want}; "
+                f"got {n} rows — split the batch"
+            )
+        pad = np.zeros((want - n,) + pixels.shape[1:], pixels.dtype)
+        pixels = np.concatenate([pixels, pad])
     out = exported.call(jnp.asarray(pixels))
-    return {k: np.asarray(v) for k, v in out.items()}
+    return {k: np.asarray(v)[:n] for k, v in out.items()}

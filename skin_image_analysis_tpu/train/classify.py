@@ -119,10 +119,16 @@ def train_classifier(
     import threading
 
     stores: dict[str, HostImageStore] = {}
+    decode_error: list[BaseException] = []
 
     def _decode():
-        stores["train"] = HostImageStore(train_table, cfg.canonical_size)
-        stores["test"] = HostImageStore(test_table, cfg.canonical_size)
+        try:
+            stores["train"] = HostImageStore(train_table, cfg.canonical_size)
+            stores["test"] = HostImageStore(test_table, cfg.canonical_size)
+        except BaseException as e:  # surfaced after join — a daemon
+            # thread's traceback would otherwise be lost and the main
+            # thread would die on a bare KeyError
+            decode_error.append(e)
 
     decode_thread = threading.Thread(target=_decode, daemon=True)
     decode_thread.start()
@@ -237,6 +243,8 @@ def train_classifier(
         pass  # first real batch will compile instead
 
     decode_thread.join()
+    if decode_error:
+        raise decode_error[0]
     train_store, test_store = stores["train"], stores["test"]
     train_arena = train_store.to_device()
     test_arena = test_store.to_device()
@@ -281,13 +289,17 @@ def train_classifier(
                     )
                     metric_handles.append(metrics)
                 fetched = jax.device_get(metric_handles)
-                losses_arr = np.concatenate(
-                    [m["loss"] for m in fetched]
-                )
-                live = np.concatenate(
-                    [m["count"] for m in fetched]
-                ) > 0  # padded tail super-steps are inert
-                losses = [float(v) for v in losses_arr[live]]
+                if fetched:
+                    losses_arr = np.concatenate(
+                        [m["loss"] for m in fetched]
+                    )
+                    live = np.concatenate(
+                        [m["count"] for m in fetched]
+                    ) > 0  # padded tail super-steps are inert
+                    losses = [float(v) for v in losses_arr[live]]
+                else:
+                    # train split smaller than one batch (drop_remainder)
+                    losses = []
                 step_idx += len(losses)
             else:
                 losses = []

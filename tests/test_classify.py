@@ -148,3 +148,33 @@ def test_train_classifier_multi_step_parity(ham_style_root, tmp_path):
     assert m1["train_loss_mean"] == pytest.approx(
         mk["train_loss_mean"], abs=1e-4
     )
+
+
+def test_train_classifier_multi_step_empty_train_split(ham_style_root,
+                                                       tmp_path):
+    """A train split smaller than one batch (drop_remainder) yields ZERO
+    super-batches; the multi-step path must degrade like the per-batch
+    path (train_loss_mean 0.0), not crash on an empty concatenate."""
+    from skin_image_analysis_tpu.data.dataset import LesionTable
+    from skin_image_analysis_tpu.data.ham import DX_CLASSES, read_ham_metadata
+
+    df = read_ham_metadata(
+        os.path.join(ham_style_root, "HAM10000_metadata.csv")
+    )
+    tables = [
+        LesionTable(d, ham_style_root, class_names=DX_CLASSES,
+                    label_column="dx")
+        for d in (df[:5], df[5:12])  # 5 train rows < batch_size 7
+    ]
+    out = train_classifier(
+        *tables,
+        ClassifyConfig(
+            model_name="skin_cancer_list", num_classes=7, image_size=24,
+            canonical_size=32, batch_size=7, epochs=1,
+            compute_dtype="float32", steps_per_dispatch=2,
+            use_class_weights=False,  # 5 rows cannot cover 7 classes
+            out_dir=str(tmp_path / "empty"),
+        ),
+        verbose=False,
+    )
+    assert out["test_metrics"]["train_loss_mean"] == 0.0

@@ -96,3 +96,78 @@ def test_export_cli(exp_folder, tmp_path, capsys):
 
     # bad args -> usage, not a traceback
     assert tone_bias_export.main([]) == 1
+
+
+def test_export_reads_normalization_from_train_config(exp_folder, tmp_path):
+    """Exports must reproduce the training run's eval preprocess: when
+    the folder's train_config.json says normalize_imagenet=true, the
+    exported program scores normalized inputs (review finding: a
+    hardcoded False silently diverged from training-time eval)."""
+    import shutil
+
+    from skin_image_analysis_tpu.serve import export_model, load_exported
+
+    folder = str(tmp_path / "exp_norm")
+    shutil.copytree(exp_folder, folder)
+    with open(os.path.join(folder, "train_config.json"), "w") as f:
+        json.dump({"data": {"normalize_imagenet": True}}, f)
+    out = str(tmp_path / "norm.stablehlo")
+    manifest = export_model(folder, out)
+    assert manifest["normalize_imagenet"] is True
+
+    # and it matches an infer fn built WITH normalization
+    from skin_image_analysis_tpu.serve import build_infer_fn
+
+    model_cfg, loaded = ckpt_lib.load_model(
+        os.path.join(folder, ckpt_lib.MODEL_FILENAME)
+    )
+    params, batch_stats = ckpt_lib.split_variables(loaded)
+    rng = np.random.default_rng(1)
+    pixels = rng.integers(0, 255, (3, 16, 16, 3), np.uint8)
+    ref = build_infer_fn(model_cfg, params, batch_stats,
+                         normalize_imagenet=True)(jnp.asarray(pixels))
+    got = load_exported(out).call(jnp.asarray(pixels))
+    np.testing.assert_allclose(
+        np.asarray(got["log_probs"]), np.asarray(ref["log_probs"]),
+        atol=1e-6,
+    )
+
+
+def test_predict_exported_pads_fixed_batch_artifacts(exp_folder, tmp_path):
+    """Fixed-batch artifacts (the symbolic-lowering fallback) must still
+    serve smaller batches: predict_exported pads to the manifest batch
+    and slices outputs back; larger batches error with guidance."""
+    from jax import export as jexport
+
+    from skin_image_analysis_tpu.serve import (
+        build_infer_fn,
+        predict_exported,
+    )
+
+    model_cfg, loaded = ckpt_lib.load_model(
+        os.path.join(exp_folder, ckpt_lib.MODEL_FILENAME)
+    )
+    params, batch_stats = ckpt_lib.split_variables(loaded)
+    infer = build_infer_fn(model_cfg, params, batch_stats)
+    exported = jexport.export(jax.jit(infer))(
+        jax.ShapeDtypeStruct((4, 16, 16, 3), jnp.uint8)
+    )
+    out = str(tmp_path / "fixed.stablehlo")
+    with open(out, "wb") as f:
+        f.write(exported.serialize())
+    with open(out + ".json", "w") as f:
+        json.dump({"input": {"shape": [4, 16, 16, 3]}}, f)
+
+    rng = np.random.default_rng(2)
+    pixels = rng.integers(0, 255, (2, 16, 16, 3), np.uint8)
+    got = predict_exported(out, pixels)
+    assert got["pred"].shape == (2,)
+    ref = infer(jnp.asarray(pixels))
+    np.testing.assert_allclose(
+        got["log_probs"], np.asarray(ref["log_probs"]), atol=1e-6
+    )
+
+    with pytest.raises(ValueError, match="fixed batch"):
+        predict_exported(
+            out, rng.integers(0, 255, (6, 16, 16, 3), np.uint8)
+        )

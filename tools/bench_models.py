@@ -33,7 +33,12 @@ def main(argv: list[str]) -> int:
     scan_k = 0
     if "--scan" in argv:
         i = argv.index("--scan")
-        scan_k = int(argv[i + 1])
+        try:
+            scan_k = int(argv[i + 1])
+        except (IndexError, ValueError):
+            print("usage: bench_models.py [--freeze] [--scan K] [model ...]"
+                  " (--scan requires an integer)")
+            return 1
         del argv[i : i + 2]
     names = argv or ["resnet50", "xception"]
     batch = int(os.environ.get("BENCH_BATCH", "128"))

@@ -8,7 +8,7 @@ import sys
 import numpy as np
 from PIL import Image
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from skin_image_analysis_tpu.data.ham import DX_CLASSES
 
 root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ham_scale"
