@@ -13,9 +13,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import threading
+
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from skin_image_analysis_tpu.config import ModelConfig, OptimConfig
 from skin_image_analysis_tpu.data.dataset import LesionTable
@@ -24,7 +27,7 @@ from skin_image_analysis_tpu.ops.preprocess import AugmentConfig, make_preproces
 from skin_image_analysis_tpu.toneclassifier.class_weight import (
     balanced_class_weights,
 )
-from skin_image_analysis_tpu.train.state import create_train_state
+from skin_image_analysis_tpu.train.state import copy_state, create_train_state
 from skin_image_analysis_tpu.train.step import make_eval_step, make_train_step
 from skin_image_analysis_tpu.utils.metrics_log import MetricsLogger, binary_metrics
 
@@ -114,10 +117,12 @@ def train_classifier(
             f"({cfg.canonical_size} <= {cfg.image_size})"
         )
     # Decode in the background: JPEG decode and the model/step compiles
-    # are the two cold-start costs — overlap them (the flagship loop's
-    # trick, train/loop.py). Arenas commit after the join.
-    import threading
-
+    # are the two cold-start costs — overlap them. This mirrors the
+    # flagship loop's cold-start machinery (train/loop.py _decode /
+    # _warm / _warm_multi) in simplified form — the flagship adds planar
+    # arenas, Pallas preprocess, mesh shardings, and early HBM commit
+    # that do not apply here. A fix to the relay compile-order or warm
+    # semantics likely needs to land in BOTH places.
     stores: dict[str, HostImageStore] = {}
     decode_error: list[BaseException] = []
 
@@ -197,8 +202,6 @@ def train_classifier(
     # the host link, and the ~2 ms/program relay dispatch amortizes.
     # Five-crop eval keeps the per-batch path (its step consumes
     # canonical pixels with a different signature).
-    import jax.numpy as jnp
-
     k_spd = max(1, cfg.steps_per_dispatch)
     multi_train = multi_eval = None
     if k_spd > 1:
@@ -215,12 +218,6 @@ def train_classifier(
                 k_spd, preprocess_fn=eval_pre
             )
 
-    def _copy_state():
-        # warm steps donate their state argument; give them a copy
-        return jax.tree.map(
-            lambda x: x.copy() if hasattr(x, "copy") else x, state
-        )
-
     # Warm the 1-step program on a dummy batch WHILE the decode thread
     # works: same shapes/dtypes as the real batches, so the epoch loop
     # hits the compile cache. Also the compile-order trick — a 1-step
@@ -236,7 +233,7 @@ def train_classifier(
         "valid": jnp.zeros((cfg.batch_size,), bool),
     }
     try:
-        ws, _ = train_step(_copy_state(), dummy)
+        ws, _ = train_step(copy_state(state), dummy)
         jax.device_get(ws.step)
         del ws
     except Exception:
@@ -255,7 +252,7 @@ def train_classifier(
         # BN motion), and no arena-sized zeros duplicate in HBM.
         zi = jnp.zeros((k_spd, cfg.batch_size), jnp.int32)
         zv = jnp.zeros((k_spd, cfg.batch_size), bool)
-        ws, wm = multi_train(_copy_state(), train_arena, zi, zi.copy(), zv)
+        ws, wm = multi_train(copy_state(state), train_arena, zi, zi.copy(), zv)
         jax.device_get(wm["loss"])
         del ws
         if multi_eval is not None:

@@ -47,7 +47,10 @@ from skin_image_analysis_tpu.parallel.sharding import (
 )
 from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
 from skin_image_analysis_tpu.train.evaluate import evaluate_fairness
-from skin_image_analysis_tpu.train.state import create_train_state
+from skin_image_analysis_tpu.train.state import (
+    copy_state as _shared_copy_state,
+    create_train_state,
+)
 from skin_image_analysis_tpu.train.step import (
     make_eval_step,
     make_multi_eval_step,
@@ -406,9 +409,7 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         replicated = NamedSharding(mesh, PartitionSpec())
 
     def _copy_state():
-        return jax.tree.map(
-            lambda x: x.copy() if hasattr(x, "copy") else x, state
-        )
+        return _shared_copy_state(state)
 
     def _warm():
         """Warm-compile on dummy data while the decode thread works

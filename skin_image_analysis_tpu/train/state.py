@@ -39,6 +39,15 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+def copy_state(state: TrainState) -> TrainState:
+    """A leaf-copied TrainState for warm-compile calls: the jitted steps
+    donate their state argument, so warming on the real state would
+    invalidate its buffers."""
+    return jax.tree.map(
+        lambda x: x.copy() if hasattr(x, "copy") else x, state
+    )
+
+
 def make_lr(cfg: OptimConfig):
     """Learning rate — a float, or an optax schedule when configured.
 

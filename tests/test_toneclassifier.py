@@ -146,4 +146,6 @@ def test_tone_trainer_smoke(synth_root, tmp_path):
     assert len(out["history"]) == 1
     m = out["test_metrics"]
     assert {"accuracy", "precision", "recall", "f1"} <= set(m)
+    # binary runs also report per-epoch AUC (the BASELINE metric)
+    assert 0.0 <= m["auc"] <= 1.0
     assert os.path.exists(os.path.join(cfg.out_dir, "metrics.jsonl"))
