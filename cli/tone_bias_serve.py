@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Online model serving — HTTP endpoint with dynamic batching::
+
+    python cli/tone_bias_serve.py <experiment folder | model.stablehlo>
+        [--host 127.0.0.1] [--port 8000] [--max-batch 64]
+        [--window-ms 2] [--warm N,N,...] [--no-warm]
+
+Serves the trained model (an experiment folder's checkpoint, or an AOT
+StableHLO artifact from cli/tone_bias_export.py) behind ``POST
+/predict`` (one encoded image per request; concurrent requests coalesce
+into single device dispatches). ``GET /healthz`` and ``GET /stats``
+report the model and the coalescing counters.
+
+The reference's deployment surface is "unpickle the module"
+(tone_bias_model.py:305-338); this is its production-serving
+replacement. Batch shapes are bucketed to powers of two so the XLA
+compile count stays bounded; ``--warm`` pre-compiles the chosen buckets
+before the port opens (first-request compiles through a remote-compile
+relay cost 30-90 s per bucket otherwise).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from skin_image_analysis_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+
+def main(argv: list[str] | None = None) -> int:
+    from cli._common import parse
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    positional, opts = parse(
+        argv,
+        {"host": "127.0.0.1", "port": 8000, "max-batch": 64,
+         "window-ms": 2.0, "warm": ""},
+        bool_flags={"no-warm"},
+    )
+    if len(positional) != 1:
+        print("Usage: <experiment folder | exported .stablehlo artifact> "
+              "[--host H] [--port N] [--max-batch N] [--window-ms F] "
+              "[--warm N,N,...] [--no-warm]")
+        return 1
+    source = positional[0]
+
+    from skin_image_analysis_tpu.serve.server import (
+        DynamicBatcher,
+        InferenceSession,
+        serve_http,
+    )
+
+    if os.path.isdir(source):
+        session = InferenceSession.from_experiment(
+            source, max_batch=int(opts["max-batch"]))
+    else:
+        session = InferenceSession.from_artifact(
+            source, max_batch=int(opts["max-batch"]))
+
+    if not opts["no-warm"]:
+        buckets = ([int(b) for b in str(opts["warm"]).split(",") if b]
+                   or [1, session.max_batch])
+        print(f"warming buckets {sorted(set(buckets))} ...")
+        session.warm(sorted(set(buckets)))
+        print("warm done")
+
+    batcher = DynamicBatcher(session,
+                             window_ms=float(opts["window-ms"])).start()
+    serve_http(batcher, host=opts["host"], port=int(opts["port"]))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -53,6 +53,30 @@ def _decode_resize_pil(path: str, size: int) -> np.ndarray:
         return np.asarray(im, dtype=np.uint8)
 
 
+def decode_image_bytes(data: bytes, size: int) -> np.ndarray:
+    """Decode + resize an in-memory encoded image (JPEG/PNG bytes) to
+    uint8 [size, size, 3] RGB — the online-serving twin of
+    :func:`decode_image`, same exact-resize geometry (reference
+    Rescale((224,224)), tone_bias_train.py:313)."""
+    try:
+        import cv2
+
+        img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        if img is None:
+            raise IOError("failed to decode image bytes")
+        interp = cv2.INTER_AREA if img.shape[0] > size else cv2.INTER_LINEAR
+        img = cv2.resize(img, (size, size), interpolation=interp)
+        return np.ascontiguousarray(img[:, :, ::-1])
+    except ImportError:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(data)) as im:
+            im = im.convert("RGB").resize((size, size), Image.BILINEAR)
+            return np.asarray(im, dtype=np.uint8)
+
+
 def decode_image(path: str, size: int, mode: str = "square") -> np.ndarray:
     """Decode + resize one image to uint8 [size, size, 3] RGB.
 

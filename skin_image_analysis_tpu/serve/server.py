@@ -1,0 +1,391 @@
+"""Online serving: bucketed batching + request coalescing over the
+compiled inference program.
+
+The reference has no online-serving story — deployment is "unpickle the
+module and loop batches by hand" (tone_bias_model.py:305-338,
+tone_bias_test.py:565-652). The TPU-native one has three parts, each
+shaped by how XLA actually behaves:
+
+1. **One inference program, a small ladder of batch shapes.** Every
+   distinct input shape is a separate XLA compile (30-90 s through a
+   remote-compile relay; seconds locally) — compiling per request size
+   would melt a serving process. :class:`InferenceSession` therefore
+   evaluates only at power-of-two batch *buckets*: requests pad with
+   zero rows to the nearest bucket and outputs slice back. Bounded
+   compiles, static shapes, full MXU batches.
+2. **Request coalescing.** Dispatching one image at a time pays the
+   per-program dispatch floor (~2 ms through the relay) per image;
+   :class:`DynamicBatcher` drains concurrent requests from a queue and
+   ships them as ONE device call — the classic dynamic-batching serving
+   pattern, sized by ``max_batch``/``window_ms``.
+3. **A thin HTTP front end** (:func:`serve_http`, stdlib only): POST an
+   encoded image, get the prediction JSON. Decode happens host-side at
+   the same exact-resize geometry as training
+   (data/loader.py:decode_image_bytes).
+
+The session serves either source of truth:
+
+- an experiment folder (checkpoint + ModelConfig → the same
+  ``build_infer_fn`` program the AOT export lowers, serve/export.py), or
+- an exported StableHLO artifact (``jax.export`` — no model code needed
+  at the serving site; ``exported.call`` is jit-compatible so the bucket
+  ladder applies identically).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, Callable, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _buckets(max_batch: int) -> list[int]:
+    out, b = [], 1
+    while b < max_batch:
+        out.append(b)
+        b *= 2
+    out.append(max_batch)
+    return out
+
+
+class InferenceSession:
+    """The compiled inference program behind a pad-to-bucket call.
+
+    ``predict(pixels)`` accepts uint8 ``[n, S, S, C]`` for ANY n: rows
+    pad to the nearest power-of-two bucket ≤ ``max_batch`` (one XLA
+    compile per bucket, ever), batches larger than ``max_batch`` split
+    into full chunks. Thread-safe: jitted calls serialize on a lock so
+    the dispatch order stays deterministic under the HTTP threads.
+    """
+
+    def __init__(self, infer_fn: Callable, image_size: int,
+                 in_channels: int = 3, max_batch: int = 64,
+                 class_names: Sequence[str] = ("benign", "malignant"),
+                 source: str = "experiment"):
+        self._jit = jax.jit(infer_fn)
+        self.image_size = int(image_size)
+        self.in_channels = int(in_channels)
+        self.max_batch = int(max_batch)
+        self.class_names = list(class_names)
+        self.source = source
+        self.buckets = _buckets(self.max_batch)
+        self._lock = threading.Lock()
+        self.compiled: set[int] = set()
+
+    # -- constructors ----------------------------------------------------
+
+    @classmethod
+    def from_experiment(cls, folder: str, max_batch: int = 64,
+                        class_names: Sequence[str] = ("benign", "malignant"),
+                        ) -> "InferenceSession":
+        """Serve straight from an experiment folder (the tone_bias_train
+        artifact): same program the AOT export lowers."""
+        import os
+
+        from skin_image_analysis_tpu.serve.export import build_infer_fn
+        from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
+
+        model_cfg, loaded = ckpt_lib.load_model(
+            os.path.join(folder, ckpt_lib.MODEL_FILENAME)
+        )
+        params, batch_stats = ckpt_lib.split_variables(loaded)
+        normalize = False
+        cfg_path = os.path.join(folder, "train_config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                normalize = bool(json.load(f).get("data", {}).get(
+                    "normalize_imagenet", False))
+        infer = build_infer_fn(model_cfg, params, batch_stats,
+                               normalize_imagenet=normalize)
+        return cls(infer, model_cfg.image_size,
+                   getattr(model_cfg, "in_channels", 3), max_batch,
+                   class_names, source=folder)
+
+    @classmethod
+    def from_artifact(cls, path: str, max_batch: int = 64,
+                      ) -> "InferenceSession":
+        """Serve a deserialized StableHLO artifact (no model code)."""
+        import os
+
+        from skin_image_analysis_tpu.serve.export import (
+            MANIFEST_SUFFIX,
+            load_exported,
+        )
+
+        exported = load_exported(path)
+        manifest: dict[str, Any] = {}
+        if os.path.exists(path + MANIFEST_SUFFIX):
+            with open(path + MANIFEST_SUFFIX) as f:
+                manifest = json.load(f)
+        shape = manifest.get("input", {}).get("shape")
+        if shape:
+            size, channels = int(shape[1]), int(shape[3])
+            if isinstance(shape[0], int):
+                # fixed-batch artifact: the only legal bucket is the
+                # exported batch itself
+                max_batch = int(shape[0])
+        else:
+            spec = exported.in_avals[0]
+            size, channels = int(spec.shape[1]), int(spec.shape[3])
+        sess = cls(exported.call, size, channels, max_batch,
+                   manifest.get("class_names", ["benign", "malignant"]),
+                   source=path)
+        if shape and isinstance(shape[0], int):
+            sess.buckets = [int(shape[0])]
+        return sess
+
+    # -- calls ------------------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def warm(self, buckets: Sequence[int] | None = None) -> None:
+        """Pre-compile the bucket ladder on zeros (smallest first — the
+        compile-order effect measured in docs/PERF.md §Cold start)."""
+        for b in sorted(buckets or self.buckets):
+            self.predict(np.zeros(
+                (b, self.image_size, self.image_size, self.in_channels),
+                np.uint8))
+
+    def predict(self, pixels: np.ndarray) -> dict[str, np.ndarray]:
+        pixels = np.asarray(pixels, np.uint8)
+        if pixels.ndim == 3:
+            pixels = pixels[None]
+        n = pixels.shape[0]
+        if n == 0:
+            raise ValueError("empty batch")
+        if n > self.max_batch:
+            chunks = [self.predict(pixels[i:i + self.max_batch])
+                      for i in range(0, n, self.max_batch)]
+            return {k: np.concatenate([c[k] for c in chunks])
+                    for k in chunks[0]}
+        b = self._bucket(n)
+        if n < b:
+            pad = np.zeros((b - n,) + pixels.shape[1:], pixels.dtype)
+            pixels = np.concatenate([pixels, pad])
+        with self._lock:
+            out = self._jit(jnp.asarray(pixels))
+            out = jax.device_get(out)
+            self.compiled.add(b)
+        return {k: np.asarray(v)[:n] for k, v in out.items()}
+
+
+@dataclass
+class BatcherStats:
+    requests: int = 0
+    batches: int = 0
+    rows: int = 0
+    max_coalesced: int = 0
+    _lock: threading.Lock = field(default_factory=threading.Lock,
+                                  repr=False)
+
+    def record(self, coalesced: int) -> None:
+        with self._lock:
+            self.batches += 1
+            self.rows += coalesced
+            self.max_coalesced = max(self.max_coalesced, coalesced)
+
+    def snapshot(self) -> dict[str, int]:
+        with self._lock:
+            return {"requests": self.requests, "batches": self.batches,
+                    "rows": self.rows,
+                    "max_coalesced": self.max_coalesced}
+
+
+class DynamicBatcher:
+    """Coalesce concurrent single-image requests into one device call.
+
+    ``submit(pixels) -> Future``. A worker thread blocks for the first
+    pending request, then drains whatever else arrives within
+    ``window_ms`` (up to the session's ``max_batch``) and ships ONE
+    padded batch. Under no concurrency this degrades to per-request
+    calls with one window of added latency; under load the dispatch
+    floor and the forward amortize across the whole batch.
+    """
+
+    def __init__(self, session: InferenceSession,
+                 window_ms: float = 2.0):
+        self.session = session
+        self.window_s = float(window_ms) / 1e3
+        self.stats = BatcherStats()
+        self._queue: list[tuple[np.ndarray, Future]] = []
+        self._cv = threading.Condition()
+        self._stop = False
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "DynamicBatcher":
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+    def submit(self, pixels: np.ndarray) -> Future:
+        pixels = np.asarray(pixels, np.uint8)
+        if pixels.ndim != 3:
+            raise ValueError(
+                f"submit() takes one [S, S, C] image, got {pixels.shape}")
+        fut: Future = Future()
+        with self._cv:
+            self.stats.requests += 1
+            self._queue.append((pixels, fut))
+            self._cv.notify()
+        return fut
+
+    # one drain step, separated from the thread loop for direct testing
+    def drain_once(self, wait: bool = True) -> int:
+        with self._cv:
+            if wait:
+                while not self._queue and not self._stop:
+                    self._cv.wait()
+            if self._stop and not self._queue:
+                return 0
+            deadline = time.monotonic() + self.window_s
+            while (len(self._queue) < self.session.max_batch
+                   and not self._stop):
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                self._cv.wait(timeout=remaining)
+            items = self._queue[:self.session.max_batch]
+            del self._queue[:len(items)]
+        if not items:
+            return 0
+        pixels = np.stack([p for p, _ in items])
+        try:
+            out = self.session.predict(pixels)
+        except BaseException as e:  # deliver, don't kill the worker
+            for _, fut in items:
+                fut.set_exception(e)
+            return len(items)
+        self.stats.record(len(items))
+        for i, (_, fut) in enumerate(items):
+            fut.set_result({k: v[i] for k, v in out.items()})
+        return len(items)
+
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                if self._stop and not self._queue:
+                    return
+            self.drain_once()
+
+
+def _result_json(session: InferenceSession, res: dict[str, Any]) -> dict:
+    pred = int(res["pred"])
+    return {
+        "pred": pred,
+        "class": (session.class_names[pred]
+                  if pred < len(session.class_names) else str(pred)),
+        "p_malignant": float(res["p_malignant"]),
+        "log_probs": [float(x) for x in np.asarray(res["log_probs"])],
+    }
+
+
+def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
+                     port: int = 8000):
+    """Build (not run) the HTTP server. Endpoints:
+
+    - ``POST /predict`` — body: one encoded image (JPEG/PNG bytes) or a
+      raw uint8 ``[S, S, C]`` buffer with
+      ``Content-Type: application/octet-stream``; response: prediction
+      JSON {pred, class, p_malignant, log_probs}.
+    - ``GET /healthz`` — liveness + model/source info.
+    - ``GET /stats`` — request/batch coalescing counters.
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from skin_image_analysis_tpu.data.loader import decode_image_bytes
+
+    session = batcher.session
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {
+                    "status": "ok",
+                    "source": session.source,
+                    "image_size": session.image_size,
+                    "class_names": session.class_names,
+                    "buckets": session.buckets,
+                    "compiled_buckets": sorted(session.compiled),
+                })
+            elif self.path == "/stats":
+                self._send(200, batcher.stats.snapshot())
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, {"error": f"no route {self.path}"})
+                return
+            length = int(self.headers.get("Content-Length") or 0)
+            if length <= 0:
+                self._send(400, {"error": "empty body"})
+                return
+            data = self.rfile.read(length)
+            s, c = session.image_size, session.in_channels
+            try:
+                ctype = (self.headers.get("Content-Type") or "").lower()
+                if ctype == "application/octet-stream":
+                    if length != s * s * c:
+                        raise ValueError(
+                            f"raw body must be {s}x{s}x{c} uint8 "
+                            f"({s * s * c} bytes), got {length}")
+                    img = np.frombuffer(data, np.uint8).reshape(s, s, c)
+                else:
+                    img = decode_image_bytes(data, s)
+            except Exception as e:
+                self._send(400, {"error": f"bad image: {e}"})
+                return
+            try:
+                res = batcher.submit(img).result(timeout=600)
+            except Exception as e:
+                self._send(500, {"error": str(e)})
+                return
+            self._send(200, _result_json(session, res))
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_http(batcher: DynamicBatcher, host: str = "127.0.0.1",
+               port: int = 8000, verbose: bool = True) -> None:
+    """Run the HTTP server until interrupted."""
+    server = make_http_server(batcher, host, port)
+    if verbose:
+        print(f"serving {batcher.session.source} on http://{host}:{port} "
+              f"(buckets {batcher.session.buckets})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+        batcher.stop()

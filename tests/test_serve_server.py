@@ -1,0 +1,305 @@
+"""Online serving (serve/server.py): bucketed padding, request
+coalescing, HTTP front end, and the serve CLI. New production-serving
+capability — the reference's deployment surface is unpickle-the-module
+(tone_bias_model.py:305-338)."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+from skin_image_analysis_tpu.config import ModelConfig, OptimConfig
+from skin_image_analysis_tpu.serve.server import (
+    DynamicBatcher,
+    InferenceSession,
+    _buckets,
+    make_http_server,
+)
+from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
+from skin_image_analysis_tpu.train.state import create_train_state
+
+SIZE = 16
+
+
+@pytest.fixture(scope="module")
+def exp_folder(tmp_path_factory):
+    folder = tmp_path_factory.mktemp("serve_exp")
+    cfg = ModelConfig(
+        conv_features=(4, 8), linear_features=(8,), dropout=(0.0,),
+        image_size=SIZE, compute_dtype="float32",
+    )
+    state, _ = create_train_state(
+        cfg, OptimConfig(learning_rate=1e-3), jax.random.key(0),
+        batch_size=2,
+    )
+    ckpt_lib.save_model(
+        str(folder / ckpt_lib.MODEL_FILENAME), cfg, state.params,
+        state.batch_stats,
+    )
+    return str(folder)
+
+
+@pytest.fixture(scope="module")
+def session(exp_folder):
+    return InferenceSession.from_experiment(exp_folder, max_batch=8)
+
+
+def test_bucket_ladder():
+    assert _buckets(8) == [1, 2, 4, 8]
+    assert _buckets(1) == [1]
+    # non-power-of-two caps append the cap itself
+    assert _buckets(6) == [1, 2, 4, 6]
+
+
+def test_session_pads_to_buckets_and_slices_back(session):
+    rng = np.random.default_rng(0)
+    pixels = rng.integers(0, 255, (3, SIZE, SIZE, 3), np.uint8)
+    out = session.predict(pixels)
+    assert out["pred"].shape == (3,)
+    assert out["log_probs"].shape == (3, 2)
+    # padded rows must not change the real rows: a batch of 3 rides the
+    # 4-bucket; compare against the same rows in a full 4-batch
+    full = session.predict(
+        np.concatenate([pixels, pixels[:1]])
+    )
+    np.testing.assert_allclose(
+        out["log_probs"], full["log_probs"][:3], atol=1e-6
+    )
+    # only bucket shapes ever compiled
+    assert session.compiled <= set(session.buckets)
+
+
+def test_session_single_image_and_oversize_batch(session):
+    rng = np.random.default_rng(1)
+    one = rng.integers(0, 255, (SIZE, SIZE, 3), np.uint8)
+    out = session.predict(one)  # 3-D input auto-batches
+    assert out["pred"].shape == (1,)
+
+    # 11 rows > max_batch 8: chunked, order preserved
+    pixels = rng.integers(0, 255, (11, SIZE, SIZE, 3), np.uint8)
+    out = session.predict(pixels)
+    assert out["pred"].shape == (11,)
+    ref = np.concatenate([
+        session.predict(pixels[i:i + 1])["pred"] for i in range(11)
+    ])
+    np.testing.assert_array_equal(out["pred"], ref)
+
+    with pytest.raises(ValueError, match="empty"):
+        session.predict(np.zeros((0, SIZE, SIZE, 3), np.uint8))
+
+
+def test_batcher_coalesces_queued_requests(session):
+    """Requests enqueued before a drain ride ONE device batch."""
+    batcher = DynamicBatcher(session, window_ms=1.0)
+    rng = np.random.default_rng(2)
+    images = rng.integers(0, 255, (5, SIZE, SIZE, 3), np.uint8)
+    futures = [batcher.submit(img) for img in images]
+    drained = batcher.drain_once(wait=False)
+    assert drained == 5
+    snap = batcher.stats.snapshot()
+    assert snap == {"requests": 5, "batches": 1, "rows": 5,
+                    "max_coalesced": 5}
+    ref = session.predict(images)
+    for i, fut in enumerate(futures):
+        res = fut.result(timeout=5)
+        assert int(res["pred"]) == int(ref["pred"][i])
+        np.testing.assert_allclose(
+            res["log_probs"], ref["log_probs"][i], atol=1e-6
+        )
+
+
+def test_batcher_worker_thread_and_errors(session):
+    batcher = DynamicBatcher(session, window_ms=1.0).start()
+    try:
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 255, (SIZE, SIZE, 3), np.uint8)
+        res = batcher.submit(img).result(timeout=30)
+        assert set(res) == {"log_probs", "pred", "p_malignant"}
+
+        with pytest.raises(ValueError, match="one .* image"):
+            batcher.submit(np.zeros((2, SIZE, SIZE, 3), np.uint8))
+    finally:
+        batcher.stop()
+
+
+def test_batcher_delivers_exceptions_not_crashes(exp_folder):
+    """A failing session resolves futures with the exception and keeps
+    the worker alive for the next batch."""
+    sess = InferenceSession.from_experiment(exp_folder, max_batch=4)
+    boom = {"on": True}
+    real_predict = sess.predict
+
+    def flaky(pixels):
+        if boom["on"]:
+            raise RuntimeError("injected")
+        return real_predict(pixels)
+
+    sess.predict = flaky
+    batcher = DynamicBatcher(sess, window_ms=1.0)
+    fut = batcher.submit(np.zeros((SIZE, SIZE, 3), np.uint8))
+    batcher.drain_once(wait=False)
+    with pytest.raises(RuntimeError, match="injected"):
+        fut.result(timeout=5)
+    boom["on"] = False
+    fut2 = batcher.submit(np.zeros((SIZE, SIZE, 3), np.uint8))
+    batcher.drain_once(wait=False)
+    assert int(fut2.result(timeout=5)["pred"]) in (0, 1)
+
+
+@pytest.fixture()
+def http_server(session):
+    batcher = DynamicBatcher(session, window_ms=1.0).start()
+    server = make_http_server(batcher, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}", session
+    server.shutdown()
+    server.server_close()
+    batcher.stop()
+
+
+def _post(url, data, ctype):
+    req = urllib.request.Request(
+        url, data=data, headers={"Content-Type": ctype}, method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return json.loads(resp.read())
+
+
+def test_http_predict_raw_and_encoded(http_server):
+    base, session = http_server
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 255, (SIZE, SIZE, 3), np.uint8)
+
+    # raw uint8 body
+    got = _post(f"{base}/predict", img.tobytes(),
+                "application/octet-stream")
+    assert got["class"] in ("benign", "malignant")
+    ref = session.predict(img)
+    assert got["pred"] == int(ref["pred"][0])
+    np.testing.assert_allclose(
+        got["p_malignant"], float(ref["p_malignant"][0]), atol=1e-6
+    )
+
+    # encoded (PNG survives lossless → exact same pixels)
+    try:
+        import cv2
+
+        ok, buf = cv2.imencode(".png", img[:, :, ::-1])
+        assert ok
+        data = buf.tobytes()
+    except ImportError:
+        import io
+
+        from PIL import Image
+
+        bio = io.BytesIO()
+        Image.fromarray(img).save(bio, format="PNG")
+        data = bio.getvalue()
+    got2 = _post(f"{base}/predict", data, "image/png")
+    assert got2["pred"] == got["pred"]
+    np.testing.assert_allclose(
+        got2["log_probs"], got["log_probs"], atol=1e-6
+    )
+
+
+def test_http_health_stats_and_errors(http_server):
+    base, session = http_server
+    with urllib.request.urlopen(f"{base}/healthz", timeout=10) as resp:
+        health = json.loads(resp.read())
+    assert health["status"] == "ok"
+    assert health["image_size"] == SIZE
+    assert health["buckets"] == session.buckets
+
+    with urllib.request.urlopen(f"{base}/stats", timeout=10) as resp:
+        assert "batches" in json.loads(resp.read())
+
+    # wrong-length raw body → 400, not 500
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{base}/predict", b"abc", "application/octet-stream")
+    assert e.value.code == 400
+
+    # unknown route → 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(f"{base}/nope", timeout=10)
+    assert e.value.code == 404
+
+
+def test_http_concurrent_requests_coalesce(session):
+    """Concurrent HTTP posts ride shared device batches: with 12
+    requests in flight and a generous coalescing window, the batch
+    count comes out strictly below the request count."""
+    rng = np.random.default_rng(5)
+    images = rng.integers(0, 255, (12, SIZE, SIZE, 3), np.uint8)
+    # warm the buckets first so compile time doesn't serialize the race
+    session.warm()
+    ref = session.predict(images)
+
+    batcher = DynamicBatcher(session, window_ms=200.0).start()
+    server = make_http_server(batcher, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        results: dict[int, dict] = {}
+        errors: list[Exception] = []
+
+        def hit(i):
+            try:
+                results[i] = _post(f"{base}/predict", images[i].tobytes(),
+                                   "application/octet-stream")
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=hit, args=(i,))
+                   for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors
+        for i in range(12):
+            assert results[i]["pred"] == int(ref["pred"][i])
+        after = json.loads(urllib.request.urlopen(
+            f"{base}/stats", timeout=10).read())
+        assert after["requests"] == 12
+        assert after["batches"] < 12
+        assert after["max_coalesced"] >= 2
+    finally:
+        server.shutdown()
+        server.server_close()
+        batcher.stop()
+
+
+def test_session_from_artifact(exp_folder, tmp_path):
+    """The same session machinery serves a deserialized StableHLO
+    artifact — no model code at the serving site."""
+    from skin_image_analysis_tpu.serve import export_model
+
+    out = str(tmp_path / "m.stablehlo")
+    export_model(exp_folder, out)
+    sess = InferenceSession.from_artifact(out, max_batch=4)
+    assert sess.image_size == SIZE
+    assert sess.class_names == ["benign", "malignant"]
+    rng = np.random.default_rng(6)
+    pixels = rng.integers(0, 255, (3, SIZE, SIZE, 3), np.uint8)
+    got = sess.predict(pixels)
+    ref = InferenceSession.from_experiment(exp_folder).predict(pixels)
+    np.testing.assert_allclose(
+        got["log_probs"], ref["log_probs"], atol=1e-6
+    )
+
+
+def test_serve_cli_usage():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from cli import tone_bias_serve
+
+    assert tone_bias_serve.main([]) == 1
