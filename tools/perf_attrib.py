@@ -498,6 +498,51 @@ def main() -> int:
         ms = _time_call(xla_fwdbwd, lambda: (xh, w, bias), args.iters)
         emit("xconv0_fwdbwd", ms, "XLA phase-packed fwd + dW/db")
 
+    # ---- donation / buffer-aliasing contribution ----
+    if "donate" in stages:
+        # The round-3 candidate list's item (b) — "donated-buffer
+        # aliasing of the dW accumulators" — has no user-level knob
+        # beyond donate_argnums: grads/dW are program-internal buffers
+        # XLA already reuses, and donating the state is what lets the
+        # adam update write params/moments in place instead of
+        # allocating a second 51.4M-param set + copy. This stage
+        # measures exactly that: the production planar step jitted WITH
+        # and WITHOUT donate_argnums.
+        pre_d = make_preprocess_fn(
+            image_size, train=True,
+            augment=AugmentConfig(
+                brightness=0.1, contrast=0.1, saturation=0.1),
+            layout="planar", pallas="on", out_dtype="bfloat16",
+        )
+        batch_d = dict(batch)
+        batch_d["pixels"] = jnp.asarray(
+            np.random.default_rng(0).integers(
+                0, 255, (B, 3, canonical, canonical)), jnp.uint8)
+        batch_d = jax.device_put(batch_d)
+
+        step_don = make_train_step(preprocess_fn=pre_d)
+        ms = _time_call(step_don, lambda: (fresh_state(), batch_d),
+                        args.iters)
+        emit("step_donated", ms, "production step, donate_argnums=(0,)")
+
+        from skin_image_analysis_tpu.train.step import _loss_and_metrics
+
+        def step_nodon(s, b):
+            step_rng = jax.random.fold_in(s.rng, s.step)
+            dropout_rng, aug_rng = jax.random.split(step_rng)
+            grad_fn = jax.value_and_grad(
+                partial(_loss_and_metrics, s.apply_fn), has_aux=True)
+            (loss, (correct, count, _)), grads = grad_fn(
+                s.params, s.batch_stats, b, dropout_rng, None,
+                pre_d, aug_rng)
+            s = s.apply_gradients(grads)
+            return s, {"loss": loss, "correct": correct, "count": count}
+
+        step_nodon = jax.jit(step_nodon)  # NO donate_argnums
+        ms = _time_call(step_nodon, lambda: (fresh_state(), batch_d),
+                        args.iters)
+        emit("step_undonated", ms, "same program, state NOT donated")
+
     # ---- XLA cost model ----
     if "cost" in stages:
         step2 = make_train_step(preprocess_fn=pre)
