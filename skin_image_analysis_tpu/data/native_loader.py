@@ -15,7 +15,10 @@ import threading
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(
+# repo checkout: ../../native relative to this file; installed package:
+# point SIA_NATIVE_DIR at a checkout/build of native/ (callers fall back
+# to the OpenCV/PIL decode path when neither resolves)
+_NATIVE_DIR = os.environ.get("SIA_NATIVE_DIR") or os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "native",
 )
