@@ -62,8 +62,13 @@ def main(argv: list[str] | None = None) -> int:
             source, max_batch=int(opts["max-batch"]))
 
     if not opts["no-warm"]:
+        # default: the FULL bucket ladder — any unwarmed bucket is a
+        # 30-90 s first-request stall through a remote-compile relay
+        # (measured: p95 55 s when a mid-ladder bucket compiled under
+        # load). --warm N,N,... narrows it when startup time matters
+        # more than tail latency.
         buckets = ([int(b) for b in str(opts["warm"]).split(",") if b]
-                   or [1, session.max_batch])
+                   or list(session.buckets))
         print(f"warming buckets {sorted(set(buckets))} ...")
         session.warm(sorted(set(buckets)))
         print("warm done")

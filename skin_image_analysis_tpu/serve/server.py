@@ -315,6 +315,14 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
 
     session = batcher.session
 
+    class Server(ThreadingHTTPServer):
+        # the stdlib default listen backlog (5) drops/resets connections
+        # the moment more than a handful of clients connect at once —
+        # measured: 64 simultaneous connects lost ~¼ of them. Size the
+        # backlog to the coalescing width we actually want to absorb.
+        request_queue_size = 4 * max(64, session.max_batch)
+        daemon_threads = True
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
             pass
@@ -372,7 +380,7 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                 return
             self._send(200, _result_json(session, res))
 
-    return ThreadingHTTPServer((host, port), Handler)
+    return Server((host, port), Handler)
 
 
 def serve_http(batcher: DynamicBatcher, host: str = "127.0.0.1",
