@@ -70,17 +70,27 @@ class _Reader:
         self.pos = pos
 
     def u16(self) -> int:
-        v = struct.unpack_from("<H", self.data, self.pos)[0]
+        try:
+            v = struct.unpack_from("<H", self.data, self.pos)[0]
+        except struct.error as e:  # truncated file: clean parse error
+            raise DicomParseError(f"truncated at offset {self.pos}") from e
         self.pos += 2
         return v
 
     def u32(self) -> int:
-        v = struct.unpack_from("<I", self.data, self.pos)[0]
+        try:
+            v = struct.unpack_from("<I", self.data, self.pos)[0]
+        except struct.error as e:
+            raise DicomParseError(f"truncated at offset {self.pos}") from e
         self.pos += 4
         return v
 
     def take(self, n: int) -> bytes:
         v = self.data[self.pos : self.pos + n]
+        if len(v) < n:
+            raise DicomParseError(
+                f"element at offset {self.pos} claims {n} bytes, "
+                f"{len(v)} remain")
         self.pos += n
         return v
 
@@ -171,6 +181,8 @@ def _scalar(name: str, value: bytes):
     the tag (implicit VR carries no VR bytes, so length heuristics are
     unreliable: an IS string can be 2 bytes long too)."""
     if name in _US_TAGS:
+        if len(value) < 2:
+            raise DicomParseError(f"truncated US value for {name}")
         return struct.unpack("<H", value[:2])[0]
     return value.decode("ascii", "ignore").strip("\x00 ").strip()
 
@@ -188,12 +200,14 @@ def parse_dicom(data: bytes) -> dict:
     meta_end = None
     while not r.eof():
         mark = r.pos
+        if r.pos + 2 > len(r.data):
+            raise DicomParseError(f"truncated at offset {r.pos}")
         group = struct.unpack_from("<H", r.data, r.pos)[0]
         if group != 0x0002:
             r.pos = mark
             break
         g, e, value, undef, vr, _length = _read_element(r, explicit=True)
-        if (g, e) == (0x0002, 0x0000) and value is not None:
+        if (g, e) == (0x0002, 0x0000) and value is not None and len(value) >= 4:
             meta_end = r.pos + struct.unpack("<I", value[:4])[0]
         if (g, e) == (0x0002, 0x0010) and value is not None:
             syntax = value.decode("ascii").strip("\x00 ")
@@ -214,7 +228,10 @@ def parse_dicom(data: bytes) -> dict:
     if syntax == _DEFLATED_LE:
         import zlib
 
-        rest = zlib.decompress(r.data[r.pos:], -15)
+        try:
+            rest = zlib.decompress(r.data[r.pos:], -15)
+        except zlib.error as e:
+            raise DicomParseError(f"corrupt deflated dataset: {e}") from e
         r = _Reader(rest, 0)
         syntax = _EXPLICIT_LE
 
@@ -245,9 +262,6 @@ def parse_dicom(data: bytes) -> dict:
 def _decode_jpeg_bytes(blob: bytes) -> np.ndarray:
     try:
         from PIL import Image
-
-        with Image.open(io.BytesIO(blob)) as im:
-            return np.asarray(im.convert("RGB"), dtype=np.uint8)
     except ImportError:
         import cv2
 
@@ -255,6 +269,14 @@ def _decode_jpeg_bytes(blob: bytes) -> np.ndarray:
         if arr is None:
             raise DicomParseError("undecodable JPEG fragment")
         return arr[:, :, ::-1]
+    try:
+        with Image.open(io.BytesIO(blob)) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    except Exception as e:
+        # normalize PIL's zoo (UnidentifiedImageError, truncated-file
+        # OSError, DecompressionBombError on corrupt dimension fields)
+        # to the parser's error type so archive ingest degrades cleanly
+        raise DicomParseError(f"undecodable encapsulated frame: {e}") from e
 
 
 def _to_uint8_rgb(ds: dict) -> np.ndarray:
@@ -266,9 +288,16 @@ def _to_uint8_rgb(ds: dict) -> np.ndarray:
         # single-frame dermoscopy images: fragments concatenate to one frame
         return _decode_jpeg_bytes(b"".join(frags))
 
+    if "rows" not in ds or "cols" not in ds:
+        raise DicomParseError("missing Rows/Columns for native pixel data")
     rows, cols = int(ds["rows"]), int(ds["cols"])
+    if rows <= 0 or cols <= 0:
+        raise DicomParseError(f"bad image dimensions {rows}x{cols}")
     samples = int(ds.get("samples_per_pixel", 1))
     bits = int(ds.get("bits_allocated", 8))
+    if bits not in (8, 16, 32) or samples not in (1, 3):
+        raise DicomParseError(
+            f"unsupported bits_allocated={bits} samples={samples}")
     signed = int(ds.get("pixel_representation", 0)) == 1
     dtype = {8: np.uint8, 16: np.uint16, 32: np.uint32}[bits]
     if signed:

@@ -243,6 +243,9 @@ class DynamicBatcher:
                 f"submit() takes one [S, S, C] image, got {pixels.shape}")
         fut: Future = Future()
         with self._cv:
+            if self._stop:
+                raise RuntimeError(
+                    "batcher stopped — requests would never resolve")
             self.stats.requests += 1
             self._queue.append((pixels, fut))
             self._cv.notify()

@@ -223,3 +223,49 @@ def test_dicom_cohort_trains_end_to_end(tmp_path, synth_root):
             with open(os.path.join(folder, name)) as f:
                 records += [json.loads(ln) for ln in f if ln.strip()]
     assert len(records) == 1 and "tone_di_results" in records[0]
+
+
+def test_fuzz_corrupt_dicoms_fail_cleanly(tmp_path):
+    """Archive-scale ingest meets truncated/bit-flipped files; the
+    parser must either decode or raise a *clean* error (DicomParseError/
+    ValueError/OSError) — never hang, recurse, or surface raw
+    struct/index errors from parser internals. (The reference dies on
+    corrupt files mid-epoch — skimage imread in
+    tone_bias_dataset.py:326; our loader turns clean errors into
+    zero-filled valid=False rows.)"""
+    rng = np.random.default_rng(7)
+    mono = make_explicit_mono16(
+        (rng.random((8, 8)) * 4000).astype(np.uint16))
+    rgb = make_implicit_rgb(rng.integers(0, 255, (8, 8, 3), dtype=np.uint8))
+    jpg = make_encapsulated_jpeg(
+        rng.integers(0, 255, (8, 8, 3), dtype=np.uint8))
+    accepted = (DicomParseError, ValueError, OSError)
+    path = tmp_path / "fuzz.dcm"
+
+    def attempt(data: bytes):
+        path.write_bytes(data)
+        try:
+            out = read_dicom_image(str(path))
+            assert out.ndim == 3 and out.dtype == np.uint8
+        except accepted:
+            pass
+
+    for base in (mono, rgb, jpg):
+        # truncations at every prefix length step
+        for cut in range(0, len(base), 7):
+            attempt(base[:cut])
+        # single-byte corruptions (past the 128-byte preamble)
+        arr = np.frombuffer(base, np.uint8).copy()
+        for _ in range(200):
+            i = int(rng.integers(128, len(arr)))
+            old = arr[i]
+            arr[i] = rng.integers(0, 256)
+            attempt(arr.tobytes())
+            arr[i] = old
+        # length-field blowups: stamp huge 32-bit lengths at random
+        # element boundaries to probe allocation guards
+        for _ in range(40):
+            i = int(rng.integers(132, len(arr) - 4))
+            view = arr.copy()
+            view[i:i + 4] = (0xFF, 0xFF, 0xFF, 0x7F)
+            attempt(view.tobytes())
