@@ -80,6 +80,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     out = train_classifier(train_table, test_table, cfg)
     print(f"final test metrics: {out['test_metrics']}")
+    print(f"model artifact: {out['model_path']} (serve/export with "
+          "tone_bias_serve.py / tone_bias_export.py)")
     return 0
 
 

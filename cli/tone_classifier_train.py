@@ -84,6 +84,8 @@ def main(argv: list[str] | None = None) -> int:
     out = train_tone_classifier(train_df, test_df, root, cfg)
     print(f"final test metrics: {out['test_metrics']}")
     print(f"metrics log: {os.path.join(cfg.out_dir, 'metrics.jsonl')}")
+    print(f"model artifact: {out['model_path']} (serve/export with "
+          "tone_bias_serve.py / tone_bias_export.py)")
     return 0
 
 

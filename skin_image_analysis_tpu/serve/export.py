@@ -42,14 +42,24 @@ def build_infer_fn(model_cfg, params, batch_stats=None,
     from skin_image_analysis_tpu.ops.preprocess import make_preprocess_fn
 
     model = build_model(model_cfg)
-    pre = make_preprocess_fn(model_cfg.image_size, train=False,
-                             normalize_imagenet=normalize_imagenet)
+    # ITA-input models (in_channels=2, the ToneClassifier stage-3
+    # "ITA-matrix CNN") take fused [ITA/90, skin-mask] channels computed
+    # from raw sRGB in [0,1] — pure jnp, so it lowers into the same
+    # exported program; ImageNet normalization never applies there.
+    ita_mode = getattr(model_cfg, "in_channels", 3) == 2
+    pre = make_preprocess_fn(
+        model_cfg.image_size, train=False,
+        normalize_imagenet=normalize_imagenet and not ita_mode)
     variables: dict[str, Any] = {"params": params}
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
 
     def infer(pixels):
         x = pre(pixels, None)
+        if ita_mode:
+            from skin_image_analysis_tpu.data.ita import ita_input
+
+            x = ita_input(x)
         log_probs = model.apply(variables, x, train=False)
         return {
             "log_probs": log_probs,
@@ -65,7 +75,7 @@ def export_model(
     out_path: str,
     canonical_size: int | None = None,
     platforms: Sequence[str] | None = None,
-    class_names: Sequence[str] = ("benign", "malignant"),
+    class_names: Sequence[str] | None = None,
     normalize_imagenet: bool | None = None,
 ) -> dict:
     """Export the experiment's trained model as a serialized StableHLO
@@ -91,17 +101,24 @@ def export_model(
         os.path.join(experiment_folder, ckpt_lib.MODEL_FILENAME)
     )
     params, batch_stats = ckpt_lib.split_variables(loaded)
+    train_cfg: dict = {}
+    cfg_path = os.path.join(experiment_folder, "train_config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            train_cfg = json.load(f)
     if normalize_imagenet is None:
-        normalize_imagenet = False
-        cfg_path = os.path.join(experiment_folder, "train_config.json")
-        if os.path.exists(cfg_path):
-            with open(cfg_path) as f:
-                normalize_imagenet = bool(
-                    json.load(f).get("data", {}).get(
-                        "normalize_imagenet", False)
-                )
+        normalize_imagenet = bool(
+            train_cfg.get("data", {}).get("normalize_imagenet", False)
+        )
+    if class_names is None:
+        # transfer trainers record their label space (light/dark, HAM dx
+        # classes); the flagship default stays benign/malignant
+        class_names = train_cfg.get("class_names",
+                                    ("benign", "malignant"))
     s = canonical_size or model_cfg.image_size
-    c = getattr(model_cfg, "in_channels", 3)
+    # the program input is always RGB pixels — ITA-input models compute
+    # their 2 channels INSIDE the exported program (build_infer_fn)
+    c = 3
     infer = build_infer_fn(model_cfg, params, batch_stats,
                            normalize_imagenet=normalize_imagenet)
 

@@ -84,10 +84,11 @@ class InferenceSession:
 
     @classmethod
     def from_experiment(cls, folder: str, max_batch: int = 64,
-                        class_names: Sequence[str] = ("benign", "malignant"),
+                        class_names: Sequence[str] | None = None,
                         ) -> "InferenceSession":
-        """Serve straight from an experiment folder (the tone_bias_train
-        artifact): same program the AOT export lowers."""
+        """Serve straight from an experiment folder (a tone_bias_train
+        experiment OR a transfer trainer's out_dir — same artifact
+        format): same program the AOT export lowers."""
         import os
 
         from skin_image_analysis_tpu.serve.export import build_infer_fn
@@ -97,16 +98,21 @@ class InferenceSession:
             os.path.join(folder, ckpt_lib.MODEL_FILENAME)
         )
         params, batch_stats = ckpt_lib.split_variables(loaded)
-        normalize = False
+        normalize, train_cfg = False, {}
         cfg_path = os.path.join(folder, "train_config.json")
         if os.path.exists(cfg_path):
             with open(cfg_path) as f:
-                normalize = bool(json.load(f).get("data", {}).get(
-                    "normalize_imagenet", False))
+                train_cfg = json.load(f)
+            normalize = bool(train_cfg.get("data", {}).get(
+                "normalize_imagenet", False))
+        if class_names is None:
+            class_names = train_cfg.get("class_names",
+                                        ("benign", "malignant"))
         infer = build_infer_fn(model_cfg, params, batch_stats,
                                normalize_imagenet=normalize)
-        return cls(infer, model_cfg.image_size,
-                   getattr(model_cfg, "in_channels", 3), max_batch,
+        # requests carry RGB pixels regardless of the model's input
+        # channels — ITA-input models transform inside the program
+        return cls(infer, model_cfg.image_size, 3, max_batch,
                    class_names, source=folder)
 
     @classmethod

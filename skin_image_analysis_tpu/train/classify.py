@@ -364,9 +364,28 @@ def train_classifier(
             if verbose:
                 print(f"epoch {epoch}: {m}")
 
+    # Persist the trained model in the flagship artifact format (the TF
+    # notebook saves skin_cancer_xception_model.keras, jgi_ham_2018_tf
+    # cell 75; without this the transfer weights evaporate at exit).
+    # Same file layout as a tone_bias_train experiment folder, so
+    # tone_bias_export.py / tone_bias_serve.py consume out_dir directly.
+    import json
+    import os
+
+    from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
+
+    model_path = os.path.join(cfg.out_dir, ckpt_lib.MODEL_FILENAME)
+    ckpt_lib.save_model(model_path, model_cfg, state.params,
+                        state.batch_stats)
+    with open(os.path.join(cfg.out_dir, "train_config.json"), "w") as f:
+        json.dump({"data": {"normalize_imagenet": norm},
+                   "class_names": list(train_table.class_names),
+                   "classify": cfg.__dict__}, f, indent=2, default=str)
+
     return {
         "state": state,
         "history": history,
         "test_metrics": history[-1] if history else {},
         "out_dir": cfg.out_dir,
+        "model_path": model_path,
     }

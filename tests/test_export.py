@@ -171,3 +171,57 @@ def test_predict_exported_pads_fixed_batch_artifacts(exp_folder, tmp_path):
         predict_exported(
             out, rng.integers(0, 255, (6, 16, 16, 3), np.uint8)
         )
+
+
+def test_export_ita_input_model(tmp_path):
+    """ITA-input (in_channels=2) models export as RGB-in programs: the
+    [ITA/90, skin-mask] channel computation lowers INSIDE the artifact,
+    so the serving site still posts plain pixels (ToneClassifier stage 3,
+    readme.md's ITA-matrix CNN)."""
+    from skin_image_analysis_tpu.config import ModelConfig, OptimConfig
+    from skin_image_analysis_tpu.data.ita import ita_input
+    from skin_image_analysis_tpu.models.cnn import build_model
+    from skin_image_analysis_tpu.ops.preprocess import make_preprocess_fn
+    from skin_image_analysis_tpu.serve import export_model, load_exported
+    from skin_image_analysis_tpu.train.state import create_train_state
+
+    folder = str(tmp_path / "ita_exp")
+    os.makedirs(folder)
+    cfg = ModelConfig(
+        conv_features=(4,), linear_features=(8,), dropout=(0.0,),
+        image_size=16, compute_dtype="float32", in_channels=2,
+    )
+    state, _ = create_train_state(
+        cfg, OptimConfig(learning_rate=1e-3), jax.random.key(3),
+        batch_size=2,
+    )
+    ckpt_lib.save_model(
+        os.path.join(folder, ckpt_lib.MODEL_FILENAME), cfg, state.params,
+        state.batch_stats,
+    )
+    with open(os.path.join(folder, "train_config.json"), "w") as f:
+        json.dump({"data": {"normalize_imagenet": False},
+                   "class_names": ["light", "dark"]}, f)
+
+    out = str(tmp_path / "ita.stablehlo")
+    manifest = export_model(folder, out)
+    # program input is RGB even though the model consumes 2 channels
+    assert manifest["input"]["shape"][3] == 3
+    assert manifest["class_names"] == ["light", "dark"]
+
+    rng = np.random.default_rng(4)
+    pixels = rng.integers(0, 255, (3, 16, 16, 3), np.uint8)
+    got = load_exported(out).call(jnp.asarray(pixels))
+
+    # manual pipeline: eval preprocess (no ImageNet norm) -> ita_input
+    # -> model forward
+    pre = make_preprocess_fn(16, train=False, normalize_imagenet=False)
+    x = ita_input(pre(jnp.asarray(pixels), None))
+    model = build_model(cfg)
+    variables = {"params": state.params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
+    ref = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(got["log_probs"]), np.asarray(ref), atol=1e-6
+    )

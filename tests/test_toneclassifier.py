@@ -149,3 +149,15 @@ def test_tone_trainer_smoke(synth_root, tmp_path):
     # binary runs also report per-epoch AUC (the BASELINE metric)
     assert 0.0 <= m["auc"] <= 1.0
     assert os.path.exists(os.path.join(cfg.out_dir, "metrics.jsonl"))
+
+    # the trained model persists in the flagship artifact format: the
+    # out_dir serves directly through InferenceSession / export, with
+    # the tone label space read from train_config.json
+    assert os.path.exists(out["model_path"])
+    from skin_image_analysis_tpu.serve.server import InferenceSession
+
+    sess = InferenceSession.from_experiment(cfg.out_dir, max_batch=4)
+    assert sess.class_names == ["light", "dark"]
+    got = sess.predict(np.zeros((2, 32, 32, 3), np.uint8))
+    assert got["pred"].shape == (2,)
+    assert got["log_probs"].shape == (2, 2)
