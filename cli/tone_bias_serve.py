@@ -38,13 +38,13 @@ def main(argv: list[str] | None = None) -> int:
     positional, opts = parse(
         argv,
         {"host": "127.0.0.1", "port": 8000, "max-batch": 64,
-         "window-ms": 2.0, "warm": ""},
+         "window-ms": 2.0, "warm": "", "mesh": 0},
         bool_flags={"no-warm"},
     )
     if len(positional) != 1:
         print("Usage: <experiment folder | exported .stablehlo artifact> "
               "[--host H] [--port N] [--max-batch N] [--window-ms F] "
-              "[--warm N,N,...] [--no-warm]")
+              "[--warm N,N,...] [--no-warm] [--mesh N]")
         return 1
     source = positional[0]
 
@@ -54,10 +54,23 @@ def main(argv: list[str] | None = None) -> int:
         serve_http,
     )
 
+    mesh = None
+    if int(opts["mesh"]) > 1:
+        # DP serving: replicate weights, shard each batch over N chips
+        from skin_image_analysis_tpu.config import MeshConfig
+        from skin_image_analysis_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(MeshConfig(
+            data_parallel=int(opts["mesh"]), model_parallel=1))
+
     if os.path.isdir(source):
         session = InferenceSession.from_experiment(
-            source, max_batch=int(opts["max-batch"]))
+            source, max_batch=int(opts["max-batch"]), mesh=mesh)
     else:
+        if mesh is not None:
+            raise SystemExit(
+                "--mesh serves experiment folders; exported artifacts "
+                "carry their own lowering")
         session = InferenceSession.from_artifact(
             source, max_batch=int(opts["max-batch"]))
 

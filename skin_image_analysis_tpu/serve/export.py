@@ -33,11 +33,16 @@ MANIFEST_SUFFIX = ".json"
 
 def build_infer_fn(model_cfg, params, batch_stats=None,
                    malignant_index: int = 1,
-                   normalize_imagenet: bool = False):
+                   normalize_imagenet: bool = False,
+                   mesh=None, data_axis: str = "data"):
     """The production inference program: eval preprocess (reference
     Rescale semantics; ``normalize_imagenet`` must match the training
     run's DataConfig) + forward + argmax + malignant probability
-    (softmax of the log-probs head, tone_bias_explain.py:103)."""
+    (softmax of the log-probs head, tone_bias_explain.py:103).
+
+    With ``mesh``, the batch is constrained to the data axis (DP
+    serving: each chip forwards batch/N rows; params replicated by the
+    caller) — batch sizes must divide by the data-axis extent."""
     from skin_image_analysis_tpu.models.cnn import build_model
     from skin_image_analysis_tpu.ops.preprocess import make_preprocess_fn
 
@@ -55,6 +60,12 @@ def build_infer_fn(model_cfg, params, batch_stats=None,
         variables["batch_stats"] = batch_stats
 
     def infer(pixels):
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            pixels = jax.lax.with_sharding_constraint(
+                pixels, NamedSharding(mesh, PartitionSpec(data_axis))
+            )
         x = pre(pixels, None)
         if ita_mode:
             from skin_image_analysis_tpu.data.ita import ita_input

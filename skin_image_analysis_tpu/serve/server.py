@@ -69,7 +69,8 @@ class InferenceSession:
     def __init__(self, infer_fn: Callable, image_size: int,
                  in_channels: int = 3, max_batch: int = 64,
                  class_names: Sequence[str] = ("benign", "malignant"),
-                 source: str = "experiment"):
+                 source: str = "experiment", mesh=None,
+                 data_axis: str = "data"):
         self._jit = jax.jit(infer_fn)
         self.image_size = int(image_size)
         self.in_channels = int(in_channels)
@@ -77,6 +78,20 @@ class InferenceSession:
         self.class_names = list(class_names)
         self.source = source
         self.buckets = _buckets(self.max_batch)
+        if mesh is not None:
+            # DP serving: every evaluated shape must divide over the
+            # data axis, so the ladder keeps only multiples of its
+            # extent (padding rows absorb the rest)
+            n = mesh.shape[data_axis]
+            self.buckets = [b for b in self.buckets if b % n == 0]
+            if not self.buckets:
+                raise ValueError(
+                    f"max_batch={max_batch} cannot shard over "
+                    f"{n} data-axis devices")
+            # a filtered ladder may lose the cap itself (e.g. 60 with 8
+            # devices): chunking must target a real bucket
+            self.max_batch = self.buckets[-1]
+        self.mesh = mesh
         self._lock = threading.Lock()
         self.compiled: set[int] = set()
 
@@ -85,6 +100,7 @@ class InferenceSession:
     @classmethod
     def from_experiment(cls, folder: str, max_batch: int = 64,
                         class_names: Sequence[str] | None = None,
+                        mesh=None, data_axis: str = "data",
                         ) -> "InferenceSession":
         """Serve straight from an experiment folder (a tone_bias_train
         experiment OR a transfer trainer's out_dir — same artifact
@@ -108,12 +124,26 @@ class InferenceSession:
         if class_names is None:
             class_names = train_cfg.get("class_names",
                                         ("benign", "malignant"))
+        if mesh is not None:
+            # replicate the weights once across the mesh; the batch
+            # constraint in the program shards each forward over the
+            # data axis
+            from skin_image_analysis_tpu.parallel.sharding import (
+                replicated,
+            )
+
+            rep = replicated(mesh)
+            params = jax.device_put(params, rep)
+            if batch_stats is not None:
+                batch_stats = jax.device_put(batch_stats, rep)
         infer = build_infer_fn(model_cfg, params, batch_stats,
-                               normalize_imagenet=normalize)
+                               normalize_imagenet=normalize,
+                               mesh=mesh, data_axis=data_axis)
         # requests carry RGB pixels regardless of the model's input
         # channels — ITA-input models transform inside the program
         return cls(infer, model_cfg.image_size, 3, max_batch,
-                   class_names, source=folder)
+                   class_names, source=folder, mesh=mesh,
+                   data_axis=data_axis)
 
     @classmethod
     def from_artifact(cls, path: str, max_batch: int = 64,

@@ -303,3 +303,36 @@ def test_serve_cli_usage():
     from cli import tone_bias_serve
 
     assert tone_bias_serve.main([]) == 1
+
+
+def test_session_mesh_dp_serving(exp_folder):
+    """DP serving over a device mesh: weights replicated, each batch
+    sharded over the data axis — predictions identical to the
+    single-device session, bucket ladder restricted to multiples of the
+    data-axis extent."""
+    from skin_image_analysis_tpu.config import MeshConfig
+    from skin_image_analysis_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(MeshConfig(data_parallel=-1, model_parallel=1))
+    n = mesh.shape["data"]
+    assert n == 8  # conftest pins 8 virtual CPU devices
+
+    sharded = InferenceSession.from_experiment(
+        exp_folder, max_batch=32, mesh=mesh)
+    assert sharded.buckets == [8, 16, 32]
+    plain = InferenceSession.from_experiment(exp_folder, max_batch=32)
+
+    rng = np.random.default_rng(9)
+    for nrows in (3, 8, 20):  # pads to 8 / exact / pads to 32
+        pixels = rng.integers(0, 255, (nrows, SIZE, SIZE, 3), np.uint8)
+        got = sharded.predict(pixels)
+        ref = plain.predict(pixels)
+        np.testing.assert_allclose(
+            got["log_probs"], ref["log_probs"], atol=1e-5
+        )
+        np.testing.assert_array_equal(got["pred"], ref["pred"])
+    assert sharded.compiled <= {8, 16, 32}
+
+    # an unshardable cap errors loudly
+    with pytest.raises(ValueError, match="cannot shard"):
+        InferenceSession.from_experiment(exp_folder, max_batch=4, mesh=mesh)
