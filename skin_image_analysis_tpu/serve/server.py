@@ -385,7 +385,24 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                     "compiled_buckets": sorted(session.compiled),
                 })
             elif self.path == "/stats":
-                self._send(200, batcher.stats.snapshot())
+                snap = batcher.stats.snapshot()
+                # operators watch this: through the axon remote relay
+                # every host->device transfer leaks ~its own bytes in
+                # host RSS (measured, docs/PERF.md §Serving memory;
+                # gc/clear_caches/Array.delete don't reclaim), so a
+                # long-running daemon's RSS grows with total request
+                # bytes in that environment
+                try:
+                    import os as _os
+
+                    with open(f"/proc/{_os.getpid()}/status") as f:
+                        for line in f:
+                            if line.startswith("VmRSS"):
+                                snap["rss_kb"] = int(line.split()[1])
+                                break
+                except OSError:
+                    pass
+                self._send(200, snap)
             else:
                 self._send(404, {"error": f"no route {self.path}"})
 

@@ -218,7 +218,10 @@ def test_http_health_stats_and_errors(http_server):
     assert health["buckets"] == session.buckets
 
     with urllib.request.urlopen(f"{base}/stats", timeout=10) as resp:
-        assert "batches" in json.loads(resp.read())
+        stats = json.loads(resp.read())
+    assert "batches" in stats
+    # operators watch RSS here (the relay transfer leak, docs/PERF.md)
+    assert stats.get("rss_kb", 0) > 0
 
     # wrong-length raw body → 400, not 500
     with pytest.raises(urllib.error.HTTPError) as e:
