@@ -1,14 +1,29 @@
-"""Multi-host initialization.
+"""Multi-host / multi-process initialization and data sharding.
 
 The reference's only "distribution" was Open MPI launching independent
-processes (README.md:54). On TPU pods the equivalent substrate is
+processes (README.md:54). The TPU-native substrate is
 ``jax.distributed.initialize()`` — after it, ``jax.devices()`` spans the
-whole slice and the existing mesh/sharding code scales unchanged (DCN
-coordination between hosts, ICI collectives within the slice).
+whole slice/cluster and the existing mesh/sharding code scales
+unchanged: DCN coordinates between hosts, collectives ride ICI within a
+slice, and the same ``with_sharding_constraint``-annotated train step
+runs from 1 chip to a pod.
 
-Call :func:`maybe_initialize` once at CLI startup; it is a no-op on a
-single host (the common case here) and controlled by the standard
-JAX_COORDINATOR_ADDRESS / TPU environment when launched on a pod.
+Three pieces:
+
+- :func:`maybe_initialize` — call once at CLI startup. No-op on a
+  single host; initializes from the standard TPU-pod environment, or
+  from explicit ``SIA_COORDINATOR`` / ``SIA_NUM_PROCESSES`` /
+  ``SIA_PROCESS_ID`` variables for torchrun-style CPU/GPU launches.
+- :func:`process_shard` — the contiguous row range this process owns:
+  each host decodes/loads ONLY its shard of the cohort (the multi-host
+  form of the decode-once arena).
+- :func:`global_batch` — assemble a device-sharded GLOBAL array from
+  each process's local rows (``jax.make_array_from_process_local_data``)
+  so the jitted step sees one logical batch.
+
+Proven cross-process: a 2-process Gloo cluster trains the production
+step to parameters identical with the single-process run
+(tests/test_multiprocess.py).
 """
 
 from __future__ import annotations
@@ -19,11 +34,31 @@ _initialized = False
 
 
 def maybe_initialize() -> bool:
-    """Initialize jax.distributed when a multi-host environment is
-    detected; returns True when running multi-host."""
+    """Initialize jax.distributed when a multi-process environment is
+    detected; returns True when running multi-process.
+
+    Detection, in priority order:
+
+    1. ``SIA_COORDINATOR`` (+ ``SIA_NUM_PROCESSES``, ``SIA_PROCESS_ID``)
+       — explicit, launcher-agnostic;
+    2. the standard JAX/TPU-pod variables (``JAX_COORDINATOR_ADDRESS``
+       etc.), where ``jax.distributed.initialize()`` self-configures.
+    """
     global _initialized
     if _initialized:
         return True
+
+    import jax
+
+    if os.environ.get("SIA_COORDINATOR"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["SIA_COORDINATOR"],
+            num_processes=int(os.environ["SIA_NUM_PROCESSES"]),
+            process_id=int(os.environ["SIA_PROCESS_ID"]),
+        )
+        _initialized = True
+        return True
+
     multi_host = any(
         os.environ.get(var)
         for var in (
@@ -34,11 +69,40 @@ def maybe_initialize() -> bool:
     )
     if not multi_host:
         return False
-    import jax
-
     jax.distributed.initialize()
     _initialized = True
     return True
+
+
+def process_shard(n_rows: int) -> tuple[int, int]:
+    """[start, end) of the cohort rows this process loads.
+
+    Contiguous equal-ish split (first ``n_rows % p`` processes take one
+    extra row) — the host-side twin of the batch's data-axis sharding.
+    Single process: the whole range.
+    """
+    import jax
+
+    p, i = jax.process_count(), jax.process_index()
+    base, extra = divmod(n_rows, p)
+    start = i * base + min(i, extra)
+    return start, start + base + (1 if i < extra else 0)
+
+
+def global_batch(mesh, local: dict, data_axis: str = "data") -> dict:
+    """Assemble one global device-sharded batch dict from each process's
+    local rows. Every process passes its own ``local`` arrays (host
+    numpy, leading dim = global_batch/process_count); the result behaves
+    as a single [global_B, ...] array sharded over the mesh's data axis.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(data_axis))
+    return {
+        k: jax.make_array_from_process_local_data(sharding, v)
+        for k, v in local.items()
+    }
 
 
 def process_info() -> dict:
