@@ -26,10 +26,22 @@ import jax
 import jax.numpy as jnp
 
 
+def _as_variables(params) -> dict:
+    """Accept either bare params or a full variables dict
+    ``{"params", "batch_stats"?}`` — BatchNorm models (ResNet/Xception
+    transfer runs) need their running statistics in the forward.
+    Model param trees never contain a top-level "params" key, so the
+    detection is unambiguous."""
+    if (isinstance(params, dict) and "params" in params
+            and set(params) <= {"params", "batch_stats"}):
+        return params
+    return {"params": params}
+
+
 def _target_logprob(apply_fn, params, x, target):
     """Sum of log-prob at the target class over the batch (per-example
     grads are independent, so the batch sum gives per-example gradients)."""
-    log_probs = apply_fn({"params": params}, x, train=False)
+    log_probs = apply_fn(_as_variables(params), x, train=False)
     return jnp.sum(jnp.take_along_axis(log_probs, target[:, None], axis=-1))
 
 

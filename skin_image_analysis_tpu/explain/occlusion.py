@@ -35,7 +35,9 @@ def occlusion_map(
     xs = jnp.arange(0, w - patch_size + 1, stride)
 
     def score(imgs):
-        log_probs = apply_fn({"params": params}, imgs, train=False)
+        from skin_image_analysis_tpu.explain.attribution import _as_variables
+
+        log_probs = apply_fn(_as_variables(params), imgs, train=False)
         return jnp.take_along_axis(log_probs, target[:, None], axis=-1)[:, 0]
 
     base = score(x)

@@ -144,3 +144,43 @@ def test_gradient_shap(model_and_params):
     assert attr.shape == x.shape
     assert np.isfinite(np.asarray(attr)).all()
     assert np.abs(np.asarray(attr)).sum() > 0
+
+
+def test_attribution_accepts_batchnorm_variables():
+    """IG/saliency/smoothgrad/occlusion take a full variables dict
+    ({"params","batch_stats"}) so BatchNorm transfer models (ResNet/
+    Xception fine-tunes) attribute without a wrapper shim."""
+    import jax
+    import numpy as np
+
+    from skin_image_analysis_tpu.config import ModelConfig, OptimConfig
+    from skin_image_analysis_tpu.explain.attribution import (
+        integrated_gradients,
+        saliency,
+        smoothgrad,
+    )
+    from skin_image_analysis_tpu.explain.occlusion import occlusion_map
+    from skin_image_analysis_tpu.train.state import create_train_state
+
+    cfg = ModelConfig(name="resnet18", image_size=32,
+                      compute_dtype="float32")
+    state, model = create_train_state(
+        cfg, OptimConfig(learning_rate=1e-3), jax.random.key(0),
+        batch_size=2,
+    )
+    assert state.batch_stats is not None
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32)
+    target = jnp.zeros(2, jnp.int32)
+
+    ig = integrated_gradients(model.apply, variables, x, target, n_steps=4)
+    assert ig.shape == x.shape and bool(jnp.all(jnp.isfinite(ig)))
+    sal = saliency(model.apply, variables, x, target)
+    assert sal.shape == x.shape and bool(jnp.all(sal >= 0))
+    sg = smoothgrad(model.apply, variables, x, target, jax.random.key(1),
+                    n_samples=2)
+    assert sg.shape == x.shape
+    occ = occlusion_map(model.apply, variables, x, target,
+                        patch_size=16, stride=16)
+    assert occ.shape[0] == 2 and bool(jnp.all(jnp.isfinite(occ)))
