@@ -407,10 +407,35 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                 self._send(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
+            length = int(self.headers.get("Content-Length") or 0)
+            if self.path == "/predict_batch":
+                # pre-batched clients: one raw uint8 [N, S, S, C] body,
+                # straight to the session (no coalescing window)
+                s, c = session.image_size, session.in_channels
+                row = s * s * c
+                if length <= 0 or length % row:
+                    self._send(400, {"error":
+                                     f"body must be N x {s}x{s}x{c} uint8 "
+                                     f"(multiple of {row} bytes)"})
+                    return
+                data = self.rfile.read(length)
+                pixels = np.frombuffer(data, np.uint8).reshape(-1, s, s, c)
+                try:
+                    out = session.predict(pixels)
+                except Exception as e:
+                    self._send(500, {"error": str(e)})
+                    return
+                self._send(200, {
+                    "pred": [int(v) for v in out["pred"]],
+                    "class": [session.class_names[int(v)]
+                              if int(v) < len(session.class_names)
+                              else str(int(v)) for v in out["pred"]],
+                    "p_malignant": [float(v) for v in out["p_malignant"]],
+                })
+                return
             if self.path != "/predict":
                 self._send(404, {"error": f"no route {self.path}"})
                 return
-            length = int(self.headers.get("Content-Length") or 0)
             if length <= 0:
                 self._send(400, {"error": "empty body"})
                 return

@@ -339,3 +339,25 @@ def test_session_mesh_dp_serving(exp_folder):
     # an unshardable cap errors loudly
     with pytest.raises(ValueError, match="cannot shard"):
         InferenceSession.from_experiment(exp_folder, max_batch=4, mesh=mesh)
+
+
+def test_http_predict_batch(http_server):
+    """Pre-batched clients POST one raw [N,S,S,C] body to
+    /predict_batch and get arrays back — matching per-image results."""
+    base, session = http_server
+    rng = np.random.default_rng(11)
+    pixels = rng.integers(0, 255, (5, SIZE, SIZE, 3), np.uint8)
+    got = _post(f"{base}/predict_batch", pixels.tobytes(),
+                "application/octet-stream")
+    assert len(got["pred"]) == 5
+    ref = session.predict(pixels)
+    assert got["pred"] == [int(v) for v in ref["pred"]]
+    np.testing.assert_allclose(
+        got["p_malignant"], np.asarray(ref["p_malignant"]), atol=1e-6
+    )
+    assert all(c in ("benign", "malignant") for c in got["class"])
+
+    # misaligned body -> 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{base}/predict_batch", b"xy", "application/octet-stream")
+    assert e.value.code == 400
