@@ -5,11 +5,14 @@
         [--host 127.0.0.1] [--port 8000] [--max-batch 64]
         [--window-ms 2] [--warm N,N,...] [--no-warm]
 
-Serves the trained model (an experiment folder's checkpoint, or an AOT
-StableHLO artifact from cli/tone_bias_export.py) behind ``POST
-/predict`` (one encoded image per request; concurrent requests coalesce
-into single device dispatches). ``GET /healthz`` and ``GET /stats``
-report the model and the coalescing counters.
+Serves the trained model (an experiment folder's checkpoint — flagship
+or transfer-trainer out_dir — or an AOT StableHLO artifact from
+cli/tone_bias_export.py) behind ``POST /predict`` (one encoded image
+per request; concurrent requests coalesce into single device
+dispatches) and ``POST /predict_batch`` (one raw uint8 [N,S,S,3] body
+for pre-batched clients). ``GET /healthz`` and ``GET /stats`` report
+the model, coalescing counters, and process RSS. ``--mesh N`` shards
+every batch over N chips (weights replicated).
 
 The reference's deployment surface is "unpickle the module"
 (tone_bias_model.py:305-338); this is its production-serving

@@ -345,8 +345,10 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
       raw uint8 ``[S, S, C]`` buffer with
       ``Content-Type: application/octet-stream``; response: prediction
       JSON {pred, class, p_malignant, log_probs}.
+    - ``POST /predict_batch`` — one raw uint8 ``[N, S, S, C]`` body for
+      pre-batched clients; response: arrays {pred, class, p_malignant}.
     - ``GET /healthz`` — liveness + model/source info.
-    - ``GET /stats`` — request/batch coalescing counters.
+    - ``GET /stats`` — request/batch coalescing counters + ``rss_kb``.
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
