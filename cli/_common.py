@@ -44,3 +44,17 @@ def parse(
     for name in bool_flags:
         opts[name] = name in flags_seen
     return positional, opts
+
+
+def init_runtime() -> None:
+    """Multi-host initialization — call once at the top of a trainer
+    CLI, BEFORE anything queries devices. No-op on a single host;
+    initializes ``jax.distributed`` from the TPU-pod environment or the
+    explicit SIA_COORDINATOR/SIA_NUM_PROCESSES/SIA_PROCESS_ID triple
+    (parallel/distributed.py), after which ``jax.devices()`` spans the
+    cluster and the mesh/sharding code scales unchanged."""
+    from skin_image_analysis_tpu.parallel.distributed import (
+        maybe_initialize,
+    )
+
+    maybe_initialize()

@@ -29,7 +29,9 @@ import numpy as np  # noqa: E402
 
 
 def main(argv: list[str] | None = None) -> int:
-    from cli._common import parse
+    from cli._common import init_runtime, parse
+
+    init_runtime()
 
     argv = list(sys.argv[1:] if argv is None else argv)
     positional, opts = parse(

@@ -59,7 +59,9 @@ def _optim_config(lr: float, class_weights: str, opts: dict) -> "OptimConfig":
 
 
 def main(argv: list[str] | None = None) -> int:
-    from cli._common import parse
+    from cli._common import init_runtime, parse
+
+    init_runtime()
 
     argv = list(sys.argv[1:] if argv is None else argv)
     positional, opts = parse(
