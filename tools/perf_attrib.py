@@ -12,11 +12,17 @@ Stages (select by name on argv; default runs the cheap core set):
   step     production train step (B, 224^2, fused augment), per-dispatch
   scan     K train steps chained inside ONE program (lax.scan) -> isolates
            per-dispatch overhead: overhead = t(step) - t(scan)/K
+  stepp    production step with the planar Pallas preprocess (+ prep/
+           fwdp/fwdbwdp sub-programs)
   fwd      forward + loss only (no grad)
   fwdbwd   value_and_grad (no optimizer update)
   opt      optimizer update only (fixed grads)
   pre      preprocess (uint8 -> augmented f32) only
   blocks   per-layer forward timings (conv blocks / flatten+MLP)
+  pools2   fused relu+pool selector-VJP vs stock pool micro-bench
+  pconv0   fused Pallas phase-conv0 vs the XLA phase-packed lowering
+  donate   production step with vs without donate_argnums (buffer
+           aliasing contribution; measured parity — docs/PERF.md)
   cost     XLA cost_analysis of the compiled full step (flops, bytes)
 
 Every distinct program costs ~30-90s to compile through the relay; the
