@@ -68,20 +68,34 @@ def load_model(path: str) -> tuple[ModelConfig, Any]:
         magic = f.read(4)
         if magic != _MAGIC:
             raise ValueError(f"{path}: not a session_model file")
-        (hlen,) = struct.unpack("<I", f.read(4))
-        header = json.loads(f.read(hlen))
-        blob = f.read()
-    model_cfg = config_lib._build(ModelConfig, header["model"])
-    # Template-free restore: msgpack carries the tree structure, so no
-    # model init (and no compile) is needed just to load weights. Commit
-    # the tree to device memory once here — otherwise every jitted call
-    # re-uploads the full parameter set from host numpy arrays.
-    restored = jax.device_put(serialization.msgpack_restore(blob))
-    if header.get("format", 1) == 1:
-        return model_cfg, restored
-    if header.get("has_batch_stats"):
-        return model_cfg, restored
-    return model_cfg, restored["params"]
+        # Everything past the magic parses UNTRUSTED bytes (this is the
+        # serving loader) — normalize truncation/corruption to
+        # ValueError instead of leaking struct/json/msgpack internals
+        # (fuzz-derived: raw TypeError/KeyError/msgpack.ExtraData
+        # escaped before; tests/test_checkpoint_fuzz.py).
+        try:
+            (hlen,) = struct.unpack("<I", f.read(4))
+            header = json.loads(f.read(hlen))
+            blob = f.read()
+        except (struct.error, UnicodeDecodeError, ValueError) as e:
+            raise ValueError(f"{path}: corrupt session_model header: {e}") from e
+    try:
+        model_cfg = config_lib._build(ModelConfig, header["model"])
+        # Template-free restore: msgpack carries the tree structure, so
+        # no model init (and no compile) is needed just to load weights.
+        # Commit the tree to device memory once here — otherwise every
+        # jitted call re-uploads the full parameter set from host numpy
+        # arrays.
+        restored = jax.device_put(serialization.msgpack_restore(blob))
+        if header.get("format", 1) == 1:
+            return model_cfg, restored
+        if header.get("has_batch_stats"):
+            return model_cfg, restored
+        return model_cfg, restored["params"]
+    except Exception as e:
+        if isinstance(e, ValueError):
+            raise
+        raise ValueError(f"{path}: corrupt session_model body: {e}") from e
 
 
 def split_variables(loaded: Any) -> tuple[Any, Any]:
