@@ -59,12 +59,22 @@ def main(argv: list[str] | None = None) -> int:
 
     mesh = None
     if int(opts["mesh"]) > 1:
-        # DP serving: replicate weights, shard each batch over N chips
+        # DP serving: replicate weights, shard each batch over N chips.
+        # N may be a SUBSET of the host's devices (leave the rest free
+        # for training) — pass exactly N devices to the mesh builder.
+        import jax
+
         from skin_image_analysis_tpu.config import MeshConfig
         from skin_image_analysis_tpu.parallel.mesh import create_mesh
 
-        mesh = create_mesh(MeshConfig(
-            data_parallel=int(opts["mesh"]), model_parallel=1))
+        n = int(opts["mesh"])
+        devices = jax.devices()
+        if n > len(devices):
+            raise SystemExit(
+                f"--mesh {n} but only {len(devices)} devices available")
+        mesh = create_mesh(
+            MeshConfig(data_parallel=n, model_parallel=1),
+            devices=devices[:n])
 
     if os.path.isdir(source):
         session = InferenceSession.from_experiment(

@@ -51,6 +51,13 @@ def maybe_initialize() -> bool:
     import jax
 
     if os.environ.get("SIA_COORDINATOR"):
+        missing = [v for v in ("SIA_NUM_PROCESSES", "SIA_PROCESS_ID")
+                   if not os.environ.get(v)]
+        if missing:
+            raise ValueError(
+                f"SIA_COORDINATOR is set but {', '.join(missing)} "
+                "is/are not — the three variables configure one cluster "
+                "and must be set together (see docs/OPERATIONS.md)")
         jax.distributed.initialize(
             coordinator_address=os.environ["SIA_COORDINATOR"],
             num_processes=int(os.environ["SIA_NUM_PROCESSES"]),

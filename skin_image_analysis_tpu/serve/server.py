@@ -274,9 +274,13 @@ class DynamicBatcher:
 
     def submit(self, pixels: np.ndarray) -> Future:
         pixels = np.asarray(pixels, np.uint8)
-        if pixels.ndim != 3:
+        s, c = self.session.image_size, self.session.in_channels
+        if pixels.shape != (s, s, c):
+            # one wrong-shaped row in a coalesced batch would fail the
+            # whole np.stack, so reject it at the door with a clear error
             raise ValueError(
-                f"submit() takes one [S, S, C] image, got {pixels.shape}")
+                f"submit() takes one uint8 [{s}, {s}, {c}] image, "
+                f"got {pixels.shape}")
         fut: Future = Future()
         with self._cv:
             if self._stop:
@@ -306,8 +310,8 @@ class DynamicBatcher:
             del self._queue[:len(items)]
         if not items:
             return 0
-        pixels = np.stack([p for p, _ in items])
         try:
+            pixels = np.stack([p for p, _ in items])
             out = self.session.predict(pixels)
         except BaseException as e:  # deliver, don't kill the worker
             for _, fut in items:
@@ -338,7 +342,7 @@ def _result_json(session: InferenceSession, res: dict[str, Any]) -> dict:
 
 
 def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
-                     port: int = 8000):
+                     port: int = 8000, read_timeout: float = 60.0):
     """Build (not run) the HTTP server. Endpoints:
 
     - ``POST /predict`` — body: one encoded image (JPEG/PNG bytes) or a
@@ -364,7 +368,20 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
         request_queue_size = 4 * max(64, session.max_batch)
         daemon_threads = True
 
+    MAX_BODY = 1 << 28  # 256 MB — far above any real bucket's bytes
+
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: every response carries Content-Length
+        # (_send), so persistent connections are safe — clients reuse
+        # one TCP connection instead of paying a reconnect per request
+        # (the connect storm is what forced the oversized backlog).
+        protocol_version = "HTTP/1.1"
+        # socket timeout: a client that stalls mid-upload would otherwise
+        # pin this handler thread in rfile.read() indefinitely (measured
+        # while driving the daemon — the truncated-body check only fires
+        # on a half-close, not a stall)
+        timeout = read_timeout
+
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
@@ -410,6 +427,25 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
 
         def do_POST(self):
             length = int(self.headers.get("Content-Length") or 0)
+            if length > MAX_BODY:
+                self.close_connection = True  # body left unread
+                self._send(413, {"error": f"body too large ({length} bytes)"})
+                return
+            # read the body up-front for EVERY route: under keep-alive an
+            # unread body would be parsed as the next request line
+            try:
+                data = self.rfile.read(length) if length > 0 else b""
+            except TimeoutError:
+                self.close_connection = True
+                self._send(408, {"error":
+                                 f"body read timed out after {self.timeout}s"})
+                return
+            if len(data) < length:  # client aborted mid-upload
+                self.close_connection = True
+                self._send(400, {"error":
+                                 f"truncated body ({len(data)}/{length} "
+                                 "bytes received)"})
+                return
             if self.path == "/predict_batch":
                 # pre-batched clients: one raw uint8 [N, S, S, C] body,
                 # straight to the session (no coalescing window)
@@ -420,8 +456,12 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                                      f"body must be N x {s}x{s}x{c} uint8 "
                                      f"(multiple of {row} bytes)"})
                     return
-                data = self.rfile.read(length)
-                pixels = np.frombuffer(data, np.uint8).reshape(-1, s, s, c)
+                try:
+                    pixels = np.frombuffer(data, np.uint8).reshape(
+                        -1, s, s, c)
+                except ValueError as e:
+                    self._send(400, {"error": f"bad batch body: {e}"})
+                    return
                 try:
                     out = session.predict(pixels)
                 except Exception as e:
@@ -441,7 +481,6 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
             if length <= 0:
                 self._send(400, {"error": "empty body"})
                 return
-            data = self.rfile.read(length)
             s, c = session.image_size, session.in_channels
             try:
                 ctype = (self.headers.get("Content-Type") or "").lower()
@@ -457,7 +496,17 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                 self._send(400, {"error": f"bad image: {e}"})
                 return
             try:
-                res = batcher.submit(img).result(timeout=600)
+                fut = batcher.submit(img)
+            except ValueError as e:
+                # shape gate (e.g. a 3-channel decode against a legacy
+                # 2-channel artifact) — a client error, not a server one
+                self._send(400, {"error": str(e)})
+                return
+            except RuntimeError as e:  # batcher stopped
+                self._send(503, {"error": str(e)})
+                return
+            try:
+                res = fut.result(timeout=600)
             except Exception as e:
                 self._send(500, {"error": str(e)})
                 return

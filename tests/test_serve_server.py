@@ -123,6 +123,18 @@ def test_batcher_worker_thread_and_errors(session):
 
         with pytest.raises(ValueError, match="one .* image"):
             batcher.submit(np.zeros((2, SIZE, SIZE, 3), np.uint8))
+
+        # a wrong-SIZED single image is rejected at the door too: one
+        # off-shape row in a coalesced batch would fail np.stack for the
+        # whole batch and (pre-fix) kill the worker thread permanently
+        with pytest.raises(ValueError, match="got"):
+            batcher.submit(np.zeros((SIZE + 2, SIZE + 2, 3), np.uint8))
+        with pytest.raises(ValueError, match="got"):
+            batcher.submit(np.zeros((SIZE, SIZE, 2), np.uint8))
+
+        # and the worker is still alive afterwards
+        img2 = rng.integers(0, 255, (SIZE, SIZE, 3), np.uint8)
+        assert int(batcher.submit(img2).result(timeout=30)["pred"]) in (0, 1)
     finally:
         batcher.stop()
 
@@ -361,3 +373,94 @@ def test_http_predict_batch(http_server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(f"{base}/predict_batch", b"xy", "application/octet-stream")
     assert e.value.code == 400
+
+
+def test_http_keepalive_across_requests_and_errors(http_server):
+    """The handler speaks HTTP/1.1: one TCP connection serves many
+    requests, and an error response (whose body WAS read) leaves the
+    connection usable for the next request."""
+    import http.client
+
+    base, session = http_server
+    host, port = base.removeprefix("http://").split(":")
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 255, (SIZE, SIZE, 3), np.uint8)
+
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        # request 1: success
+        conn.request("POST", "/predict", img.tobytes(),
+                     {"Content-Type": "application/octet-stream"})
+        r1 = conn.getresponse()
+        body1 = json.loads(r1.read())
+        assert r1.status == 200 and r1.version == 11
+        assert not r1.will_close  # keep-alive negotiated
+
+        # request 2 on the SAME socket: a client error (wrong-length raw
+        # body) — the server read the body before rejecting, so the
+        # stream stays aligned
+        sock_before = conn.sock
+        assert sock_before is not None
+        conn.request("POST", "/predict", b"abc",
+                     {"Content-Type": "application/octet-stream"})
+        r2 = conn.getresponse()
+        assert r2.status == 400
+        json.loads(r2.read())
+
+        # request 3, still the same socket: success again
+        assert conn.sock is sock_before
+        conn.request("POST", "/predict", img.tobytes(),
+                     {"Content-Type": "application/octet-stream"})
+        r3 = conn.getresponse()
+        body3 = json.loads(r3.read())
+        assert r3.status == 200
+        assert body3["pred"] == body1["pred"]
+    finally:
+        conn.close()
+
+
+def test_http_body_guards(session):
+    """Malformed uploads get clean client errors, not pinned threads:
+    a half-closed truncated body → 400, an absurd Content-Length → 413,
+    and a client that STALLS mid-upload → 408 after the read timeout
+    (pre-fix, the blocking rfile.read() held the handler forever)."""
+    import socket
+
+    batcher = DynamicBatcher(session, window_ms=1.0).start()
+    server = make_http_server(batcher, host="127.0.0.1", port=0,
+                              read_timeout=1.0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    row = SIZE * SIZE * 3
+    try:
+        def raw_post(body_sent: bytes, claimed_len: int,
+                     stall: bool = False) -> int:
+            s = socket.create_connection(("127.0.0.1", port), timeout=30)
+            try:
+                head = (f"POST /predict HTTP/1.1\r\n"
+                        f"Host: x\r\nContent-Length: {claimed_len}\r\n"
+                        f"Content-Type: application/octet-stream"
+                        f"\r\n\r\n").encode()
+                s.sendall(head + body_sent)
+                if not stall:
+                    s.shutdown(socket.SHUT_WR)  # half-close: EOF mid-body
+                status = int(s.recv(64).split(b" ")[1])
+                return status
+            finally:
+                s.close()
+
+        assert raw_post(b"\0" * 100, claimed_len=row) == 400  # truncated
+        assert raw_post(b"", claimed_len=1 << 29) == 413      # oversized
+        # stalled: no EOF, no more bytes — the 1 s socket timeout fires
+        assert raw_post(b"\0" * 100, claimed_len=row, stall=True) == 408
+
+        # the daemon is still fully serviceable afterwards
+        rng = np.random.default_rng(13)
+        img = rng.integers(0, 255, (SIZE, SIZE, 3), np.uint8)
+        got = _post(f"http://127.0.0.1:{port}/predict", img.tobytes(),
+                    "application/octet-stream")
+        assert got["class"] in ("benign", "malignant")
+    finally:
+        server.shutdown()
+        server.server_close()
+        batcher.stop()

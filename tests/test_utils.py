@@ -85,3 +85,21 @@ def test_distributed_noop_single_host():
     from skin_image_analysis_tpu.parallel.distributed import maybe_initialize
 
     assert maybe_initialize() is False
+
+
+def test_distributed_partial_triple_is_a_clean_error(monkeypatch):
+    """SIA_COORDINATOR without the rest of the triple must name the
+    missing variables, not die with a raw KeyError deep in os.environ."""
+    import pytest
+
+    from skin_image_analysis_tpu.parallel.distributed import maybe_initialize
+
+    monkeypatch.setenv("SIA_COORDINATOR", "127.0.0.1:9999")
+    monkeypatch.delenv("SIA_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("SIA_PROCESS_ID", raising=False)
+    with pytest.raises(ValueError, match="SIA_NUM_PROCESSES, SIA_PROCESS_ID"):
+        maybe_initialize()
+
+    monkeypatch.setenv("SIA_NUM_PROCESSES", "2")
+    with pytest.raises(ValueError, match="SIA_PROCESS_ID"):
+        maybe_initialize()
