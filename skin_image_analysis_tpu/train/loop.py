@@ -193,6 +193,27 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         with open(os.path.join(folder, "train_config.json"), "w") as f:
             f.write(config_lib.to_json(cfg))
 
+    # The model's architecture locks the input geometry (the flatten
+    # Dense is size-specific): when resume/fine-tune loads an artifact
+    # trained at a different image size — e.g. an imported reference
+    # experiment — the checkpoint wins over cfg.data.image_size, which
+    # would otherwise shape-error at MlpBlock_0.
+    if model_cfg.image_size != cfg.data.image_size:
+        import dataclasses
+
+        if verbose:
+            print(
+                f"note: model artifact expects image_size="
+                f"{model_cfg.image_size}; overriding the data config's "
+                f"{cfg.data.image_size}"
+            )
+        cfg = dataclasses.replace(
+            cfg,
+            data=dataclasses.replace(
+                cfg.data, image_size=model_cfg.image_size
+            ),
+        )
+
     if verbose:
         print(f"train={len(train_df)}  test={len(test_df)}")
 

@@ -219,3 +219,21 @@ def test_single_device_early_arena_commit(synth_root, tmp_path, monkeypatch):
     with open(os.path.join(folder, json_files[0])) as f:
         recs = [json.loads(line) for line in f if line.strip()]
     assert len(recs) == 1 and 0 <= recs[0]["accuracy"] <= 1
+
+
+def test_resume_follows_artifact_image_size(trained, synth_root, tmp_path):
+    """Resuming a folder whose model artifact was trained at a different
+    image size must follow the checkpoint (the flatten Dense is
+    size-locked) — found driving an imported 96px reference checkpoint
+    with the default 224 data config."""
+    folder, cfg = trained
+    import dataclasses
+
+    resumed_cfg = dataclasses.replace(
+        cfg,
+        epochs=1,
+        experiment_dir=folder,
+        data=dataclasses.replace(cfg.data, image_size=16),  # wrong on purpose
+    )
+    out = run_training(resumed_cfg, verbose=False)
+    assert out == folder  # trained through without a shape error
