@@ -72,7 +72,7 @@ def main(argv: list[str] | None = None) -> int:
          "lr-step-size": 0, "lr-gamma": 0.1, "lr-decay-steps": 0,
          "lr-warmup-steps": 0, "moment-dtype": "", "nu-dtype": "",
          "steps-per-dispatch": 8, "auto-resume": 0,
-         "checkpoint-every": 0},
+         "checkpoint-every": 0, "from-hpo": ""},
         bool_flags={"augment", "fp32", "bf16", "debug-nans", "streaming",
                     "stream-cache"},
     )
@@ -121,6 +121,36 @@ def main(argv: list[str] | None = None) -> int:
         ),
         optim=_optim_config(lr, opts["class-weights"], opts),
     )
+    if opts["from-hpo"]:
+        # Train the winning config from a sweep artifact — ours OR the
+        # reference's hand-rolled optuna_*.json format (the reference's
+        # create_best_model flow, tone_bias_optuna.py:116-121, pointed
+        # at a file). Architecture, optimizer kind, and lr come from the
+        # artifact; every other flag (schedules, class weights,
+        # image size, dtype) still applies.
+        import dataclasses
+
+        from skin_image_analysis_tpu.hpo.replay import replay_artifact
+
+        model_cfg, optim_cfg = replay_artifact(
+            opts["from-hpo"], image_size=opts["image-size"],
+            compute_dtype=compute_dtype,
+        )
+        cfg = dataclasses.replace(
+            cfg,
+            model=model_cfg,
+            optim=dataclasses.replace(
+                cfg.optim,
+                optimizer=optim_cfg.optimizer,
+                learning_rate=optim_cfg.learning_rate,
+            ),
+        )
+        print(
+            f"from-hpo: conv={model_cfg.conv_features} "
+            f"linear={model_cfg.linear_features} "
+            f"dropout={tuple(round(d, 3) for d in model_cfg.dropout)} "
+            f"{optim_cfg.optimizer} lr={optim_cfg.learning_rate:g}"
+        )
     if opts["debug-nans"]:
         # bring-up sanitizer (SURVEY §5: no sanitizers in the reference;
         # jax's nan-checker is the TPU-native equivalent)
