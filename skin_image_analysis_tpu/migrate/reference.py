@@ -220,6 +220,11 @@ def import_reference_model(
         num_classes=head["out"],
         image_size=image_size,
         in_channels=convs[0]["in"],
+        # the import's contract is numeric parity with the f32 torch
+        # module — serve/audit the imported weights in float32 (bf16,
+        # the training default, flips near-0.5 p_malignant calls);
+        # users can opt back into bf16 for throughput explicitly
+        compute_dtype="float32",
     )
 
     def dense(entry: dict, perm: np.ndarray | None = None) -> dict:

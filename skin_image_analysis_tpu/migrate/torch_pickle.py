@@ -134,9 +134,36 @@ def _rebuild_tensor_v2(
     copy out so the result owns its memory."""
     size = tuple(int(s) for s in size)
     stride = tuple(int(s) for s in stride)
+    storage_offset = int(storage_offset)
     itemsize = storage.dtype.itemsize
+    # The size/stride/offset come from the (untrusted) pickle; as_strided
+    # trusts them blindly, so bound-check against the actual storage
+    # before building the view — otherwise a corrupt/malicious file reads
+    # out-of-bounds process memory instead of raising.
+    if storage_offset < 0 or any(s < 0 for s in size) or any(
+        s < 0 for s in stride
+    ):
+        raise TorchPickleError(
+            f"tensor with negative offset/size/stride "
+            f"(offset={storage_offset}, size={size}, stride={stride})"
+        )
     if not size:
+        if storage_offset >= storage.size:
+            raise TorchPickleError(
+                f"scalar tensor offset {storage_offset} outside storage "
+                f"of {storage.size} elements"
+            )
         return storage[storage_offset : storage_offset + 1].copy().reshape(())
+    last = storage_offset + sum(
+        (s - 1) * st for s, st in zip(size, stride) if s > 0
+    )
+    if min(size) == 0:
+        return np.empty(size, dtype=storage.dtype)
+    if last >= storage.size:
+        raise TorchPickleError(
+            f"tensor view (offset={storage_offset}, size={size}, "
+            f"stride={stride}) exceeds storage of {storage.size} elements"
+        )
     view = np.lib.stride_tricks.as_strided(
         storage[storage_offset:],
         shape=size,
@@ -240,14 +267,25 @@ def _module_children(stub: Any) -> "OrderedDict[str, Any]":
     return OrderedDict()
 
 
-def named_modules(root: Any, prefix: str = "") -> Iterator[tuple[str, Any]]:
+def named_modules(
+    root: Any, prefix: str = "", _memo: set[int] | None = None
+) -> Iterator[tuple[str, Any]]:
     """Walk a stubbed ``nn.Module`` graph in definition order, yielding
     ``(dotted_path, stub)`` — the torch ``Module.named_modules``
-    contract, reconstructed from the pickled ``_modules`` dicts."""
+    contract, reconstructed from the pickled ``_modules`` dicts.
+
+    Like torch, an instance referenced from two parents (weight tying)
+    is yielded once; the memo also terminates on cyclic graphs a corrupt
+    pickle could encode (pickle memos support cycles)."""
+    if _memo is None:
+        _memo = set()
+    if id(root) in _memo:
+        return
+    _memo.add(id(root))
     yield prefix, root
     for name, child in _module_children(root).items():
         sub = f"{prefix}.{name}" if prefix else name
-        yield from named_modules(child, sub)
+        yield from named_modules(child, sub, _memo)
 
 
 def named_tensors(root: Any) -> "OrderedDict[str, np.ndarray]":

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+
 _initialized = False
 
 
@@ -85,7 +87,13 @@ def process_shard(n_rows: int) -> tuple[int, int]:
     """[start, end) of the cohort rows this process loads.
 
     Contiguous equal-ish split (first ``n_rows % p`` processes take one
-    extra row) — the host-side twin of the batch's data-axis sharding.
+    extra row) — for DECODE/CACHE ownership, where uneven shards are
+    fine. Per-step batch assembly through :func:`global_batch` needs
+    EQUAL local row counts on every process (a uniform NamedSharding
+    cannot represent uneven shards): draw per-step batches with
+    ``global_B % process_count == 0``, padding any cohort tail with
+    ``valid=False`` rows (the batch dicts carry a validity mask that
+    makes padding semantically inert).
     Single process: the whole range.
     """
     import jax
@@ -99,11 +107,21 @@ def process_shard(n_rows: int) -> tuple[int, int]:
 def global_batch(mesh, local: dict, data_axis: str = "data") -> dict:
     """Assemble one global device-sharded batch dict from each process's
     local rows. Every process passes its own ``local`` arrays (host
-    numpy, leading dim = global_batch/process_count); the result behaves
-    as a single [global_B, ...] array sharded over the mesh's data axis.
+    numpy, leading dim = global_batch/process_count — the SAME on every
+    process; see :func:`process_shard` for the uneven-tail recipe); the
+    result behaves as a single [global_B, ...] array sharded over the
+    mesh's data axis.
     """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rows = {k: int(np.shape(v)[0]) if np.ndim(v) else -1
+            for k, v in local.items()}
+    if len(set(rows.values())) > 1:
+        raise ValueError(
+            f"global_batch needs one row count across all arrays, got "
+            f"{rows} — pad uneven tails with valid=False rows instead"
+        )
 
     sharding = NamedSharding(mesh, P(data_axis))
     return {

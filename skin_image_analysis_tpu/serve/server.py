@@ -74,6 +74,8 @@ class InferenceSession:
         self._jit = jax.jit(infer_fn)
         self.image_size = int(image_size)
         self.in_channels = int(in_channels)
+        if int(max_batch) < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
         self.max_batch = int(max_batch)
         self.class_names = list(class_names)
         self.source = source
@@ -216,6 +218,13 @@ class InferenceSession:
             self.compiled.add(b)
         return {k: np.asarray(v)[:n] for k, v in out.items()}
 
+    def compiled_buckets(self) -> list[int]:
+        """Snapshot of the compiled set, taken under the session lock —
+        iterating the live set while predict() mutates it would raise
+        'set changed size during iteration' in a reader thread."""
+        with self._lock:
+            return sorted(self.compiled)
+
 
 @dataclass
 class BatcherStats:
@@ -231,6 +240,12 @@ class BatcherStats:
             self.batches += 1
             self.rows += coalesced
             self.max_coalesced = max(self.max_coalesced, coalesced)
+
+    def record_request(self) -> None:
+        # all fields mutate under the SAME lock snapshot() reads with —
+        # submit() used to bump this under the batcher's cv instead
+        with self._lock:
+            self.requests += 1
 
     def snapshot(self) -> dict[str, int]:
         with self._lock:
@@ -286,7 +301,7 @@ class DynamicBatcher:
             if self._stop:
                 raise RuntimeError(
                     "batcher stopped — requests would never resolve")
-            self.stats.requests += 1
+            self.stats.record_request()
             self._queue.append((pixels, fut))
             self._cv.notify()
         return fut
@@ -401,7 +416,7 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                     "image_size": session.image_size,
                     "class_names": session.class_names,
                     "buckets": session.buckets,
-                    "compiled_buckets": sorted(session.compiled),
+                    "compiled_buckets": session.compiled_buckets(),
                 })
             elif self.path == "/stats":
                 snap = batcher.stats.snapshot()

@@ -3,7 +3,6 @@
 numerical forward parity against the live torch module, and the
 experiment-folder conversion CLI surface."""
 
-import dataclasses
 import os
 import pickle
 import zipfile
@@ -94,8 +93,9 @@ def _save_whole(model, path):
 def _forward_parity(pth_path, torch_model, image_size, in_channels=3,
                     atol=2e-5):
     cfg, params, class_names = import_reference_model(pth_path)
-    cfg32 = dataclasses.replace(cfg, compute_dtype="float32")
-    model = build_model(cfg32)
+    # the importer pins float32 itself — parity is the default behavior
+    assert cfg.compute_dtype == "float32"
+    model = build_model(cfg)
     rng = np.random.default_rng(3)
     x = rng.uniform(0, 1, (2, image_size, image_size, in_channels)).astype(
         np.float32
@@ -231,8 +231,9 @@ def test_import_experiment_folder(tmp_path):
     )
     params, batch_stats = ckpt_lib.split_variables(loaded)
     assert batch_stats is None
-    cfg32 = dataclasses.replace(cfg, compute_dtype="float32")
-    model = build_model(cfg32)
+    # float32 travels in the saved artifact header
+    assert cfg.compute_dtype == "float32"
+    model = build_model(cfg)
     rng = np.random.default_rng(5)
     x = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
     ours = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
@@ -276,3 +277,59 @@ def test_hpo_winning_config_shape(tmp_path):
     cfg, _, _ = _forward_parity(pth, m, 32)
     assert cfg.conv_features == (8, 5, 7)
     assert cfg.linear_features == (11, 9, 6)
+
+
+def test_rebuild_tensor_bounds_checked():
+    """Pickle-supplied size/stride/offset must be validated against the
+    storage before as_strided — a corrupt/malicious file must raise, not
+    read out-of-bounds process memory."""
+    from skin_image_analysis_tpu.migrate.torch_pickle import (
+        _rebuild_tensor_v2,
+    )
+
+    storage = np.arange(4, dtype=np.float32)
+    # plain valid view still works
+    out = _rebuild_tensor_v2(storage, 0, (2, 2), (2, 1))
+    np.testing.assert_array_equal(out, [[0, 1], [2, 3]])
+    # size overruns the storage
+    with pytest.raises(TorchPickleError, match="exceeds storage"):
+        _rebuild_tensor_v2(storage, 0, (10**6,), (1,))
+    # huge stride overruns even with a small size
+    with pytest.raises(TorchPickleError, match="exceeds storage"):
+        _rebuild_tensor_v2(storage, 0, (2,), (10**6,))
+    # negative strides/offsets walk backwards out of the buffer
+    with pytest.raises(TorchPickleError, match="negative"):
+        _rebuild_tensor_v2(storage, 0, (2,), (-1,))
+    with pytest.raises(TorchPickleError, match="negative"):
+        _rebuild_tensor_v2(storage, -1, (2,), (1,))
+    # scalar offset past the end
+    with pytest.raises(TorchPickleError, match="outside storage"):
+        _rebuild_tensor_v2(storage, 4, (), ())
+    # zero-size dims are legal and empty
+    assert _rebuild_tensor_v2(storage, 0, (0, 2), (2, 1)).shape == (0, 2)
+
+
+def test_named_modules_shared_and_cyclic():
+    """Weight-tied (shared) modules yield once — the torch
+    Module.named_modules memo contract — and a cycle a corrupt pickle
+    could encode terminates instead of recursing forever."""
+    from skin_image_analysis_tpu.migrate.torch_pickle import (
+        Stub,
+        named_modules,
+    )
+
+    class S(Stub):
+        pass
+
+    shared = S()
+    shared.__dict__["_modules"] = {}
+    root = S()
+    root.__dict__["_modules"] = {"a": shared, "b": shared}
+    names = [n for n, _ in named_modules(root)]
+    assert names == ["", "a"]  # second reference deduped
+
+    x, y = S(), S()
+    x.__dict__["_modules"] = {"y": y}
+    y.__dict__["_modules"] = {"x": x}  # cycle
+    names = [n for n, _ in named_modules(x)]
+    assert names == ["", "y"]
