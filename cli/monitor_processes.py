@@ -1,38 +1,16 @@
 #!/usr/bin/env python
-"""Process/fd diagnostics CLI — reference surface
-(src/monitor_processes.py)::
-
-    python cli/monitor_processes.py [--verbose] [--watch SECONDS]
-
-Prints fd/memory stats for every live python process; ``--watch`` repeats
-on an interval (the reference's live fd-leak probe usage,
-tone_bias_train.py:62-72).
-"""
-
-from __future__ import annotations
+"""Launcher shim — the implementation lives in
+:mod:`skin_image_analysis_tpu.cli.monitor_processes` (installed wheels import it from
+there; this file keeps the reference-parity ``python cli/monitor_processes.py ...``
+invocation working from a repo checkout)."""
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from skin_image_analysis_tpu.utils.monitor import print_python_processes  # noqa: E402
-
-
-def main(argv: list[str] | None = None) -> int:
-    from cli._common import parse
-
-    argv = list(sys.argv[1:] if argv is None else argv)
-    _, opts = parse(argv, {"watch": 0.0}, bool_flags={"verbose"})
-    while True:
-        print(f"--- {time.strftime('%H:%M:%S')} ---")
-        print_python_processes(verbose=opts["verbose"])
-        if not opts["watch"]:
-            break
-        time.sleep(opts["watch"])
-    return 0
-
+from skin_image_analysis_tpu.cli.monitor_processes import *  # noqa: E402,F401,F403
+from skin_image_analysis_tpu.cli.monitor_processes import main  # noqa: E402,F401
 
 if __name__ == "__main__":
     raise SystemExit(main())

@@ -1,148 +1,16 @@
 #!/usr/bin/env python
-"""Explainability CLI — reference surface (tone_bias_explain.py:44-211)::
-
-    python cli/tone_bias_explain.py <image root> <experiment folder>
-        [--method ig|saliency|smoothgrad|gradcam] [--n-images N] [--steps N]
-
-Loads the experiment's test split + model, attributes the first N test
-images at their predicted class, and saves original/heat/blended triptychs
-to ``<experiment>/explain/``. Unlike the reference (separate conda env,
-CPU-forced Captum, 3-batch cap at batch 2), this runs on the accelerator
-with the whole image batch attributed in one compiled program.
-"""
-
-from __future__ import annotations
+"""Launcher shim — the implementation lives in
+:mod:`skin_image_analysis_tpu.cli.tone_bias_explain` (installed wheels import it from
+there; this file keeps the reference-parity ``python cli/tone_bias_explain.py ...``
+invocation working from a repo checkout)."""
 
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from skin_image_analysis_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
-
-enable_compilation_cache()
-
-import numpy as np  # noqa: E402
-import pandas as pd  # noqa: E402
-
-
-def main(argv: list[str] | None = None) -> int:
-    from cli._common import parse
-
-    argv = list(sys.argv[1:] if argv is None else argv)
-    positional, opts = parse(
-        argv, {"method": "ig", "n-images": 6, "steps": 200}
-    )
-    if len(positional) != 2:
-        print("Usage: <root directory of ISIC images> <experiment folder> "
-              "[--method ig|saliency|smoothgrad|gradientshap|occlusion|gradcam] [--n-images N] [--steps N]")
-        return 1
-    root, folder = positional
-    method = opts["method"]
-    n_images = opts["n-images"]
-    n_steps = opts["steps"]
-
-    import jax  # noqa: E402
-    import jax.numpy as jnp  # noqa: E402
-
-    from skin_image_analysis_tpu.data import LesionTable  # noqa: E402
-    from skin_image_analysis_tpu.data.loader import HostImageStore  # noqa: E402
-    from skin_image_analysis_tpu.explain import (  # noqa: E402
-        grad_cam,
-        integrated_gradients,
-        saliency,
-        smoothgrad,
-    )
-    from skin_image_analysis_tpu.explain.viz import (  # noqa: E402
-        visualize_attribution_triptych,
-    )
-    from skin_image_analysis_tpu.models.cnn import build_model  # noqa: E402
-    from skin_image_analysis_tpu.train import checkpoint as ckpt_lib  # noqa: E402
-
-    test_df = pd.read_csv(os.path.join(folder, "session_test.csv"), index_col=0)
-    model_cfg, loaded = ckpt_lib.load_model(
-        os.path.join(folder, ckpt_lib.MODEL_FILENAME)
-    )
-    params, batch_stats = ckpt_lib.split_variables(loaded)
-    variables = {"params": params}
-    if batch_stats is not None:
-        variables["batch_stats"] = batch_stats
-    model = build_model(model_cfg)
-    table = LesionTable(test_df.head(n_images), root)
-    store = HostImageStore(table, canonical_size=model_cfg.image_size)
-
-    x = jnp.asarray(store.images.astype(np.float32) / 255.0)
-    log_probs = model.apply(variables, x, train=False)
-    probs = np.exp(np.asarray(log_probs))  # softmax via exp of log-probs
-    preds = jnp.argmax(log_probs, axis=-1)
-
-    if batch_stats is None:
-        apply_fn = model.apply
-    else:
-        # shim: gradient methods differentiate w.r.t. params only; merge
-        # the (constant) BN statistics into every apply
-        def apply_fn(v, *args, **kw):
-            return model.apply({**v, "batch_stats": batch_stats}, *args, **kw)
-
-    if method == "ig":
-        attr = integrated_gradients(apply_fn, params, x, preds, n_steps=n_steps)
-    elif method == "saliency":
-        attr = saliency(apply_fn, params, x, preds)
-    elif method == "smoothgrad":
-        attr = smoothgrad(apply_fn, params, x, preds, jax.random.key(0))
-    elif method == "gradientshap":
-        from skin_image_analysis_tpu.explain import gradient_shap
-
-        attr = gradient_shap(
-            apply_fn, params, x, preds, jax.random.key(0), n_steps=n_steps
-        )
-    elif method == "occlusion":
-        from skin_image_analysis_tpu.explain import occlusion_map
-
-        patch = max(4, x.shape[1] // 7)
-        occ = np.asarray(
-            occlusion_map(apply_fn, params, x, preds,
-                          patch_size=patch, stride=max(2, patch // 2))
-        )
-        attr = jax.image.resize(
-            jnp.asarray(occ)[..., None],
-            (occ.shape[0], x.shape[1], x.shape[2], 1),
-            method="bilinear",
-        )
-    elif method == "gradcam":
-        from skin_image_analysis_tpu.explain import grad_cam_gap_head
-
-        if batch_stats is None and hasattr(model, "conv_features"):
-            cam = np.asarray(grad_cam(model, params, x, preds))
-        else:
-            cam = np.asarray(grad_cam_gap_head(model, variables, x, preds))
-        # upsample heatmap to image size, single channel
-        attr = jax.image.resize(
-            jnp.asarray(cam)[..., None],
-            (cam.shape[0], x.shape[1], x.shape[2], 1),
-            method="bilinear",
-        )
-    else:
-        raise SystemExit(f"unknown method {method!r}")
-
-    out_dir = os.path.join(folder, "explain")
-    os.makedirs(out_dir, exist_ok=True)
-    attr = np.asarray(attr)
-    for i in range(len(table)):
-        inst = table.instance(i)
-        pred_name = table.class_names[int(preds[i])]
-        title = (
-            f"{inst['image_name']} pred={pred_name} "
-            f"p={probs[i][int(preds[i])]:.2f} actual={inst['benign_malignant']} "
-            f"tone={inst['skin_tone']}"
-        )
-        path = os.path.join(out_dir, f"{method}_{inst['image_name']}.png")
-        visualize_attribution_triptych(
-            np.asarray(x[i]), attr[i], title=title, save_path=path
-        )
-        print(f"wrote {path}")
-    return 0
-
+from skin_image_analysis_tpu.cli.tone_bias_explain import *  # noqa: E402,F401,F403
+from skin_image_analysis_tpu.cli.tone_bias_explain import main  # noqa: E402,F401
 
 if __name__ == "__main__":
     raise SystemExit(main())

@@ -1,87 +1,16 @@
 #!/usr/bin/env python
-"""Batch inference CLI (serving path — new capability)::
-
-    python cli/tone_bias_predict.py <image root> <experiment folder> <out.csv>
-        [--batch-size N] [--metadata CSV]
-
-Runs the trained model over a cohort and writes one row per image:
-isic_id, prediction, p_malignant, benign_malignant (when labeled),
-skin_tone, sex — the flat artifact downstream systems consume.
-"""
-
-from __future__ import annotations
+"""Launcher shim — the implementation lives in
+:mod:`skin_image_analysis_tpu.cli.tone_bias_predict` (installed wheels import it from
+there; this file keeps the reference-parity ``python cli/tone_bias_predict.py ...``
+invocation working from a repo checkout)."""
 
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from skin_image_analysis_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
-
-enable_compilation_cache()
-
-import numpy as np  # noqa: E402
-import pandas as pd  # noqa: E402
-
-
-def main(argv: list[str] | None = None) -> int:
-    from cli._common import parse
-
-    argv = list(sys.argv[1:] if argv is None else argv)
-    positional, opts = parse(argv, {"batch-size": 64, "metadata": ""})
-    if len(positional) != 3:
-        print("Usage: <image root> <experiment folder> <out.csv> "
-              "[--batch-size N] [--metadata CSV]")
-        return 1
-    root, folder, out_csv = positional
-
-    from skin_image_analysis_tpu.data import LesionTable, read_isic_metadata
-    from skin_image_analysis_tpu.data.loader import BatchIterator, HostImageStore
-    from skin_image_analysis_tpu.models.cnn import build_model
-    from skin_image_analysis_tpu.ops.preprocess import make_preprocess_fn
-    from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
-    from skin_image_analysis_tpu.train.evaluate import collect_predictions
-
-    if opts["metadata"]:
-        meta = opts["metadata"]
-        df = read_isic_metadata(
-            os.path.dirname(os.path.abspath(meta)) or root,
-            csv_name=os.path.basename(meta), seed=0,
-        )
-    else:
-        df = pd.read_csv(os.path.join(folder, "session_test.csv"), index_col=0)
-
-    model_cfg, loaded = ckpt_lib.load_model(
-        os.path.join(folder, ckpt_lib.MODEL_FILENAME)
-    )
-    params, batch_stats = ckpt_lib.split_variables(loaded)
-    model = build_model(model_cfg)
-    table = LesionTable(df, root)
-    store = HostImageStore(table, canonical_size=model_cfg.image_size)
-    loader = BatchIterator(store, opts["batch-size"], shuffle=False)
-    out = collect_predictions(
-        params, model.apply, loader,
-        preprocess_fn=make_preprocess_fn(model_cfg.image_size, train=False),
-        batch_stats=batch_stats,
-    )
-    order = np.argsort(out["row_id"])
-    rows = []
-    for i in order:
-        inst = table.instance(int(out["row_id"][i]))
-        rows.append(
-            {
-                "isic_id": inst["image_name"],
-                "prediction": table.class_names[int(out["pred"][i])],
-                "p_malignant": float(out["score_malignant"][i]),
-                "benign_malignant": inst["benign_malignant"],
-                "skin_tone": inst["skin_tone"],
-                "sex": inst["sex"],
-            }
-        )
-    pd.DataFrame(rows).to_csv(out_csv, index=False)
-    print(f"wrote {out_csv} ({len(rows)} rows)")
-    return 0
-
+from skin_image_analysis_tpu.cli.tone_bias_predict import *  # noqa: E402,F401,F403
+from skin_image_analysis_tpu.cli.tone_bias_predict import main  # noqa: E402,F401
 
 if __name__ == "__main__":
     raise SystemExit(main())

@@ -1,0 +1,60 @@
+"""Shared positional+flag parsing for the CLIs.
+
+The reference CLIs are purely positional (sys.argv slicing); ours accept
+the same positionals plus optional ``--flag value`` / ``--flag=value``
+extras. ``parse`` consumes flag values so they never leak into the
+positional list.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+
+def parse(
+    argv: list[str], value_flags: dict[str, Any], bool_flags: set[str] = frozenset()
+) -> tuple[list[str], dict[str, Any]]:
+    """Returns (positionals, options). ``value_flags`` maps flag name →
+    default (type inferred from the default); ``bool_flags`` are presence
+    flags. Unknown flags exit with an error."""
+    positional: list[str] = []
+    opts: dict[str, Any] = dict(value_flags)
+    flags_seen: set[str] = set()
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        if arg.startswith("--"):
+            name, _, value = arg[2:].partition("=")
+            if name in bool_flags:
+                flags_seen.add(name)
+            elif name in value_flags:
+                if not value:
+                    i += 1
+                    if i >= len(argv):
+                        raise SystemExit(f"--{name} requires a value")
+                    value = argv[i]
+                default = value_flags[name]
+                cast = type(default) if default is not None else str
+                opts[name] = cast(value)
+            else:
+                raise SystemExit(f"unknown flag --{name}")
+        else:
+            positional.append(arg)
+        i += 1
+    for name in bool_flags:
+        opts[name] = name in flags_seen
+    return positional, opts
+
+
+def init_runtime() -> None:
+    """Multi-host initialization — call once at the top of a trainer
+    CLI, BEFORE anything queries devices. No-op on a single host;
+    initializes ``jax.distributed`` from the TPU-pod environment or the
+    explicit SIA_COORDINATOR/SIA_NUM_PROCESSES/SIA_PROCESS_ID triple
+    (parallel/distributed.py), after which ``jax.devices()`` spans the
+    cluster and the mesh/sharding code scales unchanged."""
+    from skin_image_analysis_tpu.parallel.distributed import (
+        maybe_initialize,
+    )
+
+    maybe_initialize()
