@@ -3,7 +3,7 @@
 
     python cli/tone_bias_serve.py <experiment folder | model.stablehlo>
         [--host 127.0.0.1] [--port 8000] [--max-batch 64]
-        [--window-ms 2] [--warm N,N,...] [--no-warm]
+        [--window-ms 2] [--warm N,N,...] [--no-warm] [--reload-any]
 
 Serves the trained model (an experiment folder's checkpoint — flagship
 or transfer-trainer out_dir — or an AOT StableHLO artifact from
@@ -12,7 +12,12 @@ per request; concurrent requests coalesce into single device
 dispatches) and ``POST /predict_batch`` (one raw uint8 [N,S,S,3] body
 for pre-batched clients). ``GET /healthz`` and ``GET /stats`` report
 the model, coalescing counters, and process RSS. ``--mesh N`` shards
-every batch over N chips (weights replicated).
+every batch over N chips (weights replicated). ``POST /reload``
+hot-swaps the served weights from the source experiment folder with
+ZERO recompiles (experiment-folder sessions pass the weights as a jit
+argument, so every compiled bucket still hits the cache) — the
+trainer-writes/server-reloads deployment loop; ``--reload-any``
+additionally permits a JSON body naming a different folder.
 
 The reference's deployment surface is "unpickle the module"
 (tone_bias_model.py:305-338); this is its production-serving
@@ -40,12 +45,12 @@ def main(argv: list[str] | None = None) -> int:
         argv,
         {"host": "127.0.0.1", "port": 8000, "max-batch": 64,
          "window-ms": 2.0, "warm": "", "mesh": 0},
-        bool_flags={"no-warm"},
+        bool_flags={"no-warm", "reload-any"},
     )
     if len(positional) != 1:
         print("Usage: <experiment folder | exported .stablehlo artifact> "
               "[--host H] [--port N] [--max-batch N] [--window-ms F] "
-              "[--warm N,N,...] [--no-warm] [--mesh N]")
+              "[--warm N,N,...] [--no-warm] [--mesh N] [--reload-any]")
         return 1
     source = positional[0]
 
@@ -99,7 +104,8 @@ def main(argv: list[str] | None = None) -> int:
 
     batcher = DynamicBatcher(session,
                              window_ms=float(opts["window-ms"])).start()
-    serve_http(batcher, host=opts["host"], port=int(opts["port"]))
+    serve_http(batcher, host=opts["host"], port=int(opts["port"]),
+               reload_any=bool(opts["reload-any"]))
     return 0
 
 

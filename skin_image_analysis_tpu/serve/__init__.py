@@ -3,6 +3,7 @@
 
 from skin_image_analysis_tpu.serve.export import (  # noqa: F401
     build_infer_fn,
+    build_infer_fn_weights_arg,
     export_model,
     load_exported,
     predict_exported,

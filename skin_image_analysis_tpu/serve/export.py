@@ -31,18 +31,18 @@ import jax.numpy as jnp
 MANIFEST_SUFFIX = ".json"
 
 
-def build_infer_fn(model_cfg, params, batch_stats=None,
-                   malignant_index: int = 1,
-                   normalize_imagenet: bool = False,
-                   mesh=None, data_axis: str = "data"):
-    """The production inference program: eval preprocess (reference
-    Rescale semantics; ``normalize_imagenet`` must match the training
-    run's DataConfig) + forward + argmax + malignant probability
-    (softmax of the log-probs head, tone_bias_explain.py:103).
-
-    With ``mesh``, the batch is constrained to the data axis (DP
-    serving: each chip forwards batch/N rows; params replicated by the
-    caller) — batch sizes must divide by the data-axis extent."""
+def build_infer_fn_weights_arg(model_cfg, malignant_index: int = 1,
+                               normalize_imagenet: bool = False,
+                               mesh=None, data_axis: str = "data"):
+    """The production inference program with the weights as a CALL
+    ARGUMENT: ``infer(variables, pixels)``. Because jit's cache keys on
+    the variables' tree structure + leaf shapes (not their values), a
+    serving process can hot-swap same-architecture weights under this
+    form and every compiled batch bucket still hits the cache — vs the
+    constants-embedded form below, where new weights mean recompiling
+    every bucket (30-90 s each through a remote-compile relay,
+    docs/PERF.md §Cold start). Used by
+    ``InferenceSession.from_experiment`` / ``reload_weights``."""
     from skin_image_analysis_tpu.models.cnn import build_model
     from skin_image_analysis_tpu.ops.preprocess import make_preprocess_fn
 
@@ -55,11 +55,8 @@ def build_infer_fn(model_cfg, params, batch_stats=None,
     pre = make_preprocess_fn(
         model_cfg.image_size, train=False,
         normalize_imagenet=normalize_imagenet and not ita_mode)
-    variables: dict[str, Any] = {"params": params}
-    if batch_stats is not None:
-        variables["batch_stats"] = batch_stats
 
-    def infer(pixels):
+    def infer(variables, pixels):
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -77,6 +74,34 @@ def build_infer_fn(model_cfg, params, batch_stats=None,
             "pred": jnp.argmax(log_probs, axis=-1),
             "p_malignant": jnp.exp(log_probs[:, malignant_index]),
         }
+
+    return infer
+
+
+def build_infer_fn(model_cfg, params, batch_stats=None,
+                   malignant_index: int = 1,
+                   normalize_imagenet: bool = False,
+                   mesh=None, data_axis: str = "data"):
+    """The production inference program: eval preprocess (reference
+    Rescale semantics; ``normalize_imagenet`` must match the training
+    run's DataConfig) + forward + argmax + malignant probability
+    (softmax of the log-probs head, tone_bias_explain.py:103). Weights
+    are closed over as compile-time constants — the form the AOT export
+    lowers (a self-contained artifact).
+
+    With ``mesh``, the batch is constrained to the data axis (DP
+    serving: each chip forwards batch/N rows; params replicated by the
+    caller) — batch sizes must divide by the data-axis extent."""
+    infer_args = build_infer_fn_weights_arg(
+        model_cfg, malignant_index=malignant_index,
+        normalize_imagenet=normalize_imagenet, mesh=mesh,
+        data_axis=data_axis)
+    variables: dict[str, Any] = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+
+    def infer(pixels):
+        return infer_args(variables, pixels)
 
     return infer
 

@@ -25,11 +25,15 @@ shaped by how XLA actually behaves:
 
 The session serves either source of truth:
 
-- an experiment folder (checkpoint + ModelConfig → the same
-  ``build_infer_fn`` program the AOT export lowers, serve/export.py), or
+- an experiment folder (checkpoint + ModelConfig → the same inference
+  program the AOT export lowers, serve/export.py) — with the weights as
+  a CALL ARGUMENT, so ``reload_weights``/``POST /reload`` hot-swaps a
+  retrained same-architecture checkpoint with zero recompiles (the
+  trainer-writes/server-reloads loop; a restart would re-pay 30-90 s
+  per bucket through the remote-compile relay), or
 - an exported StableHLO artifact (``jax.export`` — no model code needed
   at the serving site; ``exported.call`` is jit-compatible so the bucket
-  ladder applies identically).
+  ladder applies identically; weights are embedded, so no hot reload).
 """
 
 from __future__ import annotations
@@ -70,8 +74,18 @@ class InferenceSession:
                  in_channels: int = 3, max_batch: int = 64,
                  class_names: Sequence[str] = ("benign", "malignant"),
                  source: str = "experiment", mesh=None,
-                 data_axis: str = "data"):
+                 data_axis: str = "data", weights=None, model_cfg=None,
+                 normalize_imagenet: bool = False):
         self._jit = jax.jit(infer_fn)
+        # weights-as-argument sessions (from_experiment) can hot-swap
+        # same-architecture checkpoints with ZERO recompiles — jit's
+        # cache keys on the variables' tree structure + leaf shapes,
+        # not their values (reload_weights). Artifact sessions embed
+        # the weights as program constants (weights=None).
+        self._weights = weights
+        self._model_cfg = model_cfg
+        self._normalize = bool(normalize_imagenet)
+        self.reloads = 0
         self.image_size = int(image_size)
         self.in_channels = int(in_channels)
         if int(max_batch) < 1:
@@ -109,7 +123,9 @@ class InferenceSession:
         format): same program the AOT export lowers."""
         import os
 
-        from skin_image_analysis_tpu.serve.export import build_infer_fn
+        from skin_image_analysis_tpu.serve.export import (
+            build_infer_fn_weights_arg,
+        )
         from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
 
         model_cfg, loaded = ckpt_lib.load_model(
@@ -126,26 +142,35 @@ class InferenceSession:
         if class_names is None:
             class_names = train_cfg.get("class_names",
                                         ("benign", "malignant"))
-        if mesh is not None:
-            # replicate the weights once across the mesh; the batch
-            # constraint in the program shards each forward over the
-            # data axis
-            from skin_image_analysis_tpu.parallel.sharding import (
-                replicated,
-            )
-
-            rep = replicated(mesh)
-            params = jax.device_put(params, rep)
-            if batch_stats is not None:
-                batch_stats = jax.device_put(batch_stats, rep)
-        infer = build_infer_fn(model_cfg, params, batch_stats,
-                               normalize_imagenet=normalize,
-                               mesh=mesh, data_axis=data_axis)
+        weights: dict[str, Any] = {"params": params}
+        if batch_stats is not None:
+            weights["batch_stats"] = batch_stats
+        weights = cls._commit_weights(weights, mesh)
+        # weights ride as a call argument (not program constants) so
+        # reload_weights() can hot-swap a retrained checkpoint without
+        # recompiling any bucket
+        infer = build_infer_fn_weights_arg(
+            model_cfg, normalize_imagenet=normalize,
+            mesh=mesh, data_axis=data_axis)
         # requests carry RGB pixels regardless of the model's input
         # channels — ITA-input models transform inside the program
         return cls(infer, model_cfg.image_size, 3, max_batch,
                    class_names, source=folder, mesh=mesh,
-                   data_axis=data_axis)
+                   data_axis=data_axis, weights=weights,
+                   model_cfg=model_cfg, normalize_imagenet=normalize)
+
+    @staticmethod
+    def _commit_weights(weights, mesh):
+        """Device-commit the checkpoint's host arrays once — without
+        this, every jitted call would re-upload the full weight set
+        over the (slow) host link. With a mesh, replicate across it."""
+        if mesh is not None:
+            from skin_image_analysis_tpu.parallel.sharding import (
+                replicated,
+            )
+
+            return jax.device_put(weights, replicated(mesh))
+        return jax.device_put(weights)
 
     @classmethod
     def from_artifact(cls, path: str, max_batch: int = 64,
@@ -213,10 +238,94 @@ class InferenceSession:
             pad = np.zeros((b - n,) + pixels.shape[1:], pixels.dtype)
             pixels = np.concatenate([pixels, pad])
         with self._lock:
-            out = self._jit(jnp.asarray(pixels))
+            if self._weights is not None:
+                out = self._jit(self._weights, jnp.asarray(pixels))
+            else:
+                out = self._jit(jnp.asarray(pixels))
             out = jax.device_get(out)
             self.compiled.add(b)
         return {k: np.asarray(v)[:n] for k, v in out.items()}
+
+    def reload_weights(self, folder: str | None = None,
+                       warm: bool = True) -> dict[str, Any]:
+        """Hot-swap the served weights from ``folder`` (default: this
+        session's source experiment folder) WITHOUT recompiling any
+        bucket — the standard trainer-writes/server-reloads deployment
+        loop, impossible at acceptable cost with constants-embedded
+        programs (every bucket would recompile: 30-90 s each through a
+        remote-compile relay).
+
+        The new checkpoint must be architecture-compatible: identical
+        ModelConfig and an identical weights tree (structure + leaf
+        shapes/dtypes). Anything else raises ValueError and the session
+        keeps serving the OLD weights — a half-written or wrong-model
+        artifact can never take down a live server. In-flight requests
+        are consistent: the swap happens under the same lock predict()
+        dispatches under.
+
+        With ``warm`` (default), one inference on the smallest compiled
+        bucket runs right after the swap so the weight transfer to the
+        device happens now, not on the first live request (device_put
+        through the axon relay is lazy — bytes move on first use).
+        """
+        import os
+
+        from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
+
+        if self._weights is None:
+            raise RuntimeError(
+                "this session serves an exported artifact (weights are "
+                "embedded program constants) — hot reload needs an "
+                "experiment-folder session")
+        folder = folder or self.source
+        model_cfg, loaded = ckpt_lib.load_model(
+            os.path.join(folder, ckpt_lib.MODEL_FILENAME)
+        )
+        if model_cfg != self._model_cfg:
+            raise ValueError(
+                f"checkpoint architecture differs from the served one "
+                f"({model_cfg} vs {self._model_cfg}); restart the "
+                "server to change models")
+        cfg_path = os.path.join(folder, "train_config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                normalize = bool(json.load(f).get("data", {}).get(
+                    "normalize_imagenet", False))
+            if normalize != self._normalize:
+                raise ValueError(
+                    "checkpoint was trained with normalize_imagenet="
+                    f"{normalize} but the serving program was compiled "
+                    f"with {self._normalize}; restart the server")
+        params, batch_stats = ckpt_lib.split_variables(loaded)
+        new_weights: dict[str, Any] = {"params": params}
+        if batch_stats is not None:
+            new_weights["batch_stats"] = batch_stats
+
+        def _spec(tree):
+            leaves, treedef = jax.tree_util.tree_flatten(tree)
+            return treedef, [(tuple(l.shape), np.dtype(l.dtype))
+                             for l in leaves]
+
+        old_def, old_leaves = _spec(self._weights)
+        new_def, new_leaves = _spec(new_weights)
+        if old_def != new_def or old_leaves != new_leaves:
+            raise ValueError(
+                "checkpoint weights are not structure-compatible with "
+                "the served ones (a swap would recompile every bucket); "
+                "restart the server to change models")
+        new_weights = self._commit_weights(new_weights, self.mesh)
+        with self._lock:
+            self._weights = new_weights
+            self.reloads += 1
+            n_reloads = self.reloads
+        if warm:
+            ready = self.compiled_buckets()
+            b = ready[0] if ready else self.buckets[0]
+            self.predict(np.zeros(
+                (b, self.image_size, self.image_size, self.in_channels),
+                np.uint8))
+        return {"status": "reloaded", "folder": os.path.abspath(folder),
+                "reloads": n_reloads}
 
     def compiled_buckets(self) -> list[int]:
         """Snapshot of the compiled set, taken under the session lock —
@@ -357,7 +466,8 @@ def _result_json(session: InferenceSession, res: dict[str, Any]) -> dict:
 
 
 def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
-                     port: int = 8000, read_timeout: float = 60.0):
+                     port: int = 8000, read_timeout: float = 60.0,
+                     reload_any: bool = False):
     """Build (not run) the HTTP server. Endpoints:
 
     - ``POST /predict`` — body: one encoded image (JPEG/PNG bytes) or a
@@ -366,14 +476,27 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
       JSON {pred, class, p_malignant, log_probs}.
     - ``POST /predict_batch`` — one raw uint8 ``[N, S, S, C]`` body for
       pre-batched clients; response: arrays {pred, class, p_malignant}.
-    - ``GET /healthz`` — liveness + model/source info.
+    - ``POST /reload`` — hot-swap the served weights from the source
+      experiment folder (the trainer-writes/server-reloads loop; zero
+      recompiles, see :meth:`InferenceSession.reload_weights`). An
+      optional JSON body ``{"folder": ...}`` names a different folder —
+      rejected with 403 unless the server was built with
+      ``reload_any=True`` (an HTTP-reachable load-anything endpoint is
+      an obvious footgun; the default trusts only the folder the
+      operator launched with).
+    - ``GET /healthz`` — liveness + model/source info + reload count.
     - ``GET /stats`` — request/batch coalescing counters + ``rss_kb``.
     """
+    import os
+
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     from skin_image_analysis_tpu.data.loader import decode_image_bytes
 
     session = batcher.session
+    # serialize concurrent /reload posts: each is a disk load + device
+    # commit; racing them wastes both and makes the counter ambiguous
+    reload_lock = threading.Lock()
 
     class Server(ThreadingHTTPServer):
         # the stdlib default listen backlog (5) drops/resets connections
@@ -417,6 +540,7 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                     "class_names": session.class_names,
                     "buckets": session.buckets,
                     "compiled_buckets": session.compiled_buckets(),
+                    "reloads": session.reloads,
                 })
             elif self.path == "/stats":
                 snap = batcher.stats.snapshot()
@@ -460,6 +584,39 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                 self._send(400, {"error":
                                  f"truncated body ({len(data)}/{length} "
                                  "bytes received)"})
+                return
+            if self.path == "/reload":
+                folder = None
+                if data:
+                    try:
+                        payload = json.loads(data)
+                        folder = payload.get("folder")
+                    except (json.JSONDecodeError, AttributeError) as e:
+                        self._send(400, {"error": f"bad reload body: {e}"})
+                        return
+                if (folder
+                        and os.path.abspath(folder)
+                        != os.path.abspath(str(session.source))
+                        and not reload_any):
+                    self._send(403, {
+                        "error": "reloading a different folder is "
+                                 "disabled (launch with --reload-any)"})
+                    return
+                try:
+                    with reload_lock:
+                        info = session.reload_weights(folder or None)
+                except FileNotFoundError as e:
+                    self._send(404, {"error": str(e)})
+                    return
+                except (ValueError, RuntimeError) as e:
+                    # incompatible/corrupt checkpoint, or an artifact
+                    # session — the old weights keep serving either way
+                    self._send(409, {"error": str(e)})
+                    return
+                except Exception as e:
+                    self._send(500, {"error": str(e)})
+                    return
+                self._send(200, info)
                 return
             if self.path == "/predict_batch":
                 # pre-batched clients: one raw uint8 [N, S, S, C] body,
@@ -531,9 +688,10 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
 
 
 def serve_http(batcher: DynamicBatcher, host: str = "127.0.0.1",
-               port: int = 8000, verbose: bool = True) -> None:
+               port: int = 8000, verbose: bool = True,
+               reload_any: bool = False) -> None:
     """Run the HTTP server until interrupted."""
-    server = make_http_server(batcher, host, port)
+    server = make_http_server(batcher, host, port, reload_any=reload_any)
     if verbose:
         print(f"serving {batcher.session.source} on http://{host}:{port} "
               f"(buckets {batcher.session.buckets})")

@@ -464,3 +464,180 @@ def test_http_body_guards(session):
         server.shutdown()
         server.server_close()
         batcher.stop()
+
+
+# -- hot reload (trainer-writes / server-reloads) -------------------------
+
+
+def _make_exp(folder, seed: int, conv=(4, 8)) -> None:
+    """A minimal experiment folder with seed-determined weights."""
+    import os
+
+    cfg = ModelConfig(
+        conv_features=conv, linear_features=(8,),
+        dropout=(0.0,) * 1, image_size=SIZE, compute_dtype="float32",
+    )
+    state, _ = create_train_state(
+        cfg, OptimConfig(learning_rate=1e-3), jax.random.key(seed),
+        batch_size=2,
+    )
+    os.makedirs(folder, exist_ok=True)
+    ckpt_lib.save_model(
+        str(folder) + "/" + ckpt_lib.MODEL_FILENAME, cfg, state.params,
+        state.batch_stats,
+    )
+
+
+def test_hot_reload_swaps_weights_without_recompile(tmp_path):
+    folder = tmp_path / "exp"
+    _make_exp(folder, seed=1)
+    sess = InferenceSession.from_experiment(str(folder), max_batch=4)
+    rng = np.random.default_rng(20)
+    pixels = rng.integers(0, 255, (3, SIZE, SIZE, 3), np.uint8)
+    before = sess.predict(pixels)
+
+    # the trainer writes a new same-architecture checkpoint in place
+    _make_exp(folder, seed=2)
+    n_compiles = sess._jit._cache_size()
+    info = sess.reload_weights()
+    assert info["reloads"] == 1 and sess.reloads == 1
+
+    after = sess.predict(pixels)
+    # new weights actually serve ...
+    assert not np.allclose(before["log_probs"], after["log_probs"])
+    # ... matching a fresh session over the new checkpoint ...
+    ref = InferenceSession.from_experiment(str(folder)).predict(pixels)
+    np.testing.assert_allclose(
+        after["log_probs"], ref["log_probs"], atol=1e-6)
+    # ... and NOT ONE bucket recompiled (the whole point: through the
+    # remote-compile relay each recompile is 30-90 s of downtime).
+    # reload_weights(warm=True) itself predicts on the smallest
+    # compiled bucket, which must also hit the cache.
+    assert sess._jit._cache_size() == n_compiles
+
+
+def test_hot_reload_rejects_incompatible_and_keeps_serving(tmp_path):
+    folder = tmp_path / "exp"
+    _make_exp(folder, seed=1)
+    sess = InferenceSession.from_experiment(str(folder), max_batch=4)
+    rng = np.random.default_rng(21)
+    pixels = rng.integers(0, 255, (2, SIZE, SIZE, 3), np.uint8)
+    before = sess.predict(pixels)
+
+    # different architecture in another folder: refused loudly
+    other = tmp_path / "other"
+    _make_exp(other, seed=3, conv=(8, 8))
+    with pytest.raises(ValueError, match="architecture differs"):
+        sess.reload_weights(str(other))
+
+    # a corrupt in-place artifact: refused, old weights keep serving
+    (folder / ckpt_lib.MODEL_FILENAME).write_bytes(b"not a checkpoint")
+    with pytest.raises(ValueError):
+        sess.reload_weights()
+    assert sess.reloads == 0
+    again = sess.predict(pixels)
+    np.testing.assert_allclose(
+        before["log_probs"], again["log_probs"], atol=1e-6)
+
+
+def test_artifact_session_cannot_hot_reload(exp_folder, tmp_path):
+    from skin_image_analysis_tpu.serve import export_model
+
+    out = str(tmp_path / "m.stablehlo")
+    export_model(exp_folder, out)
+    sess = InferenceSession.from_artifact(out, max_batch=4)
+    with pytest.raises(RuntimeError, match="embedded"):
+        sess.reload_weights()
+
+
+def test_hot_reload_mesh_session(tmp_path):
+    """Reload keeps the replicated weight sharding on a DP mesh."""
+    from skin_image_analysis_tpu.config import MeshConfig
+    from skin_image_analysis_tpu.parallel.mesh import create_mesh
+
+    folder = tmp_path / "exp"
+    _make_exp(folder, seed=1)
+    mesh = create_mesh(MeshConfig(data_parallel=-1, model_parallel=1))
+    sess = InferenceSession.from_experiment(
+        str(folder), max_batch=16, mesh=mesh)
+    _make_exp(folder, seed=4)
+    sess.reload_weights()
+    rng = np.random.default_rng(22)
+    pixels = rng.integers(0, 255, (8, SIZE, SIZE, 3), np.uint8)
+    got = sess.predict(pixels)
+    ref = InferenceSession.from_experiment(str(folder)).predict(pixels)
+    np.testing.assert_allclose(
+        got["log_probs"], ref["log_probs"], atol=1e-5)
+
+
+def test_http_reload_endpoint(tmp_path):
+    folder = tmp_path / "exp"
+    _make_exp(folder, seed=1)
+    sess = InferenceSession.from_experiment(str(folder), max_batch=4)
+    batcher = DynamicBatcher(sess, window_ms=1.0).start()
+    server = make_http_server(batcher, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 255, (SIZE, SIZE, 3), np.uint8)
+    try:
+        r1 = _post(f"{base}/predict", img.tobytes(),
+                   "application/octet-stream")
+
+        _make_exp(folder, seed=5)
+        got = _post(f"{base}/reload", b"", "application/json")
+        assert got["status"] == "reloaded" and got["reloads"] == 1
+
+        r2 = _post(f"{base}/predict", img.tobytes(),
+                   "application/octet-stream")
+        assert r2["log_probs"] != r1["log_probs"]
+
+        with urllib.request.urlopen(f"{base}/healthz", timeout=10) as resp:
+            assert json.loads(resp.read())["reloads"] == 1
+
+        # a different folder is refused by default (403) — the endpoint
+        # must not be a load-anything-from-disk surface
+        other = tmp_path / "other"
+        _make_exp(other, seed=6)
+        body = json.dumps({"folder": str(other)}).encode()
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{base}/reload", body, "application/json")
+        assert e.value.code == 403
+
+        # malformed JSON body -> 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{base}/reload", b"{nope", "application/json")
+        assert e.value.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
+        batcher.stop()
+
+
+def test_http_reload_any_allows_other_folder(tmp_path):
+    folder = tmp_path / "exp"
+    other = tmp_path / "other"
+    _make_exp(folder, seed=1)
+    _make_exp(other, seed=7)
+    sess = InferenceSession.from_experiment(str(folder), max_batch=4)
+    batcher = DynamicBatcher(sess, window_ms=1.0).start()
+    server = make_http_server(batcher, host="127.0.0.1", port=0,
+                              reload_any=True)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        body = json.dumps({"folder": str(other)}).encode()
+        got = _post(f"{base}/reload", body, "application/json")
+        assert got["status"] == "reloaded"
+        rng = np.random.default_rng(24)
+        pixels = rng.integers(0, 255, (2, SIZE, SIZE, 3), np.uint8)
+        ref = InferenceSession.from_experiment(str(other)).predict(pixels)
+        np.testing.assert_allclose(
+            sess.predict(pixels)["log_probs"], ref["log_probs"],
+            atol=1e-6)
+    finally:
+        server.shutdown()
+        server.server_close()
+        batcher.stop()
