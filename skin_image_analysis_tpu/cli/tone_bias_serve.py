@@ -4,6 +4,7 @@
     python cli/tone_bias_serve.py <experiment folder | model.stablehlo>
         [--host 127.0.0.1] [--port 8000] [--max-batch 64]
         [--window-ms 2] [--warm N,N,...] [--no-warm] [--reload-any]
+        [--watch SECONDS]
 
 Serves the trained model (an experiment folder's checkpoint — flagship
 or transfer-trainer out_dir — or an AOT StableHLO artifact from
@@ -17,7 +18,9 @@ hot-swaps the served weights from the source experiment folder with
 ZERO recompiles (experiment-folder sessions pass the weights as a jit
 argument, so every compiled bucket still hits the cache) — the
 trainer-writes/server-reloads deployment loop; ``--reload-any``
-additionally permits a JSON body naming a different folder.
+additionally permits a JSON body naming a different folder, and
+``--watch N`` polls the folder every N seconds and reloads new
+checkpoints automatically (no POST needed).
 
 The reference's deployment surface is "unpickle the module"
 (tone_bias_model.py:305-338); this is its production-serving
@@ -44,13 +47,14 @@ def main(argv: list[str] | None = None) -> int:
     positional, opts = parse(
         argv,
         {"host": "127.0.0.1", "port": 8000, "max-batch": 64,
-         "window-ms": 2.0, "warm": "", "mesh": 0},
+         "window-ms": 2.0, "warm": "", "mesh": 0, "watch": 0.0},
         bool_flags={"no-warm", "reload-any"},
     )
     if len(positional) != 1:
         print("Usage: <experiment folder | exported .stablehlo artifact> "
               "[--host H] [--port N] [--max-batch N] [--window-ms F] "
-              "[--warm N,N,...] [--no-warm] [--mesh N] [--reload-any]")
+              "[--warm N,N,...] [--no-warm] [--mesh N] [--reload-any] "
+              "[--watch SECONDS]")
         return 1
     source = positional[0]
 
@@ -101,6 +105,18 @@ def main(argv: list[str] | None = None) -> int:
         print(f"warming buckets {sorted(set(buckets))} ...")
         session.warm(sorted(set(buckets)))
         print("warm done")
+
+    if float(opts["watch"]) > 0:
+        # auto-reload: new checkpoints in the source folder go live
+        # within --watch seconds (zero recompiles; atomic save_model
+        # writes mean a new mtime is always a complete artifact)
+        from skin_image_analysis_tpu.serve.server import (
+            start_reload_watcher,
+        )
+
+        start_reload_watcher(session, interval_s=float(opts["watch"]))
+        print(f"watching {source} for new checkpoints "
+              f"(every {float(opts['watch'])}s)")
 
     batcher = DynamicBatcher(session,
                              window_ms=float(opts["window-ms"])).start()

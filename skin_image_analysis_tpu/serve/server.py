@@ -454,6 +454,61 @@ class DynamicBatcher:
             self.drain_once()
 
 
+def start_reload_watcher(session: InferenceSession,
+                         interval_s: float = 5.0,
+                         verbose: bool = True):
+    """Auto-reload: poll the source experiment folder's model artifact
+    mtime and hot-swap on change (``save_model`` writes are atomic —
+    tmp + os.replace — so a new mtime is always a complete artifact).
+    The push-free half of the trainer-writes/server-reloads loop: point
+    the trainer's ``--out``/experiment folder at the served one and new
+    checkpoints go live within ``interval_s`` seconds, zero recompiles.
+
+    Returns ``(thread, stop_event)``; set the event to stop."""
+    import os
+
+    from skin_image_analysis_tpu.train.checkpoint import MODEL_FILENAME
+
+    if session._weights is None:
+        raise RuntimeError(
+            "auto-reload needs an experiment-folder session (artifact "
+            "weights are embedded program constants)")
+    path = os.path.join(str(session.source), MODEL_FILENAME)
+    stop = threading.Event()
+
+    def _mtime():
+        try:
+            return os.stat(path).st_mtime_ns
+        except OSError:
+            return None
+
+    last = _mtime()
+
+    def _run():
+        nonlocal last
+        while not stop.wait(interval_s):
+            m = _mtime()
+            if m is None or m == last:
+                continue
+            try:
+                info = session.reload_weights()
+                if verbose:
+                    print(f"auto-reload: {info}")
+            except ValueError as e:
+                # incompatible artifact: refuse ONCE per mtime (the old
+                # weights keep serving), don't spam every tick
+                if verbose:
+                    print(f"auto-reload refused: {e}")
+            except Exception as e:  # keep watching
+                if verbose:
+                    print(f"auto-reload failed: {type(e).__name__}: {e}")
+            last = m
+
+    thread = threading.Thread(target=_run, daemon=True)
+    thread.start()
+    return thread, stop
+
+
 def _result_json(session: InferenceSession, res: dict[str, Any]) -> dict:
     pred = int(res["pred"])
     return {

@@ -641,3 +641,41 @@ def test_http_reload_any_allows_other_folder(tmp_path):
         server.shutdown()
         server.server_close()
         batcher.stop()
+
+
+def test_reload_watcher_auto_swaps(tmp_path):
+    """The mtime watcher picks up a new checkpoint and hot-swaps it;
+    an incompatible artifact is refused once and the old weights keep
+    serving."""
+    import time as _time
+
+    from skin_image_analysis_tpu.serve.server import start_reload_watcher
+
+    folder = tmp_path / "exp"
+    _make_exp(folder, seed=1)
+    sess = InferenceSession.from_experiment(str(folder), max_batch=4)
+    rng = np.random.default_rng(30)
+    pixels = rng.integers(0, 255, (2, SIZE, SIZE, 3), np.uint8)
+    before = sess.predict(pixels)
+
+    thread, stop = start_reload_watcher(sess, interval_s=0.05,
+                                        verbose=False)
+    try:
+        _make_exp(folder, seed=8)  # trainer writes a new checkpoint
+        deadline = _time.time() + 20
+        while sess.reloads < 1 and _time.time() < deadline:
+            _time.sleep(0.05)
+        assert sess.reloads == 1
+        after = sess.predict(pixels)
+        assert not np.allclose(before["log_probs"], after["log_probs"])
+
+        # an incompatible artifact appears: refused, old weights serve on
+        (folder / ckpt_lib.MODEL_FILENAME).write_bytes(b"junk")
+        _time.sleep(0.3)
+        assert sess.reloads == 1
+        still = sess.predict(pixels)
+        np.testing.assert_allclose(
+            after["log_probs"], still["log_probs"], atol=1e-6)
+    finally:
+        stop.set()
+        thread.join(timeout=5)
