@@ -1,5 +1,5 @@
 """EfficientNet family (Flax), weight-compatible with
-``keras.applications.EfficientNetB0-B3``.
+``keras.applications.EfficientNetB0-B7``.
 
 BASELINE.json's north star names the backbone class explicitly
 ("tone_bias_model's CNN backbone (ResNet/EfficientNet-class,
@@ -39,7 +39,7 @@ from skin_image_analysis_tpu.models.registry import register_model
 _BN_EPS = 1e-3  # keras BatchNormalization default (parity-critical)
 
 # (expand_ratio, filters_out, repeats, stride, kernel) — the B0 stage
-# table; B1-B3 scale it via round_filters/round_repeats exactly as Keras
+# table; B1-B7 scale it via round_filters/round_repeats exactly as Keras
 _B0_STAGES = (
     (1, 16, 1, 1, 3),
     (6, 24, 2, 2, 3),
@@ -50,12 +50,17 @@ _B0_STAGES = (
     (6, 320, 1, 1, 3),
 )
 
-# (width_coefficient, depth_coefficient, top_dropout) per variant
+# (width_coefficient, depth_coefficient, top_dropout) per variant —
+# the published compound-scaling table, identical to keras.applications
 _VARIANTS = {
     "b0": (1.0, 1.0, 0.2),
     "b1": (1.0, 1.1, 0.2),
     "b2": (1.1, 1.2, 0.3),
     "b3": (1.2, 1.4, 0.3),
+    "b4": (1.4, 1.8, 0.4),
+    "b5": (1.6, 2.2, 0.4),
+    "b6": (1.8, 2.6, 0.5),
+    "b7": (2.0, 3.1, 0.5),
 }
 
 
@@ -257,6 +262,26 @@ def _build_b2(cfg: ModelConfig):
 @register_model("efficientnet_b3")
 def _build_b3(cfg: ModelConfig):
     return _make("b3", cfg)
+
+
+@register_model("efficientnet_b4")
+def _build_b4(cfg: ModelConfig):
+    return _make("b4", cfg)
+
+
+@register_model("efficientnet_b5")
+def _build_b5(cfg: ModelConfig):
+    return _make("b5", cfg)
+
+
+@register_model("efficientnet_b6")
+def _build_b6(cfg: ModelConfig):
+    return _make("b6", cfg)
+
+
+@register_model("efficientnet_b7")
+def _build_b7(cfg: ModelConfig):
+    return _make("b7", cfg)
 
 
 def load_keras_efficientnet_weights(path: str, variables: Any) -> Any:

@@ -34,7 +34,9 @@ def test_efficientnet_variants_register():
         round_repeats,
     )
 
-    for name in ("efficientnet_b1", "efficientnet_b2", "efficientnet_b3"):
+    for name in ("efficientnet_b1", "efficientnet_b2", "efficientnet_b3",
+                 "efficientnet_b4", "efficientnet_b5", "efficientnet_b6",
+                 "efficientnet_b7"):
         model = build_model(ModelConfig(name=name, num_classes=7))
         assert model.num_classes == 7
     # the keras scaling rules (parity-critical for the converter)
@@ -43,6 +45,41 @@ def test_efficientnet_variants_register():
     assert round_filters(40, 1.1) == 48   # B2 stage 3 (rounds up)
     assert round_filters(1280, 1.2) == 1536  # B3 top
     assert round_repeats(3, 1.4) == 5     # B3 stage depth
+    # the large-variant scaling (keras layer-width oracle below)
+    assert round_filters(32, 1.4) == 48   # B4 stem
+    assert round_filters(1280, 2.0) == 2560  # B7 top
+    assert round_repeats(4, 3.1) == 13    # B7 stage 6 depth
+
+
+def test_efficientnet_b4_b7_scaling_matches_keras_oracle():
+    """The compound-scaling coefficients for the large variants produce
+    keras.applications' exact layer geometry: stem/top widths and
+    per-stage block counts, probed on LIVE keras models (no weights
+    downloaded)."""
+    keras = pytest.importorskip("keras")
+
+    from skin_image_analysis_tpu.models.efficientnet import (
+        _B0_STAGES,
+        _VARIANTS,
+        round_filters,
+        round_repeats,
+    )
+
+    for variant, kcls in (("b4", keras.applications.EfficientNetB4),
+                          ("b7", keras.applications.EfficientNetB7)):
+        w, d, _ = _VARIANTS[variant]
+        kmodel = kcls(weights=None, include_top=False,
+                      input_shape=(64, 64, 3))
+        stem = kmodel.get_layer("stem_conv")
+        assert stem.filters == round_filters(32, w)
+        top = kmodel.get_layer("top_conv")
+        assert top.filters == round_filters(1280, w)
+        # per-stage block counts: keras names blocks "block{stage}{a..}"
+        for i, (_, _, repeats, _, _) in enumerate(_B0_STAGES, start=1):
+            n = sum(1 for layer in kmodel.layers
+                    if layer.name.startswith(f"block{i}")
+                    and layer.name.endswith("_project_conv"))
+            assert n == round_repeats(repeats, d), (variant, i)
 
 
 def test_efficientnet_train_mode_updates_bn():
