@@ -1,0 +1,323 @@
+"""Import Keras-3 ``.keras`` model artifacts into this framework.
+
+The reference's TF pipeline trains an Xception transfer model and saves
+it as ``skin_cancer_xception_model.keras`` (jgi_ham_2018_tf.ipynb cell
+70 builds ``keras.applications.Xception(include_top=False)`` →
+GlobalAveragePooling2D → Dense(num_classes, softmax); cell 75 saves it).
+This module converts that artifact into our experiment format
+(``session_model.msgpack`` + ``train_config.json``) so every CLI here —
+``tone_bias_test``/``tone_bias_serve``/``tone_bias_export``/continued
+training — consumes it directly, the same way ``migrate/reference.py``
+imports the torch ``session_model.pth``.
+
+Two format facts shape the design:
+
+- Keras 3 stores ``model.weights.h5`` groups under *structural* names
+  (``separable_conv2d_7`` — class name + build counter), NOT the layer
+  names the converter mapping needs (``block1_conv1``); the only robust
+  reader is Keras itself, so this importer requires ``keras`` at import
+  time (it is the format's owner; deploy sites without Keras use the
+  converted ``.msgpack``).
+- The notebook feeds raw 0-255 float images (its tf.data pipeline never
+  rescales, and the Xception application contains no Rescaling layer),
+  while this framework's input pipeline feeds [0, 1]. The 255× input
+  convention is folded EXACTLY into the bias-free ``block1_conv1``
+  kernel: ``W·(255·x) == (255·W)·x`` — no serve-time flag, no
+  approximation (the stem has no bias and zero-padding maps 0→0).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import numpy as np
+
+__all__ = [
+    "KerasImportError",
+    "import_keras_experiment",
+    "import_keras_model",
+    "input_fold_factor",
+]
+
+#: short weight names per Keras layer class, in get_weights() order —
+#: the same naming the legacy .h5 files use, so the live-model path
+#: feeds the identical converter core (models/xception.py).
+_WEIGHT_NAMES = {
+    "Conv2D": ("kernel", "bias"),
+    "SeparableConv2D": ("depthwise_kernel", "pointwise_kernel", "bias"),
+    "DepthwiseConv2D": ("depthwise_kernel", "bias"),
+    "BatchNormalization": ("gamma", "beta", "moving_mean",
+                           "moving_variance"),
+    "Dense": ("kernel", "bias"),
+}
+
+
+class KerasImportError(ValueError):
+    """A .keras artifact this importer cannot faithfully convert."""
+
+
+def _layer_weights(model) -> tuple[list[str], dict[str, dict]]:
+    """(ordered weighted-layer names, {layer_name: {short: ndarray}})."""
+    names: list[str] = []
+    table: dict[str, dict] = {}
+    for layer in model.layers:
+        ws = layer.get_weights()
+        if not ws:
+            continue
+        cls = layer.__class__.__name__
+        if cls not in _WEIGHT_NAMES:
+            raise KerasImportError(
+                f"layer {layer.name!r}: unsupported weighted layer "
+                f"class {cls}"
+            )
+        shorts = _WEIGHT_NAMES[cls][: len(ws)]
+        if len(shorts) != len(ws):
+            raise KerasImportError(
+                f"layer {layer.name!r} ({cls}): {len(ws)} weights, "
+                f"expected at most {len(_WEIGHT_NAMES[cls])}"
+            )
+        if layer.name in table:
+            raise KerasImportError(f"duplicate layer name {layer.name!r}")
+        names.append(layer.name)
+        table[layer.name] = {
+            s: np.asarray(w) for s, w in zip(shorts, ws)
+        }
+    return names, table
+
+
+def input_fold_factor(rescalings: list[tuple[float, float]]) -> float:
+    """The per-pixel scale to fold into the stem conv kernel.
+
+    ``rescalings`` lists the (scale, offset) of every Rescaling layer in
+    the source model, in order. Our pipeline feeds x/255 where Keras saw
+    raw 0-255, so with in-model scales s_i the stem must see
+    ``255·Πs_i`` times our input. Offsets cannot fold through a bias-free
+    conv (zero padding breaks the shift at borders) → refuse."""
+    fold = 255.0
+    for scale, offset in rescalings:
+        if float(offset) != 0.0:
+            raise KerasImportError(
+                f"Rescaling offset {offset} cannot be folded into the "
+                "bias-free stem conv (zero padding breaks an input "
+                "shift at the borders); re-export without the offset"
+            )
+        fold *= float(scale)
+    return fold
+
+
+def _default_class_names(num_classes: int) -> list[str]:
+    if num_classes == 2:
+        return ["benign", "malignant"]
+    if num_classes == 7:
+        from skin_image_analysis_tpu.data.ham import DX_CLASSES
+
+        return list(DX_CLASSES)
+    return [f"class_{i}" for i in range(num_classes)]
+
+
+def import_keras_model(
+    path: str, image_size: int | None = None
+) -> tuple[Any, dict, dict]:
+    """Parse a ``.keras`` Xception-transfer artifact and return
+    ``(model_cfg, variables, meta)`` where ``variables`` is the full
+    ``{"params", "batch_stats"}`` dict matching ``build_model(model_
+    cfg)`` exactly, with the 0-255 input convention folded into the stem
+    kernel (module docstring). ``image_size`` overrides when the saved
+    model's spatial dims are dynamic (cell 70 builds without an
+    input_shape); a static input wins."""
+    try:
+        import keras
+    except Exception as e:  # pragma: no cover - keras is baked in here
+        raise KerasImportError(
+            f"importing .keras artifacts requires keras: {e}"
+        ) from e
+
+    import jax
+    import jax.numpy as jnp
+
+    import flax
+
+    from skin_image_analysis_tpu.config import ModelConfig
+    from skin_image_analysis_tpu.models import build_model
+    from skin_image_analysis_tpu.models.xception import (
+        apply_keras_xception_weights,
+    )
+
+    try:
+        model = keras.saving.load_model(path, compile=False)
+    except Exception as e:
+        raise KerasImportError(f"{path}: not a loadable .keras: {e}") from e
+
+    all_names = [layer.name for layer in model.layers]
+    sep_blocks = {
+        n.split("_")[0] for n in all_names
+        if n.startswith("block") and "_sepconv" in n
+    }
+    if "block1_conv1" not in all_names or not sep_blocks:
+        raise KerasImportError(
+            "only Xception-family transfer models are supported (the "
+            "artifact jgi_ham_2018_tf.ipynb cell 75 saves); found layers "
+            f"{all_names[:8]}... — torch checkpoints import via "
+            "cli/import_reference.py, raw backbone weight files via the "
+            "models.* load_keras_*_weights converters"
+        )
+
+    # depth → registered variant (middle flow = blocks 5..n-2)
+    n_blocks = max(int(b[5:]) for b in sep_blocks)
+    middle = n_blocks - 6
+    variant = {8: "xception", 2: "xception_small"}.get(middle)
+    if variant is None:
+        raise KerasImportError(
+            f"Xception with {middle} middle blocks has no registered "
+            "equivalent (xception=8, xception_small=2)"
+        )
+
+    # transfer head: exactly one Dense
+    dense = [l for l in model.layers
+             if l.__class__.__name__ == "Dense" and l.get_weights()]
+    if len(dense) != 1:
+        raise KerasImportError(
+            f"expected exactly one Dense head, found "
+            f"{[l.name for l in dense]}"
+        )
+    head = dense[0]
+    num_classes = int(head.get_weights()[0].shape[-1])
+
+    # input convention: fold 255 x in-model Rescaling into the stem
+    rescalings = [
+        (float(l.scale), float(getattr(l, "offset", 0.0) or 0.0))
+        for l in model.layers
+        if l.__class__.__name__ == "Rescaling"
+    ]
+    fold = input_fold_factor(rescalings)
+
+    shape = tuple(model.input.shape)  # (None, H, W, C)
+    if len(shape) != 4 or (shape[3] not in (3, None)):
+        raise KerasImportError(f"unsupported input shape {shape}")
+    if shape[1] is not None:
+        if shape[1] != shape[2]:
+            raise KerasImportError(
+                f"non-square input {shape} has no ModelConfig equivalent"
+            )
+        size = int(shape[1])
+    else:
+        size = int(image_size or 224)
+
+    cfg = ModelConfig(
+        name=variant, num_classes=num_classes, image_size=size,
+        # parity contract with the source framework (same reasoning as
+        # the .pth import): advertised-equal predictions need f32
+        compute_dtype="float32",
+    )
+    flax_model = build_model(cfg)
+    abstract = jax.eval_shape(
+        lambda k, x: flax_model.init(k, x, train=False),
+        jax.random.key(0), jnp.zeros((1, size, size, 3), jnp.float32),
+    )
+
+    layer_names, table = _layer_weights(model)
+    consumed: set[str] = set()
+
+    def weights_of(name: str) -> dict:
+        consumed.add(name)
+        return table[name]
+
+    backbone_names = [n for n in layer_names if n != head.name]
+    variables = apply_keras_xception_weights(
+        backbone_names, weights_of, abstract
+    )
+    variables = flax.core.unfreeze(variables)
+    variables = {k: dict(v) for k, v in variables.items()}
+
+    leftovers = set(backbone_names) - consumed
+    if leftovers:
+        raise KerasImportError(
+            f"weighted layers the Xception mapping does not consume: "
+            f"{sorted(leftovers)}"
+        )
+
+    # head Dense → Flax Dense_0 (keras kernel is already [in, out])
+    flat = flax.traverse_util.flatten_dict(variables)
+    hk, hb = table[head.name]["kernel"], table[head.name]["bias"]
+    for key, val in ((("params", "Dense_0", "kernel"), hk),
+                     (("params", "Dense_0", "bias"), hb)):
+        if key not in flat:
+            raise KerasImportError(f"model has no head at {key}")
+        if tuple(flat[key].shape) != tuple(val.shape):
+            raise KerasImportError(
+                f"head {key}: {val.shape} vs {flat[key].shape} — the "
+                "backbone feature width does not match"
+            )
+        flat[key] = jnp.asarray(val)
+
+    if fold != 1.0:
+        stem = ("params", "block1_conv1", "kernel")
+        flat[stem] = flat[stem] * jnp.float32(fold)
+
+    remaining = [k for k, v in flat.items() if not hasattr(v, "dtype")
+                 or isinstance(v, jax.ShapeDtypeStruct)]
+    if remaining:
+        raise KerasImportError(
+            f"unconverted model leaves: {remaining[:6]}"
+        )
+    variables = flax.traverse_util.unflatten_dict(flat)
+
+    meta = {
+        "backbone": variant,
+        "num_classes": num_classes,
+        "image_size": size,
+        "input_scale_folded": fold,
+        "head_layer": head.name,
+        "param_count": int(sum(
+            int(np.prod(v.shape))
+            for v in flax.traverse_util.flatten_dict(
+                variables["params"]).values()
+        )),
+    }
+    return cfg, variables, meta
+
+
+def import_keras_experiment(
+    path: str,
+    out_folder: str,
+    class_names: list[str] | None = None,
+    image_size: int | None = None,
+) -> dict:
+    """Convert a ``.keras`` artifact into an experiment folder every CLI
+    here consumes (``session_model.msgpack`` + ``train_config.json``,
+    the transfer trainers' layout, train/classify.py)."""
+    from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
+
+    cfg, variables, meta = import_keras_model(path, image_size=image_size)
+    names = list(class_names or _default_class_names(meta["num_classes"]))
+    if len(names) != meta["num_classes"]:
+        raise KerasImportError(
+            f"{len(names)} class names for {meta['num_classes']} classes"
+        )
+
+    os.makedirs(out_folder, exist_ok=True)
+    ckpt_lib.save_model(
+        os.path.join(out_folder, ckpt_lib.MODEL_FILENAME),
+        cfg, variables["params"], variables.get("batch_stats"),
+    )
+    with open(os.path.join(out_folder, "train_config.json"), "w") as f:
+        json.dump(
+            {
+                # the notebook's raw-0-255 convention is folded into the
+                # weights; our pipeline's plain /255 is now the right
+                # preprocess (NO imagenet normalization on top)
+                "data": {"normalize_imagenet": False},
+                "class_names": names,
+                "image_size": cfg.image_size,
+                "imported_from": os.path.abspath(path),
+                "keras_import": meta,
+            },
+            f, indent=2,
+        )
+    return {
+        "model": ckpt_lib.MODEL_FILENAME,
+        "class_names": names,
+        **meta,
+    }

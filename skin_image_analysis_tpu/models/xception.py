@@ -167,17 +167,18 @@ def _build_xception_small(cfg: ModelConfig):
                     freeze_backbone=cfg.freeze_backbone)
 
 
-def load_keras_xception_weights(path: str, variables: Any) -> Any:
-    """Map a Keras Xception weights ``.h5`` (the legacy
-    ``layer_names``/``weight_names`` format every downloadable
-    ``xception_weights_tf_dim_ordering_tf_kernels*.h5`` uses) onto this
-    model's variables. Reads with h5py only — no TF/Keras needed at load
-    time. The ImageNet classification head ('predictions') is skipped:
-    the transfer recipe replaces it (jgi_ham_2018_tf.ipynb cell 70).
+def apply_keras_xception_weights(layer_names, weights_of, variables):
+    """Core Keras→Flax Xception mapping, source-agnostic.
+
+    ``layer_names`` is the ordered Keras layer-name list; ``weights_of``
+    maps a layer name to ``{short_weight_name: ndarray}`` (short names =
+    ``kernel``/``gamma``/``depthwise_kernel``/... as Keras uses them).
+    Sources: the legacy ``.h5`` weight files (`load_keras_xception_
+    weights`) and live Keras models loaded from ``.keras`` artifacts
+    (migrate/keras_model.py, jgi_ham_2018_tf.ipynb cell 75).
 
     Keras stores conv kernels HWIO (no transpose); depthwise kernels
     [k, k, Cin, 1] transpose to Flax's grouped-conv [k, k, 1, Cin]."""
-    import h5py
     import numpy as np
 
     import flax
@@ -192,6 +193,82 @@ def load_keras_xception_weights(path: str, variables: Any) -> Any:
         if tuple(value.shape) != tuple(expect):
             raise ValueError(f"{key}: {value.shape} vs {expect}")
         out[key] = jnp.asarray(np.asarray(value))
+
+    def put_bn(flax_name, layer):
+        w = weights_of(layer)
+        put(("params", flax_name, "scale"), w["gamma"])
+        put(("params", flax_name, "bias"), w["beta"])
+        put(("batch_stats", flax_name, "mean"), w["moving_mean"])
+        put(("batch_stats", flax_name, "var"), w["moving_variance"])
+
+    def put_conv(flax_name, layer):
+        put(("params", flax_name, "kernel"),
+            weights_of(layer)["kernel"])
+
+    def put_sep(flax_name, layer):
+        w = weights_of(layer)
+        put(("params", flax_name, "depthwise", "kernel"),
+            np.transpose(w["depthwise_kernel"], (0, 1, 3, 2)))
+        put(("params", flax_name, "pointwise", "kernel"),
+            w["pointwise_kernel"])
+
+    # residual 1x1 convs/bns carry keras auto-names (conv2d,
+    # conv2d_1, ... / batch_normalization, ...) in build order:
+    # blocks 2, 3, 4, then the exit block
+    def _numbered(prefix):
+        def rank(n):
+            tail = n[len(prefix):]
+            return int(tail[1:]) if tail else -1
+        return sorted(
+            (n for n in layer_names
+             if n == prefix or n.startswith(prefix + "_")),
+            key=rank,
+        )
+
+    res_convs = _numbered("conv2d")
+    res_bns = _numbered("batch_normalization")
+
+    sep_blocks = sorted({
+        n.split("_")[0] for n in layer_names
+        if n.startswith("block") and "_sepconv" in n
+    }, key=lambda b: int(b[5:]))
+    n_blocks = int(sep_blocks[-1][5:])  # 14 for ImageNet depth
+    exit_block = n_blocks - 1
+    if len(res_convs) != 4 or len(res_bns) != 4:
+        raise ValueError(
+            f"expected 4 residual convs/bns, got "
+            f"{len(res_convs)}/{len(res_bns)}"
+        )
+
+    put_conv("block1_conv1", "block1_conv1")
+    put_bn("block1_conv1_bn", "block1_conv1_bn")
+    put_conv("block1_conv2", "block1_conv2")
+    put_bn("block1_conv2_bn", "block1_conv2_bn")
+
+    for res_i, bi in enumerate((2, 3, 4, exit_block)):
+        put_conv(f"block{bi}_res_conv", res_convs[res_i])
+        put_bn(f"block{bi}_res_bn", res_bns[res_i])
+
+    for bi in range(2, n_blocks + 1):
+        for si in (1, 2, 3):
+            name = f"block{bi}_sepconv{si}"
+            if name not in layer_names:
+                continue
+            put_sep(name, name)
+            put_bn(f"{name}_bn", f"{name}_bn")
+
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def load_keras_xception_weights(path: str, variables: Any) -> Any:
+    """Map a Keras Xception weights ``.h5`` (the legacy
+    ``layer_names``/``weight_names`` format every downloadable
+    ``xception_weights_tf_dim_ordering_tf_kernels*.h5`` uses) onto this
+    model's variables. Reads with h5py only — no TF/Keras needed at load
+    time. The ImageNet classification head ('predictions') is skipped:
+    the transfer recipe replaces it (jgi_ham_2018_tf.ipynb cell 70)."""
+    import h5py
+    import numpy as np
 
     with h5py.File(path, "r") as f:
         grp = f["model_weights"] if "model_weights" in f else f
@@ -211,67 +288,6 @@ def load_keras_xception_weights(path: str, variables: Any) -> Any:
                 for n in names
             }
 
-        def put_bn(flax_name, layer):
-            w = weights_of(layer)
-            put(("params", flax_name, "scale"), w["gamma"])
-            put(("params", flax_name, "bias"), w["beta"])
-            put(("batch_stats", flax_name, "mean"), w["moving_mean"])
-            put(("batch_stats", flax_name, "var"), w["moving_variance"])
-
-        def put_conv(flax_name, layer):
-            put(("params", flax_name, "kernel"),
-                weights_of(layer)["kernel"])
-
-        def put_sep(flax_name, layer):
-            w = weights_of(layer)
-            put(("params", flax_name, "depthwise", "kernel"),
-                np.transpose(w["depthwise_kernel"], (0, 1, 3, 2)))
-            put(("params", flax_name, "pointwise", "kernel"),
-                w["pointwise_kernel"])
-
-        # residual 1x1 convs/bns carry keras auto-names (conv2d,
-        # conv2d_1, ... / batch_normalization, ...) in build order:
-        # blocks 2, 3, 4, then the exit block
-        def _numbered(prefix):
-            def rank(n):
-                tail = n[len(prefix):]
-                return int(tail[1:]) if tail else -1
-            return sorted(
-                (n for n in layer_names
-                 if n == prefix or n.startswith(prefix + "_")),
-                key=rank,
-            )
-
-        res_convs = _numbered("conv2d")
-        res_bns = _numbered("batch_normalization")
-
-        sep_blocks = sorted({
-            n.split("_")[0] for n in layer_names
-            if n.startswith("block") and "_sepconv" in n
-        }, key=lambda b: int(b[5:]))
-        n_blocks = int(sep_blocks[-1][5:])  # 14 for ImageNet depth
-        exit_block = n_blocks - 1
-        if len(res_convs) != 4 or len(res_bns) != 4:
-            raise ValueError(
-                f"expected 4 residual convs/bns, got "
-                f"{len(res_convs)}/{len(res_bns)}"
-            )
-
-        put_conv("block1_conv1", "block1_conv1")
-        put_bn("block1_conv1_bn", "block1_conv1_bn")
-        put_conv("block1_conv2", "block1_conv2")
-        put_bn("block1_conv2_bn", "block1_conv2_bn")
-
-        for res_i, bi in enumerate((2, 3, 4, exit_block)):
-            put_conv(f"block{bi}_res_conv", res_convs[res_i])
-            put_bn(f"block{bi}_res_bn", res_bns[res_i])
-
-        for bi in range(2, n_blocks + 1):
-            for si in (1, 2, 3):
-                name = f"block{bi}_sepconv{si}"
-                if name not in layer_names:
-                    continue
-                put_sep(name, name)
-                put_bn(f"{name}_bn", f"{name}_bn")
-
-    return flax.traverse_util.unflatten_dict(out)
+        return apply_keras_xception_weights(
+            layer_names, weights_of, variables
+        )

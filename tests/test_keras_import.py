@@ -1,0 +1,152 @@
+"""Importing the reference TF pipeline's ``.keras`` artifact.
+
+jgi_ham_2018_tf.ipynb cell 70 builds keras.applications.Xception
+(include_top=False) → GlobalAveragePooling2D → Dense(num_classes,
+softmax) and cell 75 saves it as ``skin_cancer_xception_model.keras``.
+These tests replicate that artifact with a LIVE Keras model (random
+weights + randomized BN stats — no downloads) and require the imported
+Flax model to match the Keras forward numerically, including the
+raw-0-255 → [0,1] input-convention fold."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _notebook_transfer_model(keras, num_classes=2, size=96):
+    """Cell 70's exact construction, at test-friendly spatial size."""
+    rng = np.random.default_rng(0)
+    base = keras.applications.Xception(
+        weights=None, include_top=False, input_shape=(size, size, 3)
+    )
+    avg = keras.layers.GlobalAveragePooling2D()(base.output)
+    out = keras.layers.Dense(num_classes, activation="softmax",
+                             name="predictions")(avg)
+    model = keras.Model(base.input, out)
+    # randomize BN stats/scales so any gamma/beta/mean/var mix-up or
+    # epsilon mismatch changes the output (same harness as
+    # test_ham_xception)
+    for layer in model.layers:
+        if isinstance(layer, keras.layers.BatchNormalization):
+            c = layer.get_weights()[0].shape[0]
+            layer.set_weights([
+                rng.uniform(0.5, 1.5, c).astype(np.float32),
+                rng.normal(0, 0.1, c).astype(np.float32),
+                rng.normal(0, 0.05, c).astype(np.float32),
+                rng.uniform(0.5, 1.5, c).astype(np.float32),
+            ])
+    return model
+
+
+def test_keras_artifact_import_numerical_parity(tmp_path):
+    keras = pytest.importorskip("keras")
+
+    from skin_image_analysis_tpu.migrate import import_keras_experiment
+    from skin_image_analysis_tpu.models import build_model
+    from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
+
+    kmodel = _notebook_transfer_model(keras, num_classes=2, size=96)
+    path = str(tmp_path / "skin_cancer_xception_model.keras")
+    kmodel.save(path)
+
+    out = str(tmp_path / "imported")
+    summary = import_keras_experiment(path, out)
+    assert summary["backbone"] == "xception"
+    assert summary["num_classes"] == 2
+    assert summary["image_size"] == 96
+    assert summary["input_scale_folded"] == 255.0
+    assert summary["class_names"] == ["benign", "malignant"]
+
+    cfg, variables = ckpt_lib.load_model(
+        os.path.join(out, ckpt_lib.MODEL_FILENAME)
+    )
+    assert cfg.name == "xception"
+    assert cfg.compute_dtype == "float32"
+    assert "batch_stats" in variables
+
+    with open(os.path.join(out, "train_config.json")) as f:
+        tc = json.load(f)
+    assert tc["data"]["normalize_imagenet"] is False
+    assert tc["class_names"] == ["benign", "malignant"]
+
+    # the notebook feeds raw 0-255; our pipeline feeds [0,1]. Same
+    # pixels through both conventions must agree (fold exactness).
+    rng = np.random.default_rng(1)
+    x_255 = rng.uniform(0, 255, (2, 96, 96, 3)).astype(np.float32)
+    theirs = np.asarray(kmodel(x_255, training=False))  # softmax probs
+
+    model = build_model(cfg)
+    ours_log = np.asarray(
+        model.apply(variables, jnp.asarray(x_255 / 255.0), train=False)
+    )
+    np.testing.assert_allclose(np.exp(ours_log), theirs,
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_keras_import_cli(tmp_path):
+    keras = pytest.importorskip("keras")
+
+    from skin_image_analysis_tpu.cli.import_reference import main
+
+    kmodel = _notebook_transfer_model(keras, num_classes=2, size=96)
+    path = str(tmp_path / "m.keras")
+    kmodel.save(path)
+    out = str(tmp_path / "cli_out")
+    assert main([path, out, "--classes", "light,dark"]) == 0
+    with open(os.path.join(out, "train_config.json")) as f:
+        assert json.load(f)["class_names"] == ["light", "dark"]
+    # wrong cardinality refused
+    assert main([path, str(tmp_path / "x"), "--classes", "a,b,c"]) == 1
+
+
+def test_keras_import_rejects_non_xception(tmp_path):
+    keras = pytest.importorskip("keras")
+
+    from skin_image_analysis_tpu.migrate import (
+        KerasImportError,
+        import_keras_model,
+    )
+
+    m = keras.Sequential([
+        keras.Input((16, 16, 3)),
+        keras.layers.Conv2D(4, 3),
+        keras.layers.GlobalAveragePooling2D(),
+        keras.layers.Dense(2, activation="softmax"),
+    ])
+    path = str(tmp_path / "tiny.keras")
+    m.save(path)
+    with pytest.raises(KerasImportError, match="Xception-family"):
+        import_keras_model(path)
+
+
+def test_keras_import_rejects_garbage(tmp_path):
+    pytest.importorskip("keras")
+
+    from skin_image_analysis_tpu.migrate import (
+        KerasImportError,
+        import_keras_model,
+    )
+
+    path = str(tmp_path / "bad.keras")
+    with open(path, "wb") as f:
+        f.write(b"\x00\x01not a zip")
+    with pytest.raises(KerasImportError, match="not a loadable"):
+        import_keras_model(path)
+
+
+def test_input_fold_factor():
+    from skin_image_analysis_tpu.migrate.keras_model import (
+        KerasImportError,
+        input_fold_factor,
+    )
+
+    assert input_fold_factor([]) == 255.0                 # raw 0-255
+    assert input_fold_factor([(1 / 255.0, 0.0)]) == 1.0   # Rescaling(1/255)
+    assert input_fold_factor([(2.0, 0.0), (0.5, 0.0)]) == 255.0
+    with pytest.raises(KerasImportError, match="offset"):
+        input_fold_factor([(1 / 127.5, -1.0)])            # preprocess_input
