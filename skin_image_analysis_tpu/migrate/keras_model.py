@@ -1,36 +1,39 @@
 """Import Keras-3 ``.keras`` model artifacts into this framework.
 
-The reference's TF pipeline trains an Xception transfer model and saves
-it as ``skin_cancer_xception_model.keras`` (jgi_ham_2018_tf.ipynb cell
-70 builds ``keras.applications.Xception(include_top=False)`` →
-GlobalAveragePooling2D → Dense(num_classes, softmax); cell 75 saves it).
-This module converts that artifact into our experiment format
+The reference's TF pipeline trains a transfer model — cell 70 of
+jgi_ham_2018_tf.ipynb builds ``keras.applications.Xception(include_top=
+False)`` → GlobalAveragePooling2D → Dense(num_classes, softmax), with
+ResNet50V2/MobileNetV2/EfficientNetV2/VGG19 as commented alternatives —
+and cell 75 saves it as ``skin_cancer_xception_model.keras``. This
+module converts such artifacts into our experiment format
 (``session_model.msgpack`` + ``train_config.json``) so every CLI here —
 ``tone_bias_test``/``tone_bias_serve``/``tone_bias_export``/continued
-training — consumes it directly, the same way ``migrate/reference.py``
-imports the torch ``session_model.pth``.
+training — consumes them directly, the same way ``migrate/reference.py``
+imports the torch ``session_model.pth``. Supported backbones: every
+keras-compatible family registered here (xception, vgg16/19,
+mobilenet_v2).
 
 Two format facts shape the design:
 
 - Keras 3 stores ``model.weights.h5`` groups under *structural* names
   (``separable_conv2d_7`` — class name + build counter), NOT the layer
-  names the converter mapping needs (``block1_conv1``); the only robust
+  names the converter mappings need (``block1_conv1``); the only robust
   reader is Keras itself, so this importer requires ``keras`` at import
   time (it is the format's owner; deploy sites without Keras use the
   converted ``.msgpack``).
 - The notebook feeds raw 0-255 float images (its tf.data pipeline never
-  rescales, and the Xception application contains no Rescaling layer),
+  rescales, and none of these applications contain a Rescaling layer),
   while this framework's input pipeline feeds [0, 1]. The 255× input
-  convention is folded EXACTLY into the bias-free ``block1_conv1``
-  kernel: ``W·(255·x) == (255·W)·x`` — no serve-time flag, no
-  approximation (the stem has no bias and zero-padding maps 0→0).
+  convention is folded EXACTLY into the stem conv kernel:
+  ``W·(255·x) + b == (255·W)·x + b`` — no serve-time flag, no
+  approximation (zero-padding maps 0→0 under a pure scale).
 """
 
 from __future__ import annotations
 
 import json
 import os
-from typing import Any
+from typing import Any, Callable
 
 import numpy as np
 
@@ -41,50 +44,59 @@ __all__ = [
     "input_fold_factor",
 ]
 
-#: short weight names per Keras layer class, in get_weights() order —
-#: the same naming the legacy .h5 files use, so the live-model path
-#: feeds the identical converter core (models/xception.py).
-_WEIGHT_NAMES = {
-    "Conv2D": ("kernel", "bias"),
-    "SeparableConv2D": ("depthwise_kernel", "pointwise_kernel", "bias"),
-    "DepthwiseConv2D": ("depthwise_kernel", "bias"),
-    "BatchNormalization": ("gamma", "beta", "moving_mean",
-                           "moving_variance"),
-    "Dense": ("kernel", "bias"),
-}
-
 
 class KerasImportError(ValueError):
     """A .keras artifact this importer cannot faithfully convert."""
 
 
-def _layer_weights(model) -> tuple[list[str], dict[str, dict]]:
-    """(ordered weighted-layer names, {layer_name: {short: ndarray}})."""
-    names: list[str] = []
-    table: dict[str, dict] = {}
-    for layer in model.layers:
-        ws = layer.get_weights()
-        if not ws:
-            continue
-        cls = layer.__class__.__name__
-        if cls not in _WEIGHT_NAMES:
-            raise KerasImportError(
-                f"layer {layer.name!r}: unsupported weighted layer "
-                f"class {cls}"
-            )
-        shorts = _WEIGHT_NAMES[cls][: len(ws)]
-        if len(shorts) != len(ws):
-            raise KerasImportError(
-                f"layer {layer.name!r} ({cls}): {len(ws)} weights, "
-                f"expected at most {len(_WEIGHT_NAMES[cls])}"
-            )
-        if layer.name in table:
-            raise KerasImportError(f"duplicate layer name {layer.name!r}")
-        names.append(layer.name)
-        table[layer.name] = {
-            s: np.asarray(w) for s, w in zip(shorts, ws)
+def _detect_family(
+    all_names: list[str],
+) -> tuple[str, Callable, tuple[str, ...]]:
+    """(registered model name, apply_keras_*_weights fn, stem kernel
+    path) from the layer-name fingerprint."""
+    names = set(all_names)
+    has_sep = any("_sepconv" in n for n in names)
+    if "block1_conv1" in names and has_sep:
+        from skin_image_analysis_tpu.models.xception import (
+            apply_keras_xception_weights,
+        )
+
+        sep_blocks = {
+            n.split("_")[0] for n in names
+            if n.startswith("block") and "_sepconv" in n
         }
-    return names, table
+        middle = max(int(b[5:]) for b in sep_blocks) - 6
+        variant = {8: "xception", 2: "xception_small"}.get(middle)
+        if variant is None:
+            raise KerasImportError(
+                f"Xception with {middle} middle blocks has no "
+                "registered equivalent (xception=8, xception_small=2)"
+            )
+        return (variant, apply_keras_xception_weights,
+                ("params", "block1_conv1", "kernel"))
+    if "block5_conv3" in names and not has_sep:
+        from skin_image_analysis_tpu.models.vgg import (
+            apply_keras_vgg_weights,
+        )
+
+        variant = "vgg19" if "block5_conv4" in names else "vgg16"
+        return (variant, apply_keras_vgg_weights,
+                ("params", "block1_conv1", "kernel"))
+    if "Conv_1_bn" in names and "expanded_conv_depthwise" in names:
+        from skin_image_analysis_tpu.models.mobilenet import (
+            apply_keras_mobilenet_v2_weights,
+        )
+
+        return ("mobilenet_v2", apply_keras_mobilenet_v2_weights,
+                ("params", "Conv1", "kernel"))
+    raise KerasImportError(
+        "unrecognized backbone — supported transfer families: Xception "
+        "(the artifact jgi_ham_2018_tf.ipynb cell 75 saves), VGG16/19, "
+        f"MobileNetV2 (alpha=1); found layers {all_names[:8]}... — "
+        "torch checkpoints import via cli/import_reference.py, raw "
+        "backbone weight files via the models.* load_keras_*_weights "
+        "converters"
+    )
 
 
 def input_fold_factor(rescalings: list[tuple[float, float]]) -> float:
@@ -93,15 +105,15 @@ def input_fold_factor(rescalings: list[tuple[float, float]]) -> float:
     ``rescalings`` lists the (scale, offset) of every Rescaling layer in
     the source model, in order. Our pipeline feeds x/255 where Keras saw
     raw 0-255, so with in-model scales s_i the stem must see
-    ``255·Πs_i`` times our input. Offsets cannot fold through a bias-free
-    conv (zero padding breaks the shift at borders) → refuse."""
+    ``255·Πs_i`` times our input. Offsets cannot fold through the conv
+    (zero padding breaks an input shift at borders) → refuse."""
     fold = 255.0
     for scale, offset in rescalings:
         if float(offset) != 0.0:
             raise KerasImportError(
                 f"Rescaling offset {offset} cannot be folded into the "
-                "bias-free stem conv (zero padding breaks an input "
-                "shift at the borders); re-export without the offset"
+                "stem conv (zero padding breaks an input shift at the "
+                "borders); re-export without the offset"
             )
         fold *= float(scale)
     return fold
@@ -120,13 +132,13 @@ def _default_class_names(num_classes: int) -> list[str]:
 def import_keras_model(
     path: str, image_size: int | None = None
 ) -> tuple[Any, dict, dict]:
-    """Parse a ``.keras`` Xception-transfer artifact and return
-    ``(model_cfg, variables, meta)`` where ``variables`` is the full
-    ``{"params", "batch_stats"}`` dict matching ``build_model(model_
-    cfg)`` exactly, with the 0-255 input convention folded into the stem
-    kernel (module docstring). ``image_size`` overrides when the saved
-    model's spatial dims are dynamic (cell 70 builds without an
-    input_shape); a static input wins."""
+    """Parse a ``.keras`` transfer artifact and return ``(model_cfg,
+    variables, meta)`` where ``variables`` is the full ``{"params",
+    "batch_stats"}`` dict matching ``build_model(model_cfg)`` exactly,
+    with the 0-255 input convention folded into the stem kernel (module
+    docstring). ``image_size`` overrides when the saved model's spatial
+    dims are dynamic (cell 70 builds without an input_shape); a static
+    input wins."""
     try:
         import keras
     except Exception as e:  # pragma: no cover - keras is baked in here
@@ -141,9 +153,7 @@ def import_keras_model(
 
     from skin_image_analysis_tpu.config import ModelConfig
     from skin_image_analysis_tpu.models import build_model
-    from skin_image_analysis_tpu.models.xception import (
-        apply_keras_xception_weights,
-    )
+    from skin_image_analysis_tpu.models.keras_io import read_live_model
 
     try:
         model = keras.saving.load_model(path, compile=False)
@@ -151,28 +161,7 @@ def import_keras_model(
         raise KerasImportError(f"{path}: not a loadable .keras: {e}") from e
 
     all_names = [layer.name for layer in model.layers]
-    sep_blocks = {
-        n.split("_")[0] for n in all_names
-        if n.startswith("block") and "_sepconv" in n
-    }
-    if "block1_conv1" not in all_names or not sep_blocks:
-        raise KerasImportError(
-            "only Xception-family transfer models are supported (the "
-            "artifact jgi_ham_2018_tf.ipynb cell 75 saves); found layers "
-            f"{all_names[:8]}... — torch checkpoints import via "
-            "cli/import_reference.py, raw backbone weight files via the "
-            "models.* load_keras_*_weights converters"
-        )
-
-    # depth → registered variant (middle flow = blocks 5..n-2)
-    n_blocks = max(int(b[5:]) for b in sep_blocks)
-    middle = n_blocks - 6
-    variant = {8: "xception", 2: "xception_small"}.get(middle)
-    if variant is None:
-        raise KerasImportError(
-            f"Xception with {middle} middle blocks has no registered "
-            "equivalent (xception=8, xception_small=2)"
-        )
+    variant, apply_fn, stem_key = _detect_family(all_names)
 
     # transfer head: exactly one Dense
     dense = [l for l in model.layers
@@ -217,7 +206,10 @@ def import_keras_model(
         jax.random.key(0), jnp.zeros((1, size, size, 3), jnp.float32),
     )
 
-    layer_names, table = _layer_weights(model)
+    try:
+        layer_names, table = read_live_model(model)
+    except ValueError as e:
+        raise KerasImportError(str(e)) from e
     consumed: set[str] = set()
 
     def weights_of(name: str) -> dict:
@@ -225,16 +217,20 @@ def import_keras_model(
         return table[name]
 
     backbone_names = [n for n in layer_names if n != head.name]
-    variables = apply_keras_xception_weights(
-        backbone_names, weights_of, abstract
-    )
+    try:
+        variables = apply_fn(backbone_names, weights_of, abstract)
+    except (KeyError, ValueError) as e:
+        raise KerasImportError(
+            f"{variant} weight mapping failed (width-scaled or "
+            f"non-standard variant?): {e}"
+        ) from e
     variables = flax.core.unfreeze(variables)
     variables = {k: dict(v) for k, v in variables.items()}
 
     leftovers = set(backbone_names) - consumed
     if leftovers:
         raise KerasImportError(
-            f"weighted layers the Xception mapping does not consume: "
+            f"weighted layers the {variant} mapping does not consume: "
             f"{sorted(leftovers)}"
         )
 
@@ -253,11 +249,10 @@ def import_keras_model(
         flat[key] = jnp.asarray(val)
 
     if fold != 1.0:
-        stem = ("params", "block1_conv1", "kernel")
-        flat[stem] = flat[stem] * jnp.float32(fold)
+        flat[stem_key] = flat[stem_key] * jnp.float32(fold)
 
-    remaining = [k for k, v in flat.items() if not hasattr(v, "dtype")
-                 or isinstance(v, jax.ShapeDtypeStruct)]
+    remaining = [k for k, v in flat.items()
+                 if isinstance(v, jax.ShapeDtypeStruct)]
     if remaining:
         raise KerasImportError(
             f"unconverted model leaves: {remaining[:6]}"

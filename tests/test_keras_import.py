@@ -104,7 +104,7 @@ def test_keras_import_cli(tmp_path):
     assert main([path, str(tmp_path / "x"), "--classes", "a,b,c"]) == 1
 
 
-def test_keras_import_rejects_non_xception(tmp_path):
+def test_keras_import_rejects_unknown_backbone(tmp_path):
     keras = pytest.importorskip("keras")
 
     from skin_image_analysis_tpu.migrate import (
@@ -120,7 +120,7 @@ def test_keras_import_rejects_non_xception(tmp_path):
     ])
     path = str(tmp_path / "tiny.keras")
     m.save(path)
-    with pytest.raises(KerasImportError, match="Xception-family"):
+    with pytest.raises(KerasImportError, match="unrecognized backbone"):
         import_keras_model(path)
 
 
