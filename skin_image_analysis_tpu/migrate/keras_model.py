@@ -10,8 +10,8 @@ module converts such artifacts into our experiment format
 ``tone_bias_test``/``tone_bias_serve``/``tone_bias_export``/continued
 training — consumes them directly, the same way ``migrate/reference.py``
 imports the torch ``session_model.pth``. Supported backbones: every
-keras-compatible family registered here (xception, vgg16/19,
-mobilenet_v2).
+keras-compatible family registered here (xception, resnet50/101/152_v2,
+vgg16/19, mobilenet_v2).
 
 Two format facts shape the design:
 
@@ -82,6 +82,25 @@ def _detect_family(
         variant = "vgg19" if "block5_conv4" in names else "vgg16"
         return (variant, apply_keras_vgg_weights,
                 ("params", "block1_conv1", "kernel"))
+    if "conv2_block1_preact_bn" in names and "post_bn" in names:
+        from skin_image_analysis_tpu.models.resnet_v2 import (
+            _DEPTHS,
+            apply_keras_resnet_v2_weights,
+        )
+
+        depths = tuple(
+            max(int(n.split("_block")[1].split("_")[0])
+                for n in names if n.startswith(f"conv{s}_block"))
+            for s in (2, 3, 4, 5)
+        )
+        variant = {v: k for k, v in _DEPTHS.items()}.get(depths)
+        if variant is None:
+            raise KerasImportError(
+                f"ResNet-V2 with stack depths {depths} has no "
+                f"registered equivalent ({dict(_DEPTHS)})"
+            )
+        return (variant, apply_keras_resnet_v2_weights,
+                ("params", "conv1_conv", "kernel"))
     if "Conv_1_bn" in names and "expanded_conv_depthwise" in names:
         from skin_image_analysis_tpu.models.mobilenet import (
             apply_keras_mobilenet_v2_weights,
@@ -91,8 +110,9 @@ def _detect_family(
                 ("params", "Conv1", "kernel"))
     raise KerasImportError(
         "unrecognized backbone — supported transfer families: Xception "
-        "(the artifact jgi_ham_2018_tf.ipynb cell 75 saves), VGG16/19, "
-        f"MobileNetV2 (alpha=1); found layers {all_names[:8]}... — "
+        "(the artifact jgi_ham_2018_tf.ipynb cell 75 saves), "
+        "ResNet50/101/152V2, VGG16/19, MobileNetV2 (alpha=1); found "
+        f"layers {all_names[:8]}... — "
         "torch checkpoints import via cli/import_reference.py, raw "
         "backbone weight files via the models.* load_keras_*_weights "
         "converters"

@@ -8,4 +8,5 @@ from skin_image_analysis_tpu.models import resnet as resnet  # noqa: F401  (regi
 from skin_image_analysis_tpu.models import xception as xception  # noqa: F401  (registers xception)
 from skin_image_analysis_tpu.models import efficientnet as efficientnet  # noqa: F401  (registers efficientnet_b0-b7)
 from skin_image_analysis_tpu.models import mobilenet as mobilenet  # noqa: F401  (registers mobilenet_v2)
+from skin_image_analysis_tpu.models import resnet_v2 as resnet_v2  # noqa: F401  (registers resnet50/101/152_v2)
 from skin_image_analysis_tpu.models import vgg as vgg  # noqa: F401  (registers vgg16/vgg19)

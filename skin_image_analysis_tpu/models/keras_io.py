@@ -55,6 +55,55 @@ def read_legacy_h5(path: str) -> tuple[list[str], dict[str, dict]]:
     return layer_names, table
 
 
+def apply_name_identity_weights(layer_names, weights_of, variables,
+                                skip=()):
+    """Generic Keras→Flax mapping for families whose Flax submodule
+    names equal the Keras layer names 1:1 (mobilenet_v2, resnet_v2):
+    BatchNorm → scale/bias + batch_stats, depthwise kernels transpose
+    [k,k,C,1]→[k,k,1,C], conv/dense kernels map directly. ``skip``
+    lists exact layer names or name prefixes to ignore (ImageNet heads,
+    preprocessing layers)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(variables)
+    out = dict(flat)
+
+    def put(key, value):
+        if key not in flat:
+            raise KeyError(f"converter target {key} not in model")
+        if tuple(value.shape) != tuple(flat[key].shape):
+            raise ValueError(f"{key}: {value.shape} vs {flat[key].shape}")
+        out[key] = jnp.asarray(np.asarray(value))
+
+    for layer in layer_names:
+        if layer in skip or layer.startswith(tuple(skip)):
+            continue
+        w = weights_of(layer)
+        if not w:
+            continue
+        if "gamma" in w:  # BatchNorm
+            put(("params", layer, "scale"), w["gamma"])
+            put(("params", layer, "bias"), w["beta"])
+            put(("batch_stats", layer, "mean"), w["moving_mean"])
+            put(("batch_stats", layer, "var"), w["moving_variance"])
+        elif "depthwise_kernel" in w and "pointwise_kernel" not in w:
+            put(("params", layer, "kernel"),
+                np.transpose(w["depthwise_kernel"], (0, 1, 3, 2)))
+        elif "kernel" in w:
+            put(("params", layer, "kernel"), w["kernel"])
+            if "bias" in w:
+                put(("params", layer, "bias"), w["bias"])
+        else:
+            raise ValueError(
+                f"{layer}: unrecognized weight set {sorted(w)}"
+            )
+
+    return flax.traverse_util.unflatten_dict(out)
+
+
 def read_live_model(model) -> tuple[list[str], dict[str, dict]]:
     """(ordered weighted-layer names, {layer: {short: ndarray}}) from a
     live Keras model. Raises ValueError on weighted layer classes no

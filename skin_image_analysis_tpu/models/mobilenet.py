@@ -137,50 +137,16 @@ def apply_keras_mobilenet_v2_weights(layer_names, weights_of,
     """Keras→Flax MobileNetV2 mapping (source-agnostic,
     models/keras_io.py). Names are the identity; depthwise kernels
     [k, k, C, 1] transpose to Flax's grouped-conv [k, k, 1, C]. The
-    ImageNet head ('predictions') is skipped — the transfer recipe
-    replaces it."""
-    import numpy as np
+    ImageNet head ('predictions'/'Logits') is skipped — the transfer
+    recipe replaces it."""
+    from skin_image_analysis_tpu.models.keras_io import (
+        apply_name_identity_weights,
+    )
 
-    import flax
-
-    flat = flax.traverse_util.flatten_dict(variables)
-    out = dict(flat)
-
-    def put(key, value):
-        if key not in flat:
-            raise KeyError(f"converter target {key} not in model")
-        if tuple(value.shape) != tuple(flat[key].shape):
-            raise ValueError(
-                f"{key}: {value.shape} vs {flat[key].shape}"
-            )
-        out[key] = jnp.asarray(np.asarray(value))
-
-    for layer in layer_names:
-        if layer in ("predictions", "Logits") or layer.startswith(
-            ("rescaling", "normalization")
-        ):
-            continue
-        w = weights_of(layer)
-        if not w:
-            continue
-        if "gamma" in w:  # BatchNorm
-            put(("params", layer, "scale"), w["gamma"])
-            put(("params", layer, "bias"), w["beta"])
-            put(("batch_stats", layer, "mean"), w["moving_mean"])
-            put(("batch_stats", layer, "var"), w["moving_variance"])
-        elif "depthwise_kernel" in w:
-            put(("params", layer, "kernel"),
-                np.transpose(w["depthwise_kernel"], (0, 1, 3, 2)))
-        elif "kernel" in w:
-            put(("params", layer, "kernel"), w["kernel"])
-            if "bias" in w:
-                put(("params", layer, "bias"), w["bias"])
-        else:
-            raise ValueError(
-                f"{layer}: unrecognized weight set {sorted(w)}"
-            )
-
-    return flax.traverse_util.unflatten_dict(out)
+    return apply_name_identity_weights(
+        layer_names, weights_of, variables,
+        skip=("predictions", "Logits", "rescaling", "normalization"),
+    )
 
 
 def load_keras_mobilenet_v2_weights(path: str, variables: Any) -> Any:
