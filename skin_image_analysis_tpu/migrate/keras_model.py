@@ -11,7 +11,9 @@ module converts such artifacts into our experiment format
 training — consumes them directly, the same way ``migrate/reference.py``
 imports the torch ``session_model.pth``. Supported backbones: every
 keras-compatible family registered here (xception, resnet50/101/152_v2,
-vgg16/19, mobilenet_v2).
+efficientnet_v2_b0-b3, vgg16/19, mobilenet_v2; efficientnet_v2_s/m/l
+architectures exist but their artifacts embed an unfoldable input
+offset — see ``compose_input_transform``).
 
 Two format facts shape the design:
 
@@ -22,11 +24,16 @@ Two format facts shape the design:
   time (it is the format's owner; deploy sites without Keras use the
   converted ``.msgpack``).
 - The notebook feeds raw 0-255 float images (its tf.data pipeline never
-  rescales, and none of these applications contain a Rescaling layer),
-  while this framework's input pipeline feeds [0, 1]. The 255× input
-  convention is folded EXACTLY into the stem conv kernel:
-  ``W·(255·x) + b == (255·W)·x + b`` — no serve-time flag, no
-  approximation (zero-padding maps 0→0 under a pure scale).
+  rescales), while this framework's input pipeline feeds [0, 1]. Every
+  in-model preprocessing stack (any sequence of ``Rescaling`` /
+  ``Normalization`` layers) composes into one per-channel affine
+  ``a·x + c``; a pure scale folds EXACTLY into the stem conv kernel
+  (``W·(a·x) + b == (a·W)·x + b``; zero-padding maps 0→0 under a pure
+  scale), and an offset that matches the ImageNet mean/std transform
+  maps onto the pipeline's ``normalize_imagenet`` flag (bit-exact: the
+  constants are shared), covering EfficientNetV2-B artifacts. Any other
+  offset (e.g. EfficientNetV2-S/M/L's ``Rescaling(1/128, -1)``) cannot
+  fold through the stem's zero padding and is refused.
 """
 
 from __future__ import annotations
@@ -39,9 +46,9 @@ import numpy as np
 
 __all__ = [
     "KerasImportError",
+    "compose_input_transform",
     "import_keras_experiment",
     "import_keras_model",
-    "input_fold_factor",
 ]
 
 
@@ -108,35 +115,97 @@ def _detect_family(
 
         return ("mobilenet_v2", apply_keras_mobilenet_v2_weights,
                 ("params", "Conv1", "kernel"))
+    if "top_bn" in names and any("_dwconv2" in n for n in names):
+        from skin_image_analysis_tpu.models.efficientnet_v2 import (
+            _VARIANTS,
+            apply_keras_efficientnet_v2_weights,
+            block_counts,
+        )
+
+        counts = tuple(
+            sum(1 for n in names
+                if n.startswith(f"block{s}")
+                and n.endswith("_project_conv"))
+            for s in range(1, 8)
+        )
+        counts = tuple(x for x in counts if x)
+        variant = next(
+            (v for v in _VARIANTS if block_counts(v) == counts), None
+        )
+        if variant is None:
+            raise KerasImportError(
+                f"EfficientNetV2 with per-stage block counts {counts} "
+                "has no registered equivalent (b0-b3, s, m, l)"
+            )
+        return (variant, apply_keras_efficientnet_v2_weights,
+                ("params", "stem_conv", "kernel"))
     raise KerasImportError(
         "unrecognized backbone — supported transfer families: Xception "
         "(the artifact jgi_ham_2018_tf.ipynb cell 75 saves), "
-        "ResNet50/101/152V2, VGG16/19, MobileNetV2 (alpha=1); found "
-        f"layers {all_names[:8]}... — "
+        "ResNet50/101/152V2, EfficientNetV2 (b0-b3/s/m/l), VGG16/19, "
+        f"MobileNetV2 (alpha=1); found layers {all_names[:8]}... — "
         "torch checkpoints import via cli/import_reference.py, raw "
         "backbone weight files via the models.* load_keras_*_weights "
         "converters"
     )
 
 
-def input_fold_factor(rescalings: list[tuple[float, float]]) -> float:
-    """The per-pixel scale to fold into the stem conv kernel.
+def compose_input_transform(
+    pre_layers: list[tuple],
+) -> tuple[np.ndarray, bool]:
+    """Fold the model's preprocessing stack into this framework's input
+    conventions: ``(per-channel stem fold, normalize_imagenet flag)``.
 
-    ``rescalings`` lists the (scale, offset) of every Rescaling layer in
-    the source model, in order. Our pipeline feeds x/255 where Keras saw
-    raw 0-255, so with in-model scales s_i the stem must see
-    ``255·Πs_i`` times our input. Offsets cannot fold through the conv
-    (zero padding breaks an input shift at borders) → refuse."""
-    fold = 255.0
-    for scale, offset in rescalings:
-        if float(offset) != 0.0:
-            raise KerasImportError(
-                f"Rescaling offset {offset} cannot be folded into the "
-                "stem conv (zero padding breaks an input shift at the "
-                "borders); re-export without the offset"
-            )
-        fold *= float(scale)
-    return fold
+    ``pre_layers`` lists the model's preprocessing layers in graph
+    order: ``("rescaling", scale, offset)`` (scalar or per-channel) or
+    ``("normalization", mean, variance)``. All are per-channel affine,
+    so the whole stack composes to ``y = a·x_raw + c``; as a function of
+    our pipeline's x01 = x_raw/255 that is ``(255a)·x01 + c``. Then:
+
+    - offset-free (c == 0): fold the pure scale into the stem kernel;
+    - c == -(255a)·mean_imagenet exactly (the EfficientNet-style
+      ImageNet normalization): map onto the pipeline's
+      ``normalize_imagenet`` flag (same constants, bit-exact) with the
+      residual per-channel scale folded into the stem;
+    - anything else (e.g. EfficientNetV2-S/M/L's Rescaling(1/128, -1)):
+      refuse — an input shift cannot fold through the stem conv's zero
+      padding, and the pipeline has no matching transform."""
+    a = np.full(3, 255.0)
+    c = np.zeros(3)
+    for layer in pre_layers:
+        kind = layer[0]
+        if kind == "rescaling":
+            s = np.broadcast_to(
+                np.asarray(layer[1], np.float64).ravel(), (3,))
+            o = np.broadcast_to(
+                np.asarray(layer[2], np.float64).ravel(), (3,))
+            a, c = s * a, s * c + o
+        elif kind == "normalization":
+            m = np.broadcast_to(
+                np.asarray(layer[1], np.float64).ravel(), (3,))
+            std = np.sqrt(np.broadcast_to(
+                np.asarray(layer[2], np.float64).ravel(), (3,)))
+            a, c = a / std, (c - m) / std
+        else:  # pragma: no cover - caller builds the tuples
+            raise KerasImportError(f"unknown preprocessing layer {kind}")
+    if np.allclose(c, 0.0, atol=1e-9):
+        return a.astype(np.float32), False
+    from skin_image_analysis_tpu.ops.preprocess import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+
+    mean = np.asarray(IMAGENET_MEAN, np.float64)
+    std = np.asarray(IMAGENET_STD, np.float64)
+    if np.allclose(c, -a * mean, rtol=1e-6, atol=1e-9):
+        return (a * std).astype(np.float32), True
+    raise KerasImportError(
+        f"in-model input offset {c.tolist()} cannot be folded into the "
+        "stem conv (zero padding breaks an input shift at the borders) "
+        "and does not match the pipeline's ImageNet normalization — "
+        "EfficientNetV2-S/M/L's Rescaling(1/128, offset=-1) is the "
+        "known case; re-export with include_preprocessing=False"
+    )
 
 
 def _default_class_names(num_classes: int) -> list[str]:
@@ -194,13 +263,21 @@ def import_keras_model(
     head = dense[0]
     num_classes = int(head.get_weights()[0].shape[-1])
 
-    # input convention: fold 255 x in-model Rescaling into the stem
-    rescalings = [
-        (float(l.scale), float(getattr(l, "offset", 0.0) or 0.0))
-        for l in model.layers
-        if l.__class__.__name__ == "Rescaling"
-    ]
-    fold = input_fold_factor(rescalings)
+    # input convention: compose the in-model preprocessing stack (in
+    # graph order) into a stem fold + pipeline-normalization flag
+    pre_layers = []
+    for l in model.layers:
+        cls = l.__class__.__name__
+        if cls == "Rescaling":
+            pre_layers.append(
+                ("rescaling", np.asarray(l.scale, np.float64),
+                 np.asarray(getattr(l, "offset", 0.0) or 0.0,
+                            np.float64)))
+        elif cls == "Normalization":
+            pre_layers.append(
+                ("normalization", np.asarray(l.mean, np.float64),
+                 np.asarray(l.variance, np.float64)))
+    fold, normalize_imagenet = compose_input_transform(pre_layers)
 
     shape = tuple(model.input.shape)  # (None, H, W, C)
     if len(shape) != 4 or (shape[3] not in (3, None)):
@@ -268,8 +345,10 @@ def import_keras_model(
             )
         flat[key] = jnp.asarray(val)
 
-    if fold != 1.0:
-        flat[stem_key] = flat[stem_key] * jnp.float32(fold)
+    if not np.allclose(fold, 1.0):
+        # per input channel: W·(a⊙x) == (a⊙W)·x along the C_in axis
+        flat[stem_key] = flat[stem_key] * jnp.asarray(
+            fold.reshape(1, 1, 3, 1), jnp.float32)
 
     remaining = [k for k, v in flat.items()
                  if isinstance(v, jax.ShapeDtypeStruct)]
@@ -283,7 +362,9 @@ def import_keras_model(
         "backbone": variant,
         "num_classes": num_classes,
         "image_size": size,
-        "input_scale_folded": fold,
+        "input_scale_folded": (float(fold[0]) if np.allclose(fold, fold[0])
+                               else [float(v) for v in fold]),
+        "normalize_imagenet": normalize_imagenet,
         "head_layer": head.name,
         "param_count": int(sum(
             int(np.prod(v.shape))
@@ -320,10 +401,13 @@ def import_keras_experiment(
     with open(os.path.join(out_folder, "train_config.json"), "w") as f:
         json.dump(
             {
-                # the notebook's raw-0-255 convention is folded into the
-                # weights; our pipeline's plain /255 is now the right
-                # preprocess (NO imagenet normalization on top)
-                "data": {"normalize_imagenet": False},
+                # the source model's input convention is folded into the
+                # stem weights; normalize_imagenet is True only when the
+                # artifact embedded the ImageNet normalization stack
+                # (EfficientNetV2-B) that our pipeline flag reproduces
+                "data": {
+                    "normalize_imagenet": meta["normalize_imagenet"],
+                },
                 "class_names": names,
                 "image_size": cfg.image_size,
                 "imported_from": os.path.abspath(path),

@@ -139,14 +139,40 @@ def test_keras_import_rejects_garbage(tmp_path):
         import_keras_model(path)
 
 
-def test_input_fold_factor():
+def test_compose_input_transform():
+    import numpy as np
+
     from skin_image_analysis_tpu.migrate.keras_model import (
         KerasImportError,
-        input_fold_factor,
+        compose_input_transform,
     )
 
-    assert input_fold_factor([]) == 255.0                 # raw 0-255
-    assert input_fold_factor([(1 / 255.0, 0.0)]) == 1.0   # Rescaling(1/255)
-    assert input_fold_factor([(2.0, 0.0), (0.5, 0.0)]) == 255.0
+    def fold(layers):
+        return compose_input_transform(layers)
+
+    f, norm = fold([])                                    # raw 0-255
+    assert np.allclose(f, 255.0) and not norm
+    f, norm = fold([("rescaling", 1 / 255.0, 0.0)])       # Rescaling(1/255)
+    assert np.allclose(f, 1.0) and not norm
+    f, norm = fold([("rescaling", 2.0, 0.0), ("rescaling", 0.5, 0.0)])
+    assert np.allclose(f, 255.0) and not norm
+    # identity Normalization (keras EfficientNet built with weights=None)
+    f, norm = fold([("rescaling", 1 / 255.0, 0.0),
+                    ("normalization", [0.0] * 3, [1.0] * 3)])
+    assert np.allclose(f, 1.0) and not norm
+    # the EfficientNetV2-B stack -> the pipeline's normalize_imagenet
+    mean = [0.485, 0.456, 0.406]
+    var = [0.229 ** 2, 0.224 ** 2, 0.225 ** 2]
+    f, norm = fold([("rescaling", 1 / 255.0, 0.0),
+                    ("normalization", mean, var)])
+    assert norm and np.allclose(f, 1.0)
+    # v1-imagenet form: the extra 1/std Rescaling AFTER normalization
+    # folds as a per-channel scale on top of the pipeline flag
+    f, norm = fold([("rescaling", 1 / 255.0, 0.0),
+                    ("normalization", mean, var),
+                    ("rescaling", [1 / s for s in (0.229, 0.224, 0.225)],
+                     0.0)])
+    assert norm and np.allclose(f, [1 / s for s in (0.229, 0.224, 0.225)])
+    # an unfoldable offset (EfficientNetV2-S/M/L) refuses
     with pytest.raises(KerasImportError, match="offset"):
-        input_fold_factor([(1 / 127.5, -1.0)])            # preprocess_input
+        fold([("rescaling", 1 / 128.0, -1.0)])
