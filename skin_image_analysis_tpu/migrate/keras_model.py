@@ -11,9 +11,9 @@ module converts such artifacts into our experiment format
 training — consumes them directly, the same way ``migrate/reference.py``
 imports the torch ``session_model.pth``. Supported backbones: every
 keras-compatible family registered here (xception, resnet50/101/152_v2,
-efficientnet_v2_b0-b3, vgg16/19, mobilenet_v2; efficientnet_v2_s/m/l
-architectures exist but their artifacts embed an unfoldable input
-offset — see ``compose_input_transform``).
+efficientnet_b0-b7, efficientnet_v2_b0-b3, vgg16/19, mobilenet_v2;
+efficientnet_v2_s/m/l architectures exist but their artifacts embed an
+unfoldable input offset — see ``compose_input_transform``).
 
 Two format facts shape the design:
 
@@ -58,9 +58,11 @@ class KerasImportError(ValueError):
 
 def _detect_family(
     all_names: list[str],
-) -> tuple[str, Callable, tuple[str, ...]]:
-    """(registered model name, apply_keras_*_weights fn, stem kernel
-    path) from the layer-name fingerprint."""
+) -> list[tuple[str, Callable, tuple[str, ...]]]:
+    """Candidate ``(registered model name, apply_keras_*_weights fn,
+    stem kernel path)`` tuples from the layer-name fingerprint. Usually
+    one candidate; EfficientNet-v1 b1/b2 share per-stage block counts
+    and are disambiguated by the caller's shape-checked weight apply."""
     names = set(all_names)
     has_sep = any("_sepconv" in n for n in names)
     if "block1_conv1" in names and has_sep:
@@ -79,16 +81,16 @@ def _detect_family(
                 f"Xception with {middle} middle blocks has no "
                 "registered equivalent (xception=8, xception_small=2)"
             )
-        return (variant, apply_keras_xception_weights,
-                ("params", "block1_conv1", "kernel"))
+        return [(variant, apply_keras_xception_weights,
+                 ("params", "block1_conv1", "kernel"))]
     if "block5_conv3" in names and not has_sep:
         from skin_image_analysis_tpu.models.vgg import (
             apply_keras_vgg_weights,
         )
 
         variant = "vgg19" if "block5_conv4" in names else "vgg16"
-        return (variant, apply_keras_vgg_weights,
-                ("params", "block1_conv1", "kernel"))
+        return [(variant, apply_keras_vgg_weights,
+                 ("params", "block1_conv1", "kernel"))]
     if "conv2_block1_preact_bn" in names and "post_bn" in names:
         from skin_image_analysis_tpu.models.resnet_v2 import (
             _DEPTHS,
@@ -106,15 +108,15 @@ def _detect_family(
                 f"ResNet-V2 with stack depths {depths} has no "
                 f"registered equivalent ({dict(_DEPTHS)})"
             )
-        return (variant, apply_keras_resnet_v2_weights,
-                ("params", "conv1_conv", "kernel"))
+        return [(variant, apply_keras_resnet_v2_weights,
+                 ("params", "conv1_conv", "kernel"))]
     if "Conv_1_bn" in names and "expanded_conv_depthwise" in names:
         from skin_image_analysis_tpu.models.mobilenet import (
             apply_keras_mobilenet_v2_weights,
         )
 
-        return ("mobilenet_v2", apply_keras_mobilenet_v2_weights,
-                ("params", "Conv1", "kernel"))
+        return [("mobilenet_v2", apply_keras_mobilenet_v2_weights,
+                 ("params", "Conv1", "kernel"))]
     if "top_bn" in names and any("_dwconv2" in n for n in names):
         from skin_image_analysis_tpu.models.efficientnet_v2 import (
             _VARIANTS,
@@ -137,12 +139,38 @@ def _detect_family(
                 f"EfficientNetV2 with per-stage block counts {counts} "
                 "has no registered equivalent (b0-b3, s, m, l)"
             )
-        return (variant, apply_keras_efficientnet_v2_weights,
-                ("params", "stem_conv", "kernel"))
+        return [(variant, apply_keras_efficientnet_v2_weights,
+                 ("params", "stem_conv", "kernel"))]
+    if "top_bn" in names and any(n.endswith("_dwconv") for n in names):
+        from skin_image_analysis_tpu.models.efficientnet import (
+            _VARIANTS as _V1_VARIANTS,
+            apply_keras_efficientnet_weights,
+        )
+        from skin_image_analysis_tpu.models.efficientnet import (
+            block_counts as _v1_counts,
+        )
+
+        counts = tuple(
+            sum(1 for n in names
+                if n.startswith(f"block{s}")
+                and n.endswith("_project_conv"))
+            for s in range(1, 8)
+        )
+        cands = [v for v in _V1_VARIANTS if _v1_counts(v) == counts]
+        if not cands:
+            raise KerasImportError(
+                f"EfficientNet (v1) with per-stage block counts "
+                f"{counts} has no registered equivalent (b0-b7)"
+            )
+        # b1/b2 share counts: both returned, the caller's shape-checked
+        # apply picks the one whose widths match
+        return [(f"efficientnet_{v}", apply_keras_efficientnet_weights,
+                 ("params", "stem_conv", "kernel")) for v in cands]
     raise KerasImportError(
         "unrecognized backbone — supported transfer families: Xception "
         "(the artifact jgi_ham_2018_tf.ipynb cell 75 saves), "
-        "ResNet50/101/152V2, EfficientNetV2 (b0-b3/s/m/l), VGG16/19, "
+        "ResNet50/101/152V2, EfficientNet (b0-b7), EfficientNetV2 "
+        "(b0-b3/s/m/l), VGG16/19, "
         f"MobileNetV2 (alpha=1); found layers {all_names[:8]}... — "
         "torch checkpoints import via cli/import_reference.py, raw "
         "backbone weight files via the models.* load_keras_*_weights "
@@ -250,7 +278,7 @@ def import_keras_model(
         raise KerasImportError(f"{path}: not a loadable .keras: {e}") from e
 
     all_names = [layer.name for layer in model.layers]
-    variant, apply_fn, stem_key = _detect_family(all_names)
+    candidates = _detect_family(all_names)
 
     # transfer head: exactly one Dense
     dense = [l for l in model.layers
@@ -291,36 +319,50 @@ def import_keras_model(
     else:
         size = int(image_size or 224)
 
-    cfg = ModelConfig(
-        name=variant, num_classes=num_classes, image_size=size,
-        # parity contract with the source framework (same reasoning as
-        # the .pth import): advertised-equal predictions need f32
-        compute_dtype="float32",
-    )
-    flax_model = build_model(cfg)
-    abstract = jax.eval_shape(
-        lambda k, x: flax_model.init(k, x, train=False),
-        jax.random.key(0), jnp.zeros((1, size, size, 3), jnp.float32),
-    )
-
     try:
         layer_names, table = read_live_model(model)
     except ValueError as e:
         raise KerasImportError(str(e)) from e
-    consumed: set[str] = set()
+    # preprocessing layers are folded via compose_input_transform, not
+    # mapped as weights
+    backbone_names = [
+        n for n in layer_names
+        if n != head.name
+        and not n.startswith(("rescaling", "normalization"))
+    ]
 
-    def weights_of(name: str) -> dict:
-        consumed.add(name)
-        return table[name]
+    variables = cfg = None
+    errors: list[str] = []
+    for variant, apply_fn, stem_key in candidates:
+        cfg = ModelConfig(
+            name=variant, num_classes=num_classes, image_size=size,
+            # parity contract with the source framework (same reasoning
+            # as the .pth import): advertised-equal predictions need f32
+            compute_dtype="float32",
+        )
+        flax_model = build_model(cfg)
+        abstract = jax.eval_shape(
+            lambda k, x: flax_model.init(k, x, train=False),
+            jax.random.key(0),
+            jnp.zeros((1, size, size, 3), jnp.float32),
+        )
+        consumed: set[str] = set()
 
-    backbone_names = [n for n in layer_names if n != head.name]
-    try:
-        variables = apply_fn(backbone_names, weights_of, abstract)
-    except (KeyError, ValueError) as e:
+        def weights_of(name: str) -> dict:
+            consumed.add(name)
+            return table[name]
+
+        try:
+            variables = apply_fn(backbone_names, weights_of, abstract)
+            break
+        except (KeyError, ValueError) as e:
+            errors.append(f"{variant}: {e}")
+    else:
         raise KerasImportError(
-            f"{variant} weight mapping failed (width-scaled or "
-            f"non-standard variant?): {e}"
-        ) from e
+            "weight mapping failed for every candidate variant "
+            "(width-scaled or non-standard model?): "
+            + "; ".join(errors)
+        )
     variables = flax.core.unfreeze(variables)
     variables = {k: dict(v) for k, v in variables.items()}
 

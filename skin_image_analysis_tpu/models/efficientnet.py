@@ -284,20 +284,24 @@ def _build_b7(cfg: ModelConfig):
     return _make("b7", cfg)
 
 
-def load_keras_efficientnet_weights(path: str, variables: Any) -> Any:
-    """Map a Keras EfficientNet weights ``.h5`` (the legacy
-    ``layer_names``/``weight_names`` format the downloadable
-    ``efficientnetb*_notop.h5`` files use) onto this model's variables.
-    Reads with h5py only — no TF/Keras needed at load time. The ImageNet
-    head ('predictions'), the preprocessing layers
-    (rescaling/normalization — handled by our input pipeline), and any
-    weightless layers are skipped.
+def block_counts(variant: str) -> tuple[int, ...]:
+    """Depth-scaled blocks per stage — the structural fingerprint the
+    .keras importer uses to recover the variant from an artifact (b1
+    and b2 share counts and are disambiguated by weight shapes)."""
+    _, d, _ = _VARIANTS[variant]
+    return tuple(round_repeats(r, d) for _, _, r, _, _ in _B0_STAGES)
 
-    Keras stores conv kernels HWIO (no transpose); depthwise kernels
-    [k, k, C, 1] transpose to Flax's grouped-conv [k, k, 1, C]. Because
-    this module names every layer exactly as Keras does, the mapping is
-    the identity on names."""
-    import h5py
+
+def apply_keras_efficientnet_weights(layer_names, weights_of,
+                                     variables) -> Any:
+    """Keras→Flax EfficientNet v1 mapping (source-agnostic — callers
+    feed it either a legacy-.h5 table or a live Keras model,
+    models/keras_io.py). Unlike the name-identity families, v1's Flax
+    params nest under the MBConv submodule that shares the layer's
+    block prefix ("block2a"/"block2a_dwconv"/…), stem/top at the root.
+    The ImageNet head ('predictions') and preprocessing layers are
+    skipped; depthwise kernels [k, k, C, 1] transpose to Flax's
+    grouped-conv [k, k, 1, C]."""
     import numpy as np
 
     import flax
@@ -305,9 +309,6 @@ def load_keras_efficientnet_weights(path: str, variables: Any) -> Any:
     flat = flax.traverse_util.flatten_dict(variables)
     out = dict(flat)
 
-    # flax paths: params live under the MBConv submodule that shares the
-    # layer's block prefix ("block2a"/"block2a_dwconv"/...), stem/top
-    # layers at the root
     def _target(layer: str, leaf: str):
         if layer.startswith("block"):
             block = layer.split("_")[0]
@@ -330,48 +331,44 @@ def load_keras_efficientnet_weights(path: str, variables: Any) -> Any:
             raise ValueError(f"{key}: {value.shape} vs {expect}")
         out[key] = jnp.asarray(np.asarray(value))
 
-    with h5py.File(path, "r") as f:
-        grp = f["model_weights"] if "model_weights" in f else f
-        layer_names = [
-            n.decode() if isinstance(n, bytes) else str(n)
-            for n in grp.attrs["layer_names"]
-        ]
-
-        def weights_of(layer):
-            g = grp[layer]
-            names = [
-                n.decode() if isinstance(n, bytes) else str(n)
-                for n in g.attrs["weight_names"]
-            ]
-            return {
-                n.split("/")[-1].split(":")[0]: np.asarray(g[n])
-                for n in names
-            }
-
-        for layer in layer_names:
-            if (layer in ("rescaling", "normalization", "predictions",
-                          "avg_pool", "top_dropout")
-                    or layer.startswith(("rescaling_", "normalization_"))):
-                continue
-            w = weights_of(layer)
-            if not w:
-                continue
-            if "gamma" in w:  # BatchNorm
-                put(_target_bn(layer, "params", "scale"), w["gamma"])
-                put(_target_bn(layer, "params", "bias"), w["beta"])
-                put(_target_bn(layer, "stats", "mean"), w["moving_mean"])
-                put(_target_bn(layer, "stats", "var"),
-                    w["moving_variance"])
-            elif "depthwise_kernel" in w:
-                put(_target(layer, "kernel"),
-                    np.transpose(w["depthwise_kernel"], (0, 1, 3, 2)))
-            elif "kernel" in w:
-                put(_target(layer, "kernel"), w["kernel"])
-                if "bias" in w:
-                    put(_target(layer, "bias"), w["bias"])
-            else:
-                raise ValueError(
-                    f"{layer}: unrecognized weight set {sorted(w)}"
-                )
+    for layer in layer_names:
+        if (layer in ("rescaling", "normalization", "predictions",
+                      "avg_pool", "top_dropout")
+                or layer.startswith(("rescaling_", "normalization_"))):
+            continue
+        w = weights_of(layer)
+        if not w:
+            continue
+        if "gamma" in w:  # BatchNorm
+            put(_target_bn(layer, "params", "scale"), w["gamma"])
+            put(_target_bn(layer, "params", "bias"), w["beta"])
+            put(_target_bn(layer, "stats", "mean"), w["moving_mean"])
+            put(_target_bn(layer, "stats", "var"),
+                w["moving_variance"])
+        elif "depthwise_kernel" in w:
+            put(_target(layer, "kernel"),
+                np.transpose(w["depthwise_kernel"], (0, 1, 3, 2)))
+        elif "kernel" in w:
+            put(_target(layer, "kernel"), w["kernel"])
+            if "bias" in w:
+                put(_target(layer, "bias"), w["bias"])
+        else:
+            raise ValueError(
+                f"{layer}: unrecognized weight set {sorted(w)}"
+            )
 
     return flax.traverse_util.unflatten_dict(out)
+
+
+def load_keras_efficientnet_weights(path: str, variables: Any) -> Any:
+    """Map a Keras EfficientNet weights ``.h5`` (the legacy
+    ``layer_names``/``weight_names`` format the downloadable
+    ``efficientnetb*_notop.h5`` files use) onto this model's variables.
+    Reads with h5py only — no TF/Keras needed at load time
+    (``apply_keras_efficientnet_weights`` documents the mapping)."""
+    from skin_image_analysis_tpu.models.keras_io import read_legacy_h5
+
+    layer_names, table = read_legacy_h5(path)
+    return apply_keras_efficientnet_weights(
+        layer_names, table.__getitem__, variables
+    )

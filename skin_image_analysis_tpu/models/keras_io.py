@@ -26,6 +26,11 @@ WEIGHT_NAMES = {
     "BatchNormalization": ("gamma", "beta", "moving_mean",
                            "moving_variance"),
     "Dense": ("kernel", "bias"),
+    # EfficientNet v1 builds Normalization(axis) WITHOUT constructor
+    # stats, so keras stores them as layer variables; every apply_*
+    # mapping skips the layer by name (the importer folds its effect
+    # via compose_input_transform instead)
+    "Normalization": ("mean", "variance", "count"),
 }
 
 
