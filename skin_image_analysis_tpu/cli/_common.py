@@ -58,3 +58,34 @@ def init_runtime() -> None:
     )
 
     maybe_initialize()
+
+
+def input_convention(folder: str) -> tuple[bool, tuple | None]:
+    """The experiment's model-input convention, read from its
+    ``train_config.json``: ``(normalize_imagenet, input_affine)``.
+
+    Every eval/inference surface that reconstructs a preprocess for a
+    checkpoint folder must honor this — transfer runs train with
+    ImageNet normalization (ClassifyConfig default) and imported
+    ``.keras`` artifacts may carry a generic affine
+    (migrate/keras_model.py); scoring them on plain [0, 1] floats would
+    silently shift every prediction. Defaults to ``(False, None)``
+    (the flagship convention) when the folder has no config.
+    """
+    import json
+    import os
+
+    from skin_image_analysis_tpu.ops.preprocess import normalize_affine
+
+    cfg_path = os.path.join(folder, "train_config.json")
+    if not os.path.exists(cfg_path):
+        return False, None
+    try:
+        with open(cfg_path) as f:
+            data_cfg = json.load(f).get("data", {})
+    except (OSError, ValueError):
+        return False, None
+    return (
+        bool(data_cfg.get("normalize_imagenet", False)),
+        normalize_affine(data_cfg.get("input_affine")),
+    )

@@ -69,7 +69,23 @@ def main(argv: list[str] | None = None) -> int:
     table = LesionTable(test_df.head(n_images), root)
     store = HostImageStore(table, canonical_size=model_cfg.image_size)
 
-    x = jnp.asarray(store.images.astype(np.float32) / 255.0)
+    x01 = jnp.asarray(store.images.astype(np.float32) / 255.0)
+    x = x01
+    # honor the folder's model-input convention (ImageNet-normalized
+    # transfer runs, imported artifacts with a generic affine) — the
+    # attributions/forwards run on the model's input; the triptych keeps
+    # rendering the [0,1] image
+    from skin_image_analysis_tpu.cli._common import input_convention
+    from skin_image_analysis_tpu.ops.preprocess import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+
+    norm, affine = input_convention(folder)
+    if norm:
+        x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    elif affine is not None:
+        x = x * jnp.asarray(affine[0]) + jnp.asarray(affine[1])
     log_probs = model.apply(variables, x, train=False)
     probs = np.exp(np.asarray(log_probs))  # softmax via exp of log-probs
     preds = jnp.argmax(log_probs, axis=-1)
@@ -136,7 +152,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         path = os.path.join(out_dir, f"{method}_{inst['image_name']}.png")
         visualize_attribution_triptych(
-            np.asarray(x[i]), attr[i], title=title, save_path=path
+            np.asarray(x01[i]), attr[i], title=title, save_path=path
         )
         print(f"wrote {path}")
     return 0

@@ -57,9 +57,15 @@ def main(argv: list[str] | None = None) -> int:
     table = LesionTable(df, root)
     store = HostImageStore(table, canonical_size=model_cfg.image_size)
     loader = BatchIterator(store, opts["batch-size"], shuffle=False)
+    from skin_image_analysis_tpu.cli._common import input_convention
+
+    norm, affine = input_convention(folder)
     out = collect_predictions(
         params, model.apply, loader,
-        preprocess_fn=make_preprocess_fn(model_cfg.image_size, train=False),
+        preprocess_fn=make_preprocess_fn(
+            model_cfg.image_size, train=False, normalize_imagenet=norm,
+            input_affine=affine,
+        ),
         batch_stats=batch_stats,
     )
     order = np.argsort(out["row_id"])

@@ -68,9 +68,16 @@ def main(argv: list[str] | None = None) -> int:
     table = LesionTable(test_df, root)
     store = HostImageStore(table, canonical_size=model_cfg.image_size)
     loader = BatchIterator(store, batch_size=opts["batch-size"], shuffle=False)
+    from skin_image_analysis_tpu.cli._common import input_convention
+
+    norm, affine = input_convention(folder)
+    eval_pre = make_preprocess_fn(
+        model_cfg.image_size, train=False, normalize_imagenet=norm,
+        input_affine=affine,
+    )
     record = evaluate_fairness(
         params, model.apply, loader, table,
-        preprocess_fn=make_preprocess_fn(model_cfg.image_size, train=False),
+        preprocess_fn=eval_pre,
         batch_stats=batch_stats,
     )
     print(json.dumps(record, indent=2))
@@ -87,7 +94,7 @@ def main(argv: list[str] | None = None) -> int:
 
         out = collect_predictions(
             params, model.apply, loader,
-            preprocess_fn=make_preprocess_fn(model_cfg.image_size, train=False),
+            preprocess_fn=eval_pre,
             batch_stats=batch_stats,
         )
         k = min(6, len(out["pred"]))

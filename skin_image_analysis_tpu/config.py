@@ -28,6 +28,15 @@ class DataConfig:
     prefetch_depth: int = 2        # device-side double buffering
     augment: bool = False          # flip/crop/color-jitter (train only)
     normalize_imagenet: bool = False  # ImageNet mean/std (ToneClassifier recipe)
+    input_affine: tuple | None = None  # generic per-channel (scale, offset)
+                                   # applied to the [0,1] floats — the
+                                   # model's input convention when it is
+                                   # neither [0,1] nor ImageNet-normalized
+                                   # (e.g. imported EfficientNetV2-S/M/L
+                                   # .keras artifacts embed Rescaling(
+                                   # 1/128, -1)); exclusive with
+                                   # normalize_imagenet. See
+                                   # ops.preprocess.normalize_affine.
     seed: int = 0
     cache_decoded: bool = True     # keep canonical uint8 images in RAM
     device_cache: bool = True      # commit the uint8 arena to HBM once and
@@ -207,6 +216,14 @@ def replace(cfg: Any, **kw: Any) -> Any:
     return dataclasses.replace(cfg, **kw)
 
 
+def _deep_tuple(value: list) -> tuple:
+    """JSON arrays → hashable nested tuples (frozen configs feed jit
+    static arguments, e.g. DataConfig.input_affine)."""
+    return tuple(
+        _deep_tuple(v) if isinstance(v, list) else v for v in value
+    )
+
+
 def _build(cls: type, payload: Mapping[str, Any]) -> Any:
     """Recursively build a (possibly nested) config dataclass from a mapping."""
     kwargs: dict[str, Any] = {}
@@ -217,7 +234,7 @@ def _build(cls: type, payload: Mapping[str, Any]) -> Any:
         if dataclasses.is_dataclass(field.type) and isinstance(value, Mapping):
             value = _build(field.type, value)
         elif isinstance(value, list):
-            value = tuple(value)
+            value = _deep_tuple(value)
         kwargs[field.name] = value
     return cls(**kwargs)
 

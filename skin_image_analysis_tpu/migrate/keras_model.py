@@ -11,9 +11,8 @@ module converts such artifacts into our experiment format
 training — consumes them directly, the same way ``migrate/reference.py``
 imports the torch ``session_model.pth``. Supported backbones: every
 keras-compatible family registered here (xception, resnet50/101/152_v2,
-efficientnet_b0-b7, efficientnet_v2_b0-b3, vgg16/19, mobilenet_v2;
-efficientnet_v2_s/m/l architectures exist but their artifacts embed an
-unfoldable input offset — see ``compose_input_transform``).
+efficientnet_b0-b7, efficientnet_v2_b0-b3/s/m/l, vgg16/19,
+mobilenet_v2).
 
 Two format facts shape the design:
 
@@ -33,7 +32,9 @@ Two format facts shape the design:
   maps onto the pipeline's ``normalize_imagenet`` flag (bit-exact: the
   constants are shared), covering EfficientNetV2-B artifacts. Any other
   offset (e.g. EfficientNetV2-S/M/L's ``Rescaling(1/128, -1)``) cannot
-  fold through the stem's zero padding and is refused.
+  fold through the stem's zero padding — it rides as the pipeline's
+  generic ``input_affine`` (DataConfig.input_affine), applied on the
+  [0,1] floats exactly where the source model applied it.
 """
 
 from __future__ import annotations
@@ -180,9 +181,10 @@ def _detect_family(
 
 def compose_input_transform(
     pre_layers: list[tuple],
-) -> tuple[np.ndarray, bool]:
+) -> tuple[np.ndarray, bool, tuple | None]:
     """Fold the model's preprocessing stack into this framework's input
-    conventions: ``(per-channel stem fold, normalize_imagenet flag)``.
+    conventions: ``(per-channel stem fold, normalize_imagenet flag,
+    input_affine)``.
 
     ``pre_layers`` lists the model's preprocessing layers in graph
     order: ``("rescaling", scale, offset)`` (scalar or per-channel) or
@@ -195,9 +197,11 @@ def compose_input_transform(
       ImageNet normalization): map onto the pipeline's
       ``normalize_imagenet`` flag (same constants, bit-exact) with the
       residual per-channel scale folded into the stem;
-    - anything else (e.g. EfficientNetV2-S/M/L's Rescaling(1/128, -1)):
-      refuse — an input shift cannot fold through the stem conv's zero
-      padding, and the pipeline has no matching transform."""
+    - any other offset (e.g. EfficientNetV2-S/M/L's Rescaling(1/128,
+      -1)) cannot fold through the stem conv's zero padding, so it is
+      carried as the pipeline's generic ``input_affine`` (scale, offset)
+      on the [0,1] floats (DataConfig.input_affine — applied bit-exactly
+      where the source model applied it, before the first conv)."""
     a = np.full(3, 255.0)
     c = np.zeros(3)
     for layer in pre_layers:
@@ -217,7 +221,7 @@ def compose_input_transform(
         else:  # pragma: no cover - caller builds the tuples
             raise KerasImportError(f"unknown preprocessing layer {kind}")
     if np.allclose(c, 0.0, atol=1e-9):
-        return a.astype(np.float32), False
+        return a.astype(np.float32), False, None
     from skin_image_analysis_tpu.ops.preprocess import (
         IMAGENET_MEAN,
         IMAGENET_STD,
@@ -226,14 +230,9 @@ def compose_input_transform(
     mean = np.asarray(IMAGENET_MEAN, np.float64)
     std = np.asarray(IMAGENET_STD, np.float64)
     if np.allclose(c, -a * mean, rtol=1e-6, atol=1e-9):
-        return (a * std).astype(np.float32), True
-    raise KerasImportError(
-        f"in-model input offset {c.tolist()} cannot be folded into the "
-        "stem conv (zero padding breaks an input shift at the borders) "
-        "and does not match the pipeline's ImageNet normalization — "
-        "EfficientNetV2-S/M/L's Rescaling(1/128, offset=-1) is the "
-        "known case; re-export with include_preprocessing=False"
-    )
+        return (a * std).astype(np.float32), True, None
+    affine = (tuple(float(v) for v in a), tuple(float(v) for v in c))
+    return np.ones(3, np.float32), False, affine
 
 
 def _default_class_names(num_classes: int) -> list[str]:
@@ -305,7 +304,8 @@ def import_keras_model(
             pre_layers.append(
                 ("normalization", np.asarray(l.mean, np.float64),
                  np.asarray(l.variance, np.float64)))
-    fold, normalize_imagenet = compose_input_transform(pre_layers)
+    fold, normalize_imagenet, input_affine = compose_input_transform(
+        pre_layers)
 
     shape = tuple(model.input.shape)  # (None, H, W, C)
     if len(shape) != 4 or (shape[3] not in (3, None)):
@@ -407,6 +407,8 @@ def import_keras_model(
         "input_scale_folded": (float(fold[0]) if np.allclose(fold, fold[0])
                                else [float(v) for v in fold]),
         "normalize_imagenet": normalize_imagenet,
+        "input_affine": ([list(v) for v in input_affine]
+                         if input_affine is not None else None),
         "head_layer": head.name,
         "param_count": int(sum(
             int(np.prod(v.shape))
@@ -449,6 +451,8 @@ def import_keras_experiment(
                 # (EfficientNetV2-B) that our pipeline flag reproduces
                 "data": {
                     "normalize_imagenet": meta["normalize_imagenet"],
+                    **({"input_affine": meta["input_affine"]}
+                       if meta["input_affine"] is not None else {}),
                 },
                 "class_names": names,
                 "image_size": cfg.image_size,

@@ -306,6 +306,7 @@ def preprocess_planar_batch(
     out_dtype=None,
     rows: jnp.ndarray | None = None,
     space_to_depth: bool = False,
+    input_affine: tuple | None = None,
 ) -> jnp.ndarray:
     """High-level wrapper: derives crop offsets + flips (+ jitter factors)
     from ``key``, builds the per-image affine, runs the kernel, and
@@ -348,6 +349,7 @@ def preprocess_planar_batch(
             jnp.transpose(pixels, (0, 2, 3, 1)), key,
             image_size=t, train=train, augment=augment,
             normalize_imagenet=normalize_imagenet,
+            input_affine=input_affine,
         )
         return out if out_dtype is None else out.astype(out_dtype)
     if augmenting:
@@ -397,11 +399,22 @@ def preprocess_planar_batch(
         odt = jnp.float32  # bf16 sublane tiling needs out_h % 16 == 0
 
     from skin_image_analysis_tpu.ops.preprocess import (
-        IMAGENET_MEAN, IMAGENET_STD,
+        IMAGENET_MEAN, IMAGENET_STD, normalize_affine,
     )
 
     std = jnp.asarray(IMAGENET_STD, jnp.float32)
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    # unify the post-clip transform: normalize_imagenet and input_affine
+    # are both a per-channel (post_scale, post_bias) pair (exclusive;
+    # ops.preprocess.preprocess_batch owns the error)
+    input_affine = normalize_affine(input_affine)
+    if normalize_imagenet:
+        post = (1.0 / std, -mean / std)
+    elif input_affine is not None:
+        post = (jnp.asarray(input_affine[0], jnp.float32),
+                jnp.asarray(input_affine[1], jnp.float32))
+    else:
+        post = None
 
     if jitter_tail and ch == 3:
         # full color-jitter tail in-kernel (same op order as
@@ -422,9 +435,9 @@ def preprocess_planar_batch(
             )
         else:
             fs = jnp.ones((b,), jnp.float32)
-        if normalize_imagenet:
-            ps = jnp.broadcast_to(1.0 / std, (b, ch))
-            pb = jnp.broadcast_to(-mean / std, (b, ch))
+        if post is not None:
+            ps = jnp.broadcast_to(post[0], (b, ch))
+            pb = jnp.broadcast_to(post[1], (b, ch))
         else:
             ps = jnp.ones((b, ch), jnp.float32)
             pb = jnp.zeros((b, ch), jnp.float32)
@@ -435,9 +448,9 @@ def preprocess_planar_batch(
         )
         return jnp.transpose(out, (0, 2, 3, 1))  # NCHW → NHWC
 
-    if normalize_imagenet and not jitter_tail:
-        scale = scale / std
-        bias = bias - mean / std
+    if post is not None and not jitter_tail:
+        scale = scale * post[0]
+        bias = bias * post[0] + post[1]
 
     out = fused_preprocess_planar(
         pixels, offsets, flips, scale, bias, rows, image_size=t,
@@ -465,6 +478,6 @@ def preprocess_planar_batch(
                     + 0.114 * x[..., 2:3])
             x = (x - gray) * f + gray
         x = jnp.clip(x, 0.0, 1.0)
-        if normalize_imagenet:
-            x = (x - mean.astype(x.dtype)) / std.astype(x.dtype)
+        if post is not None:
+            x = x * post[0].astype(x.dtype) + post[1].astype(x.dtype)
     return x

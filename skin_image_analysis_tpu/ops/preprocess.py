@@ -36,6 +36,33 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
+def normalize_affine(affine) -> tuple[tuple[float, ...], tuple[float, ...]] | None:
+    """Canonicalize an input affine ``(scale, offset)`` — per-channel or
+    scalar, lists or tuples (train_config.json stores lists) — into a
+    hashable nested float tuple usable as a jit static argument, or None.
+
+    The affine is the model's input convention as a function of this
+    pipeline's [0, 1] floats: ``model_input = scale ⊙ x01 + offset``. It
+    generalizes ``normalize_imagenet`` (scale=1/std, offset=-mean/std) to
+    arbitrary in-model preprocessing stacks — e.g. Keras EfficientNetV2-
+    S/M/L artifacts embed ``Rescaling(1/128, offset=-1)``, whose offset
+    cannot fold through a zero-padded stem conv (migrate/keras_model.py).
+    """
+    if affine is None:
+        return None
+    scale, offset = affine
+
+    def chan3(v) -> tuple[float, ...]:
+        if isinstance(v, (int, float)):
+            return (float(v),) * 3
+        vals = tuple(float(x) for x in v)
+        if len(vals) == 1:
+            return vals * 3
+        return vals
+
+    return chan3(scale), chan3(offset)
+
+
 class AugmentConfig(NamedTuple):
     random_crop: bool = True
     horizontal_flip: bool = True
@@ -131,7 +158,10 @@ def _color_jitter(
 
 @partial(
     jax.jit,
-    static_argnames=("image_size", "train", "augment", "normalize_imagenet"),
+    static_argnames=(
+        "image_size", "train", "augment", "normalize_imagenet",
+        "input_affine",
+    ),
 )
 def preprocess_batch(
     pixels: jnp.ndarray,
@@ -141,6 +171,7 @@ def preprocess_batch(
     train: bool = False,
     augment: AugmentConfig | None = None,
     normalize_imagenet: bool = False,
+    input_affine: tuple | None = None,
 ) -> jnp.ndarray:
     """uint8 (or float) HWC batch → float32 model input.
 
@@ -148,7 +179,17 @@ def preprocess_batch(
     the reference eval transform. Train with ``augment``: random crop from
     the canonical frame (falling back to resize when the source is already
     target-sized), random horizontal flip, color jitter.
+
+    ``input_affine`` (exclusive with ``normalize_imagenet``): a static
+    per-channel ``(scale, offset)`` applied last — see
+    :func:`normalize_affine` for the convention.
     """
+    if normalize_imagenet and input_affine is not None:
+        raise ValueError(
+            "normalize_imagenet and input_affine are exclusive — "
+            "express ImageNet normalization as the affine "
+            "(1/std, -mean/std) instead"
+        )
     x = pixels.astype(jnp.float32)
     if pixels.dtype == jnp.uint8:
         x = x * (1.0 / 255.0)
@@ -173,6 +214,10 @@ def preprocess_batch(
         mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
         std = jnp.asarray(IMAGENET_STD, jnp.float32)
         x = (x - mean) / std
+    elif input_affine is not None:
+        scale, offset = normalize_affine(input_affine)
+        x = x * jnp.asarray(scale, jnp.float32) + jnp.asarray(
+            offset, jnp.float32)
     return x
 
 
@@ -185,6 +230,7 @@ def make_preprocess_fn(
     pallas: str = "auto",
     out_dtype: str | None = None,
     space_to_depth: bool = False,
+    input_affine: tuple | None = None,
 ):
     """Close over static config → ``fn(pixels, key) -> f32 NHWC batch``
     suitable for fusion inside the jitted train/eval step.
@@ -205,6 +251,11 @@ def make_preprocess_fn(
         raise ValueError(f"layout must be hwc|planar, got {layout!r}")
     if pallas not in ("auto", "on", "off"):
         raise ValueError(f"pallas must be auto|on|off, got {pallas!r}")
+    input_affine = normalize_affine(input_affine)
+    if normalize_imagenet and input_affine is not None:
+        raise ValueError(
+            "normalize_imagenet and input_affine are exclusive"
+        )
 
     use_pallas = layout == "planar" and (
         pallas == "on"
@@ -221,6 +272,7 @@ def make_preprocess_fn(
             return preprocess_batch(
                 pixels, key, image_size=image_size, train=train,
                 augment=augment, normalize_imagenet=normalize_imagenet,
+                input_affine=input_affine,
             )
 
         return fn
@@ -238,6 +290,7 @@ def make_preprocess_fn(
                 pixels, key, image_size=image_size, train=train,
                 augment=augment, normalize_imagenet=normalize_imagenet,
                 out_dtype=odt, rows=rows, space_to_depth=space_to_depth,
+                input_affine=input_affine,
             )
 
         # the train step may pass the whole device arena + per-step row
@@ -252,6 +305,7 @@ def make_preprocess_fn(
             jnp.transpose(pixels, (0, 2, 3, 1)), key,
             image_size=image_size, train=train, augment=augment,
             normalize_imagenet=normalize_imagenet,
+            input_affine=input_affine,
         )
 
     return fn

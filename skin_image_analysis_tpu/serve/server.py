@@ -75,7 +75,8 @@ class InferenceSession:
                  class_names: Sequence[str] = ("benign", "malignant"),
                  source: str = "experiment", mesh=None,
                  data_axis: str = "data", weights=None, model_cfg=None,
-                 normalize_imagenet: bool = False):
+                 normalize_imagenet: bool = False,
+                 input_affine: tuple | None = None):
         self._jit = jax.jit(infer_fn)
         # weights-as-argument sessions (from_experiment) can hot-swap
         # same-architecture checkpoints with ZERO recompiles — jit's
@@ -85,6 +86,7 @@ class InferenceSession:
         self._weights = weights
         self._model_cfg = model_cfg
         self._normalize = bool(normalize_imagenet)
+        self._input_affine = input_affine
         self.reloads = 0
         self.image_size = int(image_size)
         self.in_channels = int(in_channels)
@@ -132,13 +134,14 @@ class InferenceSession:
             os.path.join(folder, ckpt_lib.MODEL_FILENAME)
         )
         params, batch_stats = ckpt_lib.split_variables(loaded)
-        normalize, train_cfg = False, {}
+        normalize, affine, train_cfg = False, None, {}
         cfg_path = os.path.join(folder, "train_config.json")
         if os.path.exists(cfg_path):
             with open(cfg_path) as f:
                 train_cfg = json.load(f)
             normalize = bool(train_cfg.get("data", {}).get(
                 "normalize_imagenet", False))
+            affine = train_cfg.get("data", {}).get("input_affine")
         if class_names is None:
             class_names = train_cfg.get("class_names",
                                         ("benign", "malignant"))
@@ -151,13 +154,14 @@ class InferenceSession:
         # recompiling any bucket
         infer = build_infer_fn_weights_arg(
             model_cfg, normalize_imagenet=normalize,
-            mesh=mesh, data_axis=data_axis)
+            mesh=mesh, data_axis=data_axis, input_affine=affine)
         # requests carry RGB pixels regardless of the model's input
         # channels — ITA-input models transform inside the program
         return cls(infer, model_cfg.image_size, 3, max_batch,
                    class_names, source=folder, mesh=mesh,
                    data_axis=data_axis, weights=weights,
-                   model_cfg=model_cfg, normalize_imagenet=normalize)
+                   model_cfg=model_cfg, normalize_imagenet=normalize,
+                   input_affine=affine)
 
     @staticmethod
     def _commit_weights(weights, mesh):
@@ -289,13 +293,24 @@ class InferenceSession:
         cfg_path = os.path.join(folder, "train_config.json")
         if os.path.exists(cfg_path):
             with open(cfg_path) as f:
-                normalize = bool(json.load(f).get("data", {}).get(
-                    "normalize_imagenet", False))
+                data_cfg = json.load(f).get("data", {})
+            normalize = bool(data_cfg.get("normalize_imagenet", False))
             if normalize != self._normalize:
                 raise ValueError(
                     "checkpoint was trained with normalize_imagenet="
                     f"{normalize} but the serving program was compiled "
                     f"with {self._normalize}; restart the server")
+            from skin_image_analysis_tpu.ops.preprocess import (
+                normalize_affine,
+            )
+
+            affine = normalize_affine(data_cfg.get("input_affine"))
+            if affine != normalize_affine(self._input_affine):
+                raise ValueError(
+                    "checkpoint input_affine differs from the serving "
+                    f"program's ({affine} vs "
+                    f"{normalize_affine(self._input_affine)}); restart "
+                    "the server")
         params, batch_stats = ckpt_lib.split_variables(loaded)
         new_weights: dict[str, Any] = {"params": params}
         if batch_stats is not None:

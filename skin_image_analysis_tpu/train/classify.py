@@ -23,7 +23,11 @@ import jax.numpy as jnp
 from skin_image_analysis_tpu.config import ModelConfig, OptimConfig
 from skin_image_analysis_tpu.data.dataset import LesionTable
 from skin_image_analysis_tpu.data.loader import BatchIterator, HostImageStore
-from skin_image_analysis_tpu.ops.preprocess import AugmentConfig, make_preprocess_fn
+from skin_image_analysis_tpu.ops.preprocess import (
+    AugmentConfig,
+    make_preprocess_fn,
+    normalize_affine,
+)
 from skin_image_analysis_tpu.toneclassifier.class_weight import (
     balanced_class_weights,
 )
@@ -47,6 +51,12 @@ class ClassifyConfig:
     oversample: bool = False
     augment: bool = True
     normalize_imagenet: bool = True
+    input_affine: tuple | None = None  # generic (scale, offset) on the
+                                    # [0,1] floats — imported models whose
+                                    # input convention is neither [0,1]
+                                    # nor ImageNet-normalized (exclusive
+                                    # with normalize_imagenet; see
+                                    # ops.preprocess.normalize_affine)
     seed: int = 0
     compute_dtype: str = "bfloat16"
     out_dir: str = "classify_runs"
@@ -163,14 +173,16 @@ def train_classifier(
     # ITA needs raw sRGB in [0,1]; its own channels replace the ImageNet
     # normalization
     norm = cfg.normalize_imagenet and not ita_mode
+    affine = cfg.input_affine if not ita_mode else None
     train_pre = make_preprocess_fn(
         cfg.image_size, train=True,
         augment=AugmentConfig(random_crop=True, horizontal_flip=True)
         if cfg.augment else None,
-        normalize_imagenet=norm,
+        normalize_imagenet=norm, input_affine=affine,
     )
     eval_pre = make_preprocess_fn(
-        cfg.image_size, train=False, normalize_imagenet=norm
+        cfg.image_size, train=False, normalize_imagenet=norm,
+        input_affine=affine,
     )
     if ita_mode:
         from skin_image_analysis_tpu.data.ita import ita_input
@@ -192,6 +204,7 @@ def train_classifier(
         eval_step = make_five_crop_eval_step(
             cfg.image_size, normalize_imagenet=norm,
             channels_fn=_ita_in if ita_mode else None,
+            input_affine=affine,
         )
     else:
         eval_step = make_eval_step(preprocess_fn=eval_pre)
@@ -378,7 +391,11 @@ def train_classifier(
     ckpt_lib.save_model(model_path, model_cfg, state.params,
                         state.batch_stats)
     with open(os.path.join(cfg.out_dir, "train_config.json"), "w") as f:
-        json.dump({"data": {"normalize_imagenet": norm},
+        data_cfg = {"normalize_imagenet": norm}
+        if affine is not None:
+            data_cfg["input_affine"] = [list(v) for v in
+                                        normalize_affine(affine)]
+        json.dump({"data": data_cfg,
                    "class_names": list(train_table.class_names),
                    "classify": cfg.__dict__}, f, indent=2, default=str)
 

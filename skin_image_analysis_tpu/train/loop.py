@@ -367,6 +367,7 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
     train_pre = make_preprocess_fn(
         cfg.data.image_size, train=True, augment=augment,
         normalize_imagenet=cfg.data.normalize_imagenet,
+        input_affine=cfg.data.input_affine,
         layout=layout, pallas=cfg.data.pallas_preprocess,
         out_dtype=cfg.model.compute_dtype,  # cast at the kernel store
         space_to_depth=emit_s2d,
@@ -374,6 +375,7 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
     eval_pre = make_preprocess_fn(
         cfg.data.image_size, train=False,
         normalize_imagenet=cfg.data.normalize_imagenet,
+        input_affine=cfg.data.input_affine,
         layout=layout,  # eval keeps the jnp resize path (reference
                         # Rescale semantics); planar just transposes
     )
@@ -504,6 +506,7 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         train_pre = make_preprocess_fn(
             cfg.data.image_size, train=True, augment=augment,
             normalize_imagenet=cfg.data.normalize_imagenet,
+            input_affine=cfg.data.input_affine,
             layout=layout, pallas="off",
         )
         train_step = _make_train_step()

@@ -293,6 +293,7 @@ def make_five_crop_eval_step(
     crop_size: int,
     normalize_imagenet: bool = False,
     channels_fn: Callable | None = None,
+    input_affine: tuple | None = None,
 ) -> Callable[[Any, Callable, dict], dict]:
     """Five-crop test-time-augmentation eval step (the experiment
     CNNTrialDataset.py:61-65 documents: four corners + center, predictions
@@ -323,6 +324,7 @@ def make_five_crop_eval_step(
         x = preprocess_batch(
             x, None, image_size=crop_size, train=False,
             normalize_imagenet=normalize_imagenet and channels_fn is None,
+            input_affine=(input_affine if channels_fn is None else None),
         )
         if channels_fn is not None:
             x = channels_fn(x)

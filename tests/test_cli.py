@@ -79,3 +79,36 @@ def test_predict_cli_e2e(synth_root, tmp_path, capsys):
     assert len(df) > 0
     assert df["p_malignant"].between(0, 1).all()
     assert set(df["prediction"]) <= {"benign", "malignant"}
+
+
+def test_predict_cli_honors_input_convention(synth_root, tmp_path):
+    """An experiment folder whose train_config.json carries an input
+    convention (ImageNet normalization or a generic affine) must be
+    scored through it — the regression here is auditing/predicting an
+    imported or transfer checkpoint on plain [0,1] floats."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    from cli import tone_bias_predict
+    from skin_image_analysis_tpu.train.loop import run_training
+    from tests.test_e2e_train import _tiny_cfg
+
+    folder = run_training(_tiny_cfg(synth_root, tmp_path), verbose=False)
+    base_csv = str(tmp_path / "base.csv")
+    assert tone_bias_predict.main([synth_root, folder, base_csv]) == 0
+
+    # rewrite the config with a strong affine: predictions must move
+    cfg_path = f"{folder}/train_config.json"
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    cfg.setdefault("data", {})["input_affine"] = [[4.0] * 3, [-2.0] * 3]
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    affine_csv = str(tmp_path / "affine.csv")
+    assert tone_bias_predict.main([synth_root, folder, affine_csv]) == 0
+
+    base = pd.read_csv(base_csv)["p_malignant"].to_numpy()
+    moved = pd.read_csv(affine_csv)["p_malignant"].to_numpy()
+    assert not np.allclose(base, moved)

@@ -143,39 +143,44 @@ def test_compose_input_transform():
     import numpy as np
 
     from skin_image_analysis_tpu.migrate.keras_model import (
-        KerasImportError,
         compose_input_transform,
     )
 
     def fold(layers):
         return compose_input_transform(layers)
 
-    f, norm = fold([])                                    # raw 0-255
-    assert np.allclose(f, 255.0) and not norm
-    f, norm = fold([("rescaling", 1 / 255.0, 0.0)])       # Rescaling(1/255)
-    assert np.allclose(f, 1.0) and not norm
-    f, norm = fold([("rescaling", 2.0, 0.0), ("rescaling", 0.5, 0.0)])
-    assert np.allclose(f, 255.0) and not norm
+    f, norm, aff = fold([])                               # raw 0-255
+    assert np.allclose(f, 255.0) and not norm and aff is None
+    f, norm, aff = fold([("rescaling", 1 / 255.0, 0.0)])  # Rescaling(1/255)
+    assert np.allclose(f, 1.0) and not norm and aff is None
+    f, norm, aff = fold([("rescaling", 2.0, 0.0), ("rescaling", 0.5, 0.0)])
+    assert np.allclose(f, 255.0) and not norm and aff is None
     # identity Normalization (keras EfficientNet built with weights=None)
-    f, norm = fold([("rescaling", 1 / 255.0, 0.0),
-                    ("normalization", [0.0] * 3, [1.0] * 3)])
-    assert np.allclose(f, 1.0) and not norm
+    f, norm, aff = fold([("rescaling", 1 / 255.0, 0.0),
+                         ("normalization", [0.0] * 3, [1.0] * 3)])
+    assert np.allclose(f, 1.0) and not norm and aff is None
     # the EfficientNetV2-B stack -> the pipeline's normalize_imagenet
     mean = [0.485, 0.456, 0.406]
     var = [0.229 ** 2, 0.224 ** 2, 0.225 ** 2]
-    f, norm = fold([("rescaling", 1 / 255.0, 0.0),
-                    ("normalization", mean, var)])
-    assert norm and np.allclose(f, 1.0)
+    f, norm, aff = fold([("rescaling", 1 / 255.0, 0.0),
+                         ("normalization", mean, var)])
+    assert norm and np.allclose(f, 1.0) and aff is None
     # v1-imagenet form: the extra 1/std Rescaling AFTER normalization
     # folds as a per-channel scale on top of the pipeline flag
-    f, norm = fold([("rescaling", 1 / 255.0, 0.0),
-                    ("normalization", mean, var),
-                    ("rescaling", [1 / s for s in (0.229, 0.224, 0.225)],
-                     0.0)])
+    f, norm, aff = fold([("rescaling", 1 / 255.0, 0.0),
+                         ("normalization", mean, var),
+                         ("rescaling",
+                          [1 / s for s in (0.229, 0.224, 0.225)], 0.0)])
     assert norm and np.allclose(f, [1 / s for s in (0.229, 0.224, 0.225)])
-    # an unfoldable offset (EfficientNetV2-S/M/L) refuses
-    with pytest.raises(KerasImportError, match="offset"):
-        fold([("rescaling", 1 / 128.0, -1.0)])
+    assert aff is None
+    # an offset that folds through neither the stem nor the pipeline
+    # flag (EfficientNetV2-S/M/L's Rescaling(1/128, -1)) rides as the
+    # generic input_affine on the [0,1] floats: 255/128 * x01 - 1
+    f, norm, aff = fold([("rescaling", 1 / 128.0, -1.0)])
+    assert np.allclose(f, 1.0) and not norm
+    scale, offset = aff
+    assert np.allclose(scale, 255.0 / 128.0)
+    assert np.allclose(offset, -1.0)
 
 
 def test_efficientnet_v1_keras_artifact_parity(tmp_path):
@@ -241,3 +246,54 @@ def test_efficientnet_v1_b1_b2_candidate_disambiguation():
     cands = _detect_family(names)
     assert [c[0] for c in cands] == ["efficientnet_b1",
                                      "efficientnet_b2"]
+
+
+def test_efficientnet_v2_s_keras_artifact_input_affine(tmp_path):
+    """EfficientNetV2-S artifacts embed Rescaling(1/128, offset=-1) — an
+    input shift that cannot fold through the zero-padded stem. The
+    importer carries it as the pipeline's generic input_affine
+    (255/128·x01 − 1) and the affine-fed forward equals the Keras
+    raw-0-255 forward."""
+    keras = pytest.importorskip("keras")
+
+    import json
+
+    from skin_image_analysis_tpu.migrate import import_keras_experiment
+    from skin_image_analysis_tpu.models import build_model
+    from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
+    from tests.test_vgg_mobilenet import _randomize_bn, _transfer_model
+
+    rng = np.random.default_rng(12)
+    base = keras.applications.EfficientNetV2S(
+        weights=None, include_top=False, input_shape=(96, 96, 3)
+    )
+    kmodel = _transfer_model(keras, base, num_classes=2)
+    _randomize_bn(keras, kmodel, rng)
+    path = str(tmp_path / "env2s.keras")
+    kmodel.save(path)
+
+    out = str(tmp_path / "imported")
+    summary = import_keras_experiment(path, out)
+    assert summary["backbone"] == "efficientnet_v2_s"
+    assert summary["normalize_imagenet"] is False
+    assert summary["input_scale_folded"] == 1.0
+    scale, offset = summary["input_affine"]
+    assert np.allclose(scale, 255.0 / 128.0)
+    assert np.allclose(offset, -1.0)
+
+    with open(str(tmp_path / "imported" / "train_config.json")) as f:
+        tc = json.load(f)
+    assert tc["data"]["input_affine"] == summary["input_affine"]
+
+    cfg, variables = ckpt_lib.load_model(
+        str(tmp_path / "imported" / ckpt_lib.MODEL_FILENAME)
+    )
+    x_255 = rng.uniform(0, 255, (2, 96, 96, 3)).astype(np.float32)
+    theirs = np.asarray(kmodel(x_255, training=False))
+    x_pipeline = (x_255 / 255.0) * (255.0 / 128.0) - 1.0
+    ours_log = np.asarray(
+        build_model(cfg).apply(variables, jnp.asarray(x_pipeline),
+                               train=False)
+    )
+    np.testing.assert_allclose(np.exp(ours_log), theirs,
+                               rtol=1e-3, atol=1e-5)

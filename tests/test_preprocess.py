@@ -112,3 +112,52 @@ def test_occlusion_map(rng):
     out = occlusion_map(model.apply, params, x, target, patch_size=8, stride=4)
     assert out.shape == (2, 3, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_input_affine_generalizes_imagenet(rng):
+    """input_affine=(1/std, -mean/std) is numerically the ImageNet
+    normalization; a scalar affine broadcasts; combining with the flag
+    errors (exclusive by contract)."""
+    import pytest
+
+    from skin_image_analysis_tpu.ops.preprocess import normalize_affine
+
+    x = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    std = np.asarray(IMAGENET_STD, np.float64)
+    mean = np.asarray(IMAGENET_MEAN, np.float64)
+    affine = normalize_affine(
+        (tuple(1.0 / std), tuple(-mean / std)))
+    got = np.asarray(
+        preprocess_batch(jnp.asarray(x), image_size=32,
+                         input_affine=affine)
+    )
+    want = np.asarray(
+        preprocess_batch(jnp.asarray(x), image_size=32,
+                         normalize_imagenet=True)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # the EfficientNetV2-S convention: 255/128 * x01 - 1
+    got = np.asarray(
+        preprocess_batch(jnp.asarray(x), image_size=32,
+                         input_affine=normalize_affine(
+                             (255.0 / 128.0, -1.0)))
+    )
+    want = x.astype(np.float32) / 128.0 - 1.0
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    with pytest.raises(ValueError, match="exclusive"):
+        preprocess_batch(jnp.asarray(x), image_size=32,
+                         normalize_imagenet=True,
+                         input_affine=normalize_affine((2.0, -1.0)))
+
+
+def test_normalize_affine_canonicalizes():
+    from skin_image_analysis_tpu.ops.preprocess import normalize_affine
+
+    assert normalize_affine(None) is None
+    # scalars broadcast; JSON lists become hashable tuples
+    got = normalize_affine([[2.0], [0.5, 0.5, 0.5]])
+    assert got == ((2.0, 2.0, 2.0), (0.5, 0.5, 0.5))
+    hash(got)  # usable as a jit static argument
+    assert normalize_affine((3, -1)) == ((3.0,) * 3, (-1.0,) * 3)

@@ -679,3 +679,55 @@ def test_reload_watcher_auto_swaps(tmp_path):
     finally:
         stop.set()
         thread.join(timeout=5)
+
+
+def test_session_applies_input_affine(tmp_path):
+    """A folder whose train_config.json carries data.input_affine (an
+    imported EfficientNetV2-S-style artifact) serves through the affine:
+    the program's log-probs equal a direct forward on affine-transformed
+    pixels, and hot-reload refuses an affine mismatch."""
+    from skin_image_analysis_tpu.models import build_model
+
+    folder = tmp_path / "affine_exp"
+    folder.mkdir()
+    cfg = ModelConfig(
+        conv_features=(4, 8), linear_features=(8,), dropout=(0.0,),
+        image_size=SIZE, compute_dtype="float32",
+    )
+    state, _ = create_train_state(
+        cfg, OptimConfig(learning_rate=1e-3), jax.random.key(1),
+        batch_size=2,
+    )
+    ckpt_lib.save_model(
+        str(folder / ckpt_lib.MODEL_FILENAME), cfg, state.params,
+        state.batch_stats,
+    )
+    affine = [[255.0 / 128.0] * 3, [-1.0] * 3]
+    with open(str(folder / "train_config.json"), "w") as f:
+        json.dump({"data": {"input_affine": affine}}, f)
+
+    sess = InferenceSession.from_experiment(str(folder), max_batch=4)
+    rng = np.random.default_rng(5)
+    pixels = rng.integers(0, 255, (2, SIZE, SIZE, 3), np.uint8)
+    out = sess.predict(pixels)
+
+    x = pixels.astype(np.float32) / 128.0 - 1.0
+    variables = {"params": state.params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
+    want = np.asarray(
+        build_model(cfg).apply(variables, x, train=False)
+    )
+    np.testing.assert_allclose(out["log_probs"], want, atol=1e-5)
+
+    # a checkpoint trained WITHOUT the affine must not hot-swap in
+    other = tmp_path / "no_affine_exp"
+    other.mkdir()
+    ckpt_lib.save_model(
+        str(other / ckpt_lib.MODEL_FILENAME), cfg, state.params,
+        state.batch_stats,
+    )
+    with open(str(other / "train_config.json"), "w") as f:
+        json.dump({"data": {}}, f)
+    with pytest.raises(ValueError, match="input_affine"):
+        sess.reload_weights(str(other))
