@@ -24,17 +24,31 @@ def main(argv: list[str] | None = None) -> int:
 
     argv = list(sys.argv[1:] if argv is None else argv)
     positional, opts = parse(
-        argv, {"canonical-size": 0, "platforms": ""},
+        argv, {"canonical-size": 0, "platforms": "", "quantize": "",
+               "calib-root": "", "calib-rows": 256},
         bool_flags={"normalize-imagenet"},
     )
     if len(positional) != 2:
         print("Usage: <experiment folder> <out path> "
               "[--canonical-size N] [--platforms tpu,cpu] "
-              "[--normalize-imagenet]")
+              "[--normalize-imagenet] "
+              "[--quantize int8 --calib-root <image root> "
+              "[--calib-rows N]]")
         return 1
     folder, out_path = positional
 
     from skin_image_analysis_tpu.serve import export_model
+
+    calib = report = None
+    if opts["quantize"]:
+        if not opts["calib-root"]:
+            print("--quantize needs --calib-root (the image root; "
+                  "calibration rows come from the experiment's "
+                  "session_train.csv, the fidelity report from "
+                  "session_test.csv)")
+            return 1
+        calib, report = _load_calibration(
+            folder, opts["calib-root"], opts["calib-rows"])
 
     manifest = export_model(
         folder, out_path,
@@ -46,12 +60,51 @@ def main(argv: list[str] | None = None) -> int:
             [p.strip() for p in opts["platforms"].split(",") if p.strip()]
             or None
         ),
+        quantize=opts["quantize"] or None,
+        calib_pixels=calib,
+        report_pixels=report,
     )
+    if manifest.get("quantization"):
+        print(f"quantization: {manifest['quantization']}")
     print(f"exported {manifest['bytes'] / 1e6:.1f} MB "
           f"({manifest['model']}, batch={manifest['input']['shape'][0]}, "
           f"platforms={manifest['platforms']}) -> {out_path}")
     print(f"manifest: {out_path}.json")
     return 0
+
+
+def _load_calibration(folder: str, root: str, n_rows: int):
+    """Calibration pixels from the experiment's frozen train split
+    (falling back to the test split), held-out report pixels from the
+    test split — decoded at the model's canonical geometry."""
+    import pandas as pd
+
+    from skin_image_analysis_tpu.data import LesionTable
+    from skin_image_analysis_tpu.data.loader import HostImageStore
+    from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
+
+    model_cfg, _ = ckpt_lib.load_model(
+        os.path.join(folder, ckpt_lib.MODEL_FILENAME))
+
+    def rows(csv_name: str, n: int):
+        path = os.path.join(folder, csv_name)
+        if not os.path.exists(path):
+            return None
+        df = pd.read_csv(path, index_col=0).head(n)
+        table = LesionTable(df, root)
+        store = HostImageStore(
+            table, canonical_size=model_cfg.image_size)
+        return store.images
+
+    calib = rows("session_train.csv", n_rows)
+    report = rows("session_test.csv", n_rows)
+    if calib is None:
+        calib = report
+    if calib is None:
+        raise SystemExit(
+            f"{folder} has no session_train.csv/session_test.csv to "
+            "calibrate from")
+    return calib, report
 
 
 if __name__ == "__main__":

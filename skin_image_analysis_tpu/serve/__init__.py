@@ -8,6 +8,12 @@ from skin_image_analysis_tpu.serve.export import (  # noqa: F401
     load_exported,
     predict_exported,
 )
+from skin_image_analysis_tpu.serve.quantize import (  # noqa: F401
+    build_infer_fn_quantized,
+    quantization_report,
+    quantize_model,
+    quantized_forward,
+)
 from skin_image_analysis_tpu.serve.server import (  # noqa: F401
     DynamicBatcher,
     InferenceSession,

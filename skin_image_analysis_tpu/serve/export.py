@@ -33,7 +33,8 @@ MANIFEST_SUFFIX = ".json"
 
 def build_infer_fn_weights_arg(model_cfg, malignant_index: int = 1,
                                normalize_imagenet: bool = False,
-                               mesh=None, data_axis: str = "data"):
+                               mesh=None, data_axis: str = "data",
+                               input_affine: tuple | None = None):
     """The production inference program with the weights as a CALL
     ARGUMENT: ``infer(variables, pixels)``. Because jit's cache keys on
     the variables' tree structure + leaf shapes (not their values), a
@@ -54,7 +55,8 @@ def build_infer_fn_weights_arg(model_cfg, malignant_index: int = 1,
     ita_mode = getattr(model_cfg, "in_channels", 3) == 2
     pre = make_preprocess_fn(
         model_cfg.image_size, train=False,
-        normalize_imagenet=normalize_imagenet and not ita_mode)
+        normalize_imagenet=normalize_imagenet and not ita_mode,
+        input_affine=input_affine if not ita_mode else None)
 
     def infer(variables, pixels):
         if mesh is not None:
@@ -81,7 +83,8 @@ def build_infer_fn_weights_arg(model_cfg, malignant_index: int = 1,
 def build_infer_fn(model_cfg, params, batch_stats=None,
                    malignant_index: int = 1,
                    normalize_imagenet: bool = False,
-                   mesh=None, data_axis: str = "data"):
+                   mesh=None, data_axis: str = "data",
+                   input_affine: tuple | None = None):
     """The production inference program: eval preprocess (reference
     Rescale semantics; ``normalize_imagenet`` must match the training
     run's DataConfig) + forward + argmax + malignant probability
@@ -95,7 +98,7 @@ def build_infer_fn(model_cfg, params, batch_stats=None,
     infer_args = build_infer_fn_weights_arg(
         model_cfg, malignant_index=malignant_index,
         normalize_imagenet=normalize_imagenet, mesh=mesh,
-        data_axis=data_axis)
+        data_axis=data_axis, input_affine=input_affine)
     variables: dict[str, Any] = {"params": params}
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
@@ -113,6 +116,9 @@ def export_model(
     platforms: Sequence[str] | None = None,
     class_names: Sequence[str] | None = None,
     normalize_imagenet: bool | None = None,
+    quantize: str | None = None,
+    calib_pixels=None,
+    report_pixels=None,
 ) -> dict:
     """Export the experiment's trained model as a serialized StableHLO
     program at ``out_path`` (+ ``out_path + ".json"`` manifest).
@@ -128,6 +134,12 @@ def export_model(
     fails for the model/preprocess combination, the export falls back
     to a concrete batch recorded in the manifest (predict_exported pads
     to it).
+
+    ``quantize="int8"`` lowers the post-training-quantized program
+    instead (serve/quantize.py: int8 weights + activations, s8xs8->s32
+    contractions, 4x smaller artifact): requires ``calib_pixels``
+    (uint8 calibration images, e.g. training rows); ``report_pixels``
+    (held-out rows) adds a fidelity report to the manifest.
     """
     from jax import export as jexport
 
@@ -146,6 +158,7 @@ def export_model(
         normalize_imagenet = bool(
             train_cfg.get("data", {}).get("normalize_imagenet", False)
         )
+    input_affine = train_cfg.get("data", {}).get("input_affine")
     if class_names is None:
         # transfer trainers record their label space (light/dark, HAM dx
         # classes); the flagship default stays benign/malignant
@@ -155,8 +168,33 @@ def export_model(
     # the program input is always RGB pixels — ITA-input models compute
     # their 2 channels INSIDE the exported program (build_infer_fn)
     c = 3
-    infer = build_infer_fn(model_cfg, params, batch_stats,
-                           normalize_imagenet=normalize_imagenet)
+    quant_report = None
+    if quantize is not None:
+        if quantize != "int8":
+            raise ValueError(f"unknown quantize scheme {quantize!r}")
+        if calib_pixels is None:
+            raise ValueError(
+                "quantize='int8' needs calib_pixels (uint8 images, e.g. "
+                "a few hundred training rows)")
+        from skin_image_analysis_tpu.serve.quantize import (
+            build_infer_fn_quantized,
+            quantization_report,
+            quantize_model,
+        )
+
+        qtree = quantize_model(
+            model_cfg, params, calib_pixels,
+            normalize_imagenet=normalize_imagenet,
+            input_affine=input_affine,
+        )
+        if report_pixels is not None:
+            quant_report = quantization_report(
+                model_cfg, params, qtree, report_pixels)
+        infer = build_infer_fn_quantized(qtree)
+    else:
+        infer = build_infer_fn(model_cfg, params, batch_stats,
+                               normalize_imagenet=normalize_imagenet,
+                               input_affine=input_affine)
 
     kwargs: dict[str, Any] = {}
     if platforms:
@@ -193,6 +231,11 @@ def export_model(
         "image_size": model_cfg.image_size,
         "canonical_size": s,
         "normalize_imagenet": bool(normalize_imagenet),
+        "input_affine": input_affine,
+        "quantization": (
+            {"scheme": quantize, **(quant_report or {})}
+            if quantize else None
+        ),
         "platforms": list(exported.platforms),
         "model": model_cfg.name,
         "bytes": len(blob),

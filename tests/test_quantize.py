@@ -1,0 +1,111 @@
+"""Int8 post-training quantization of the inference path
+(serve/quantize.py) — new serving capability beyond the reference's
+unpickle-the-module deployment (tone_bias_model.py:305-338)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from skin_image_analysis_tpu.config import ModelConfig, OptimConfig
+from skin_image_analysis_tpu.serve.quantize import (
+    build_infer_fn_quantized,
+    quantization_report,
+    quantize_model,
+    quantized_forward,
+)
+from skin_image_analysis_tpu.train.state import create_train_state
+
+SIZE = 16
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    cfg = ModelConfig(
+        conv_features=(4, 8), linear_features=(8,), dropout=(0.0,),
+        image_size=SIZE, compute_dtype="float32",
+    )
+    state, _ = create_train_state(
+        cfg, OptimConfig(learning_rate=1e-3), jax.random.key(0),
+        batch_size=2,
+    )
+    return cfg, state.params
+
+
+def test_quantize_roundtrip_fidelity(small_model):
+    cfg, params = small_model
+    rng = np.random.default_rng(0)
+    calib = rng.integers(0, 255, (16, SIZE, SIZE, 3), np.uint8)
+    qtree = quantize_model(cfg, params, calib)
+
+    # int8 weights, f32 dequant/bias, one layer per conv/dense/head
+    assert len(qtree["layers"]) == 2 + 1 + 1
+    for layer in qtree["layers"]:
+        assert layer["kernel_q"].dtype == np.int8
+        assert layer["dequant"].dtype == np.float32
+        assert np.abs(layer["kernel_q"]).max() <= 127
+
+    held_out = rng.integers(0, 255, (32, SIZE, SIZE, 3), np.uint8)
+    report = quantization_report(cfg, params, qtree, held_out)
+    assert report["n"] == 32
+    # 8-bit weights+activations keep the decision function: every
+    # confidently-classified row must agree, and log-probs stay close
+    assert report["agreement_confident"] == 1.0
+    assert report["mean_abs_dlogp"] < 0.1
+
+
+def test_quantized_infer_fn_contract(small_model):
+    cfg, params = small_model
+    rng = np.random.default_rng(1)
+    calib = rng.integers(0, 255, (8, SIZE, SIZE, 3), np.uint8)
+    qtree = quantize_model(cfg, params, calib)
+    infer = jax.jit(build_infer_fn_quantized(qtree))
+    out = infer(jnp.asarray(rng.integers(0, 255, (4, SIZE, SIZE, 3),
+                                         np.uint8)))
+    assert out["log_probs"].shape == (4, 2)
+    assert out["pred"].shape == (4,)
+    assert np.all((np.asarray(out["p_malignant"]) >= 0)
+                  & (np.asarray(out["p_malignant"]) <= 1))
+    # pred is consistent with the log-probs it rides with
+    np.testing.assert_array_equal(
+        np.asarray(out["pred"]), np.asarray(out["log_probs"]).argmax(-1)
+    )
+
+
+def test_quantize_rejects_unsupported(small_model):
+    cfg, params = small_model
+    rng = np.random.default_rng(2)
+    calib = rng.integers(0, 255, (4, SIZE, SIZE, 3), np.uint8)
+    with pytest.raises(ValueError, match="skin_cancer"):
+        quantize_model(
+            ModelConfig(name="resnet50", image_size=SIZE), params, calib
+        )
+    # over-sized calibration pixels resize through the eval preprocess
+    # (the serving program's own geometry), not an error
+    qtree = quantize_model(
+        cfg, params,
+        rng.integers(0, 255, (4, SIZE * 2, SIZE * 2, 3), np.uint8),
+    )
+    assert qtree["image_size"] == SIZE
+
+
+def test_quantized_pool_commutes(small_model):
+    """Pooling int8 after requantization equals requantizing the pooled
+    float activation (max commutes with the monotone quantizer) — the
+    scheme's bytes-saving trick, pinned."""
+    cfg, params = small_model
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(rng.uniform(0, 3.0, (2, 8, 8, 4)).astype(np.float32))
+    s = float(jnp.max(y)) / 127.0
+
+    def quant(v):
+        return jnp.clip(jnp.round(v / s), -127, 127).astype(jnp.int8)
+
+    pool_f = jax.lax.reduce_window(
+        y, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    pool_q = jax.lax.reduce_window(
+        quant(y), jnp.int8(-128), jax.lax.max, (1, 2, 2, 1),
+        (1, 2, 2, 1), "VALID")
+    np.testing.assert_array_equal(np.asarray(quant(pool_f)),
+                                  np.asarray(pool_q))
