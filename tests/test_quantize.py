@@ -90,6 +90,57 @@ def test_quantize_rejects_unsupported(small_model):
     assert qtree["image_size"] == SIZE
 
 
+def test_float_oracle_matches_model(small_model):
+    """The calibration/fidelity oracle (_float_forward) must equal the
+    REAL model's eval forward — if it drifts from models/cnn.py (pool
+    semantics, activation order, head dtype), the manifest's fidelity
+    report would describe a program nobody serves."""
+    from skin_image_analysis_tpu.models.cnn import build_model
+    from skin_image_analysis_tpu.serve.quantize import (
+        _float_forward,
+        _layers,
+    )
+
+    cfg, params = small_model
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(0, 1, (3, SIZE, SIZE, 3)).astype(np.float32))
+    want = build_model(cfg).apply({"params": params}, x, train=False)
+    got = _float_forward(_layers(cfg, params), x, taps=False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5
+    )
+
+
+def test_quantized_artifact_serves(small_model, tmp_path):
+    """A --quantize int8 export serves through the SAME daemon session
+    machinery as a float artifact (InferenceSession.from_artifact reads
+    the manifest; the program's input contract is unchanged)."""
+    import os
+
+    from skin_image_analysis_tpu.serve import InferenceSession, export_model
+    from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
+
+    cfg, params = small_model
+    folder = str(tmp_path / "exp")
+    os.makedirs(folder)
+    ckpt_lib.save_model(
+        os.path.join(folder, ckpt_lib.MODEL_FILENAME), cfg, params, None
+    )
+    rng = np.random.default_rng(5)
+    calib = rng.integers(0, 255, (8, SIZE, SIZE, 3), np.uint8)
+    out = str(tmp_path / "m_int8.stablehlo")
+    export_model(folder, out, quantize="int8", calib_pixels=calib)
+
+    sess = InferenceSession.from_artifact(out, max_batch=4)
+    pixels = rng.integers(0, 255, (3, SIZE, SIZE, 3), np.uint8)
+    got = sess.predict(pixels)
+    qtree = quantize_model(cfg, params, calib)
+    want = build_infer_fn_quantized(qtree)(jnp.asarray(pixels))
+    np.testing.assert_allclose(
+        got["log_probs"], np.asarray(want["log_probs"]), atol=1e-5
+    )
+
+
 def test_quantized_pool_commutes(small_model):
     """Pooling int8 after requantization equals requantizing the pooled
     float activation (max commutes with the monotone quantizer) — the
