@@ -74,37 +74,12 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _load_calibration(folder: str, root: str, n_rows: int):
-    """Calibration pixels from the experiment's frozen train split
-    (falling back to the test split), held-out report pixels from the
-    test split — decoded at the model's canonical geometry."""
-    import pandas as pd
+    from skin_image_analysis_tpu.serve.quantize import calibration_rows
 
-    from skin_image_analysis_tpu.data import LesionTable
-    from skin_image_analysis_tpu.data.loader import HostImageStore
-    from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
-
-    model_cfg, _ = ckpt_lib.load_model(
-        os.path.join(folder, ckpt_lib.MODEL_FILENAME))
-
-    def rows(csv_name: str, n: int):
-        path = os.path.join(folder, csv_name)
-        if not os.path.exists(path):
-            return None
-        df = pd.read_csv(path, index_col=0).head(n)
-        table = LesionTable(df, root)
-        store = HostImageStore(
-            table, canonical_size=model_cfg.image_size)
-        return store.images
-
-    calib = rows("session_train.csv", n_rows)
-    report = rows("session_test.csv", n_rows)
-    if calib is None:
-        calib = report
-    if calib is None:
-        raise SystemExit(
-            f"{folder} has no session_train.csv/session_test.csv to "
-            "calibrate from")
-    return calib, report
+    try:
+        return calibration_rows(folder, root, n_rows)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
 
 if __name__ == "__main__":

@@ -5,6 +5,7 @@
         [--host 127.0.0.1] [--port 8000] [--max-batch 64]
         [--window-ms 2] [--warm N,N,...] [--no-warm] [--reload-any]
         [--watch SECONDS]
+        [--quantize int8 --calib-root <image root> [--calib-rows N]]
 
 Serves the trained model (an experiment folder's checkpoint — flagship
 or transfer-trainer out_dir — or an AOT StableHLO artifact from
@@ -21,6 +22,12 @@ trainer-writes/server-reloads deployment loop; ``--reload-any``
 additionally permits a JSON body naming a different folder, and
 ``--watch N`` polls the folder every N seconds and reloads new
 checkpoints automatically (no POST needed).
+
+``--quantize int8`` serves the post-training-quantized program instead
+(serve/quantize.py — measured 1.41x the bf16 rate): calibration rows
+come from the folder's frozen train split decoded under
+``--calib-root``; quantized sessions cannot hot-reload (constant
+weights), so it is exclusive with ``--watch``/``--mesh``.
 
 The reference's deployment surface is "unpickle the module"
 (tone_bias_model.py:305-338); this is its production-serving
@@ -47,14 +54,17 @@ def main(argv: list[str] | None = None) -> int:
     positional, opts = parse(
         argv,
         {"host": "127.0.0.1", "port": 8000, "max-batch": 64,
-         "window-ms": 2.0, "warm": "", "mesh": 0, "watch": 0.0},
+         "window-ms": 2.0, "warm": "", "mesh": 0, "watch": 0.0,
+         "quantize": "", "calib-root": "", "calib-rows": 256},
         bool_flags={"no-warm", "reload-any"},
     )
     if len(positional) != 1:
         print("Usage: <experiment folder | exported .stablehlo artifact> "
               "[--host H] [--port N] [--max-batch N] [--window-ms F] "
               "[--warm N,N,...] [--no-warm] [--mesh N] [--reload-any] "
-              "[--watch SECONDS]")
+              "[--watch SECONDS] "
+              "[--quantize int8 --calib-root <image root> "
+              "[--calib-rows N]]")
         return 1
     source = positional[0]
 
@@ -83,7 +93,36 @@ def main(argv: list[str] | None = None) -> int:
             MeshConfig(data_parallel=n, model_parallel=1),
             devices=devices[:n])
 
-    if os.path.isdir(source):
+    if opts["quantize"]:
+        # int8 PTQ serving (serve/quantize.py: measured 1.41x the bf16
+        # rate, docs/PERF.md §int8). Quantized weights are program
+        # constants, so --watch/--reload are unavailable — restart to
+        # pick up a retrained checkpoint.
+        if opts["quantize"] != "int8":
+            raise SystemExit(f"unknown --quantize {opts['quantize']!r}")
+        if not os.path.isdir(source):
+            raise SystemExit(
+                "--quantize serves experiment folders; to serve a "
+                "quantized ARTIFACT, export it with tone_bias_export.py "
+                "--quantize int8 and serve the .stablehlo directly")
+        if mesh is not None or float(opts["watch"]) > 0:
+            raise SystemExit(
+                "--quantize is exclusive with --mesh/--watch (constant-"
+                "weight program; no hot reload)")
+        if not opts["calib-root"]:
+            raise SystemExit(
+                "--quantize needs --calib-root (the image root; "
+                "calibration rows come from the folder's "
+                "session_train.csv)")
+        from skin_image_analysis_tpu.serve.quantize import (
+            calibration_rows,
+        )
+
+        calib, _ = calibration_rows(
+            source, opts["calib-root"], int(opts["calib-rows"]))
+        session = InferenceSession.from_experiment_quantized(
+            source, calib, max_batch=int(opts["max-batch"]))
+    elif os.path.isdir(source):
         session = InferenceSession.from_experiment(
             source, max_batch=int(opts["max-batch"]), mesh=mesh)
     else:

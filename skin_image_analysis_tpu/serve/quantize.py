@@ -251,6 +251,45 @@ def build_infer_fn_quantized(qtree: dict, malignant_index: int = 1):
     return infer
 
 
+def calibration_rows(folder: str, root: str, n_rows: int = 256):
+    """Calibration pixels from an experiment's frozen train split
+    (falling back to the test split) and held-out report pixels from the
+    test split, decoded at the model's canonical geometry — the standard
+    way to feed :func:`quantize_model` from a checkpoint folder.
+
+    Returns ``(calib, report)`` uint8 arrays; ``report`` is None when the
+    folder has no ``session_test.csv``."""
+    import os
+
+    import pandas as pd
+
+    from skin_image_analysis_tpu.data import LesionTable
+    from skin_image_analysis_tpu.data.loader import HostImageStore
+    from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
+
+    model_cfg, _ = ckpt_lib.load_model(
+        os.path.join(folder, ckpt_lib.MODEL_FILENAME))
+
+    def rows(csv_name: str):
+        path = os.path.join(folder, csv_name)
+        if not os.path.exists(path):
+            return None
+        df = pd.read_csv(path, index_col=0).head(n_rows)
+        table = LesionTable(df, root)
+        store = HostImageStore(table, canonical_size=model_cfg.image_size)
+        return store.images
+
+    calib = rows("session_train.csv")
+    report = rows("session_test.csv")
+    if calib is None:
+        calib = report
+    if calib is None:
+        raise ValueError(
+            f"{folder} has no session_train.csv/session_test.csv to "
+            "calibrate from")
+    return calib, report
+
+
 def quantization_report(model_cfg, params, qtree,
                         eval_pixels) -> dict[str, float]:
     """Fidelity of the int8 program vs the float reference on held-out

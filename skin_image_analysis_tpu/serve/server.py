@@ -163,6 +163,48 @@ class InferenceSession:
                    model_cfg=model_cfg, normalize_imagenet=normalize,
                    input_affine=affine)
 
+    @classmethod
+    def from_experiment_quantized(cls, folder: str, calib_pixels,
+                                  max_batch: int = 64,
+                                  class_names: Sequence[str] | None = None,
+                                  ) -> "InferenceSession":
+        """Serve the int8 post-training-quantized program straight from
+        an experiment folder (serve/quantize.py — measured 1.41x the
+        bf16 serving rate, docs/PERF.md §int8). The quantized weights
+        ride as program constants, so these sessions cannot hot-reload
+        (a new checkpoint needs recalibration anyway — restart, or
+        export a fresh artifact)."""
+        import os
+
+        from skin_image_analysis_tpu.serve.quantize import (
+            build_infer_fn_quantized,
+            quantize_model,
+        )
+        from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
+
+        model_cfg, loaded = ckpt_lib.load_model(
+            os.path.join(folder, ckpt_lib.MODEL_FILENAME)
+        )
+        params, _ = ckpt_lib.split_variables(loaded)
+        normalize, affine, train_cfg = False, None, {}
+        cfg_path = os.path.join(folder, "train_config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                train_cfg = json.load(f)
+            normalize = bool(train_cfg.get("data", {}).get(
+                "normalize_imagenet", False))
+            affine = train_cfg.get("data", {}).get("input_affine")
+        if class_names is None:
+            class_names = train_cfg.get("class_names",
+                                        ("benign", "malignant"))
+        qtree = quantize_model(
+            model_cfg, params, calib_pixels,
+            normalize_imagenet=normalize, input_affine=affine)
+        infer = build_infer_fn_quantized(qtree)
+        return cls(infer, model_cfg.image_size, 3, max_batch,
+                   class_names, source=folder,
+                   normalize_imagenet=normalize, input_affine=affine)
+
     @staticmethod
     def _commit_weights(weights, mesh):
         """Device-commit the checkpoint's host arrays once — without
@@ -278,9 +320,9 @@ class InferenceSession:
 
         if self._weights is None:
             raise RuntimeError(
-                "this session serves an exported artifact (weights are "
-                "embedded program constants) — hot reload needs an "
-                "experiment-folder session")
+                "this session's weights are embedded program constants "
+                "(exported artifact or int8-quantized session) — hot "
+                "reload needs a float experiment-folder session")
         folder = folder or self.source
         model_cfg, loaded = ckpt_lib.load_model(
             os.path.join(folder, ckpt_lib.MODEL_FILENAME)

@@ -141,6 +141,59 @@ def test_quantized_artifact_serves(small_model, tmp_path):
     )
 
 
+def test_quantized_session_from_experiment(small_model, tmp_path):
+    """The serving daemon's --quantize path: a quantized session built
+    straight from the folder matches the quantized forward, honors the
+    bucket padding contract, and refuses hot reload (constant
+    weights)."""
+    import os
+
+    from skin_image_analysis_tpu.serve import InferenceSession
+    from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
+
+    cfg, params = small_model
+    folder = str(tmp_path / "exp")
+    os.makedirs(folder)
+    ckpt_lib.save_model(
+        os.path.join(folder, ckpt_lib.MODEL_FILENAME), cfg, params, None
+    )
+    rng = np.random.default_rng(6)
+    calib = rng.integers(0, 255, (8, SIZE, SIZE, 3), np.uint8)
+    sess = InferenceSession.from_experiment_quantized(
+        folder, calib, max_batch=4)
+    pixels = rng.integers(0, 255, (3, SIZE, SIZE, 3), np.uint8)
+    got = sess.predict(pixels)
+    qtree = quantize_model(cfg, params, calib)
+    want = build_infer_fn_quantized(qtree)(jnp.asarray(pixels))
+    np.testing.assert_allclose(
+        got["log_probs"], np.asarray(want["log_probs"]), atol=1e-5
+    )
+    with pytest.raises(RuntimeError, match="constants"):
+        sess.reload_weights()
+
+
+def test_serve_cli_quantize_validation(tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from cli import tone_bias_serve
+
+    # --quantize without --calib-root / unknown scheme / artifact source
+    with pytest.raises(SystemExit, match="calib-root"):
+        tone_bias_serve.main([str(tmp_path), "--quantize", "int8"])
+    with pytest.raises(SystemExit, match="unknown"):
+        tone_bias_serve.main([str(tmp_path), "--quantize", "int4"])
+    art = tmp_path / "m.stablehlo"
+    art.write_bytes(b"x")
+    with pytest.raises(SystemExit, match="experiment folders"):
+        tone_bias_serve.main(
+            [str(art), "--quantize", "int8", "--calib-root", "/tmp"])
+    with pytest.raises(SystemExit, match="exclusive"):
+        tone_bias_serve.main(
+            [str(tmp_path), "--quantize", "int8", "--calib-root", "/tmp",
+             "--watch", "1"])
+
+
 def test_quantized_pool_commutes(small_model):
     """Pooling int8 after requantization equals requantizing the pooled
     float activation (max commutes with the monotone quantizer) — the
