@@ -185,11 +185,12 @@ def export_model(
         qtree = quantize_model(
             model_cfg, params, calib_pixels,
             normalize_imagenet=normalize_imagenet,
-            input_affine=input_affine,
+            input_affine=input_affine, batch_stats=batch_stats,
         )
         if report_pixels is not None:
             quant_report = quantization_report(
-                model_cfg, params, qtree, report_pixels)
+                model_cfg, params, qtree, report_pixels,
+                batch_stats=batch_stats)
         infer = build_infer_fn_quantized(qtree)
     else:
         infer = build_infer_fn(model_cfg, params, batch_stats,

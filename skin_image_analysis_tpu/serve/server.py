@@ -185,7 +185,7 @@ class InferenceSession:
         model_cfg, loaded = ckpt_lib.load_model(
             os.path.join(folder, ckpt_lib.MODEL_FILENAME)
         )
-        params, _ = ckpt_lib.split_variables(loaded)
+        params, batch_stats = ckpt_lib.split_variables(loaded)
         normalize, affine, train_cfg = False, None, {}
         cfg_path = os.path.join(folder, "train_config.json")
         if os.path.exists(cfg_path):
@@ -199,7 +199,8 @@ class InferenceSession:
                                         ("benign", "malignant"))
         qtree = quantize_model(
             model_cfg, params, calib_pixels,
-            normalize_imagenet=normalize, input_affine=affine)
+            normalize_imagenet=normalize, input_affine=affine,
+            batch_stats=batch_stats)
         infer = build_infer_fn_quantized(qtree)
         return cls(infer, model_cfg.image_size, 3, max_batch,
                    class_names, source=folder,

@@ -390,6 +390,12 @@ def train_classifier(
     model_path = os.path.join(cfg.out_dir, ckpt_lib.MODEL_FILENAME)
     ckpt_lib.save_model(model_path, model_cfg, state.params,
                         state.batch_stats)
+    # the frozen splits, flagship-layout (train/loop.py TRAIN_SET_FILENAME):
+    # serve.quantize.calibration_rows and tone_bias_test read them
+    train_table.metadata_df.to_csv(
+        os.path.join(cfg.out_dir, "session_train.csv"))
+    test_table.metadata_df.to_csv(
+        os.path.join(cfg.out_dir, "session_test.csv"))
     with open(os.path.join(cfg.out_dir, "train_config.json"), "w") as f:
         data_cfg = {"normalize_imagenet": norm}
         if affine is not None:

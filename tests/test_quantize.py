@@ -39,12 +39,16 @@ def test_quantize_roundtrip_fidelity(small_model):
     calib = rng.integers(0, 255, (16, SIZE, SIZE, 3), np.uint8)
     qtree = quantize_model(cfg, params, calib)
 
-    # int8 weights, f32 dequant/bias, one layer per conv/dense/head
-    assert len(qtree["layers"]) == 2 + 1 + 1
-    for layer in qtree["layers"]:
-        assert layer["kernel_q"].dtype == np.int8
-        assert layer["dequant"].dtype == np.float32
-        assert np.abs(layer["kernel_q"]).max() <= 127
+    # int8 weights, f32 dequant/bias on every contraction op; the
+    # flagship graph: (conv+pool) x2, mlp dense, head
+    assert len(qtree["ops"]) == 2 * 2 + 1 + 1
+    contractions = [op for op in qtree["ops"]
+                    if op["op"] in ("conv", "dense")]
+    assert len(contractions) == 2 + 1 + 1
+    for op in contractions:
+        assert op["kernel_q"].dtype == np.int8
+        assert op["dequant"].dtype == np.float32
+        assert np.abs(op["kernel_q"]).max() <= 127
 
     held_out = rng.integers(0, 255, (32, SIZE, SIZE, 3), np.uint8)
     report = quantization_report(cfg, params, qtree, held_out)
@@ -77,9 +81,15 @@ def test_quantize_rejects_unsupported(small_model):
     cfg, params = small_model
     rng = np.random.default_rng(2)
     calib = rng.integers(0, 255, (4, SIZE, SIZE, 3), np.uint8)
-    with pytest.raises(ValueError, match="skin_cancer"):
+    with pytest.raises(ValueError, match="bf16 path"):
         quantize_model(
-            ModelConfig(name="resnet50", image_size=SIZE), params, calib
+            ModelConfig(name="efficientnet_b0", image_size=SIZE),
+            params, calib
+        )
+    # BatchNorm families require batch_stats for the BN fold
+    with pytest.raises(ValueError, match="batch_stats"):
+        quantize_model(
+            ModelConfig(name="resnet18", image_size=SIZE), params, calib
         )
     # over-sized calibration pixels resize through the eval preprocess
     # (the serving program's own geometry), not an error
@@ -97,15 +107,15 @@ def test_float_oracle_matches_model(small_model):
     report would describe a program nobody serves."""
     from skin_image_analysis_tpu.models.cnn import build_model
     from skin_image_analysis_tpu.serve.quantize import (
+        _build_graph,
         _float_forward,
-        _layers,
     )
 
     cfg, params = small_model
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.uniform(0, 1, (3, SIZE, SIZE, 3)).astype(np.float32))
     want = build_model(cfg).apply({"params": params}, x, train=False)
-    got = _float_forward(_layers(cfg, params), x, taps=False)
+    got = _float_forward(_build_graph(cfg, params), x, taps=False)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=1e-5
     )
@@ -192,6 +202,144 @@ def test_serve_cli_quantize_validation(tmp_path):
         tone_bias_serve.main(
             [str(tmp_path), "--quantize", "int8", "--calib-root", "/tmp",
              "--watch", "1"])
+
+
+TSIZE = 32  # transfer-family tests run tiny on the one-core CPU
+
+
+def _init_bn_model(model, rng_seed: int, stat_seed: int):
+    """init at TSIZE and randomize the BN running stats so the fold is
+    non-trivial."""
+    import flax
+
+    rng = np.random.default_rng(stat_seed)
+    x = jnp.zeros((1, TSIZE, TSIZE, 3), jnp.float32)
+    variables = model.init(jax.random.key(rng_seed), x, train=False)
+    flat = flax.traverse_util.flatten_dict(variables)
+    for k in flat:
+        if k[0] == "batch_stats":
+            if k[-1] == "mean":
+                flat[k] = jnp.asarray(
+                    rng.normal(0, 0.3, flat[k].shape), jnp.float32)
+            else:  # var
+                flat[k] = jnp.asarray(
+                    rng.uniform(0.5, 2.0, flat[k].shape), jnp.float32)
+    variables = flax.traverse_util.unflatten_dict(flat)
+    return model, variables["params"], variables["batch_stats"]
+
+
+@pytest.fixture(scope="module")
+def resnet18_model():
+    from skin_image_analysis_tpu.models.resnet import resnet18
+
+    return _init_bn_model(resnet18(num_classes=2,
+                                   compute_dtype="float32"), 1, 7)
+
+
+def test_resnet_graph_matches_model(resnet18_model):
+    """The BN-folded graph IR forward equals the real ResNet eval
+    forward (f32 compute) — the correctness pin for resnet
+    quantization: stem geometry, torch-parity paddings, downsample
+    branches, residual adds, GAP, head."""
+    from skin_image_analysis_tpu.serve.quantize import (
+        _build_graph,
+        _float_forward,
+    )
+
+    model, params, batch_stats = resnet18_model
+    cfg = ModelConfig(name="resnet18", image_size=TSIZE)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.uniform(0, 1, (2, TSIZE, TSIZE, 3)),
+                    jnp.float32)
+    want = model.apply({"params": params, "batch_stats": batch_stats},
+                       x, train=False)
+    ops = _build_graph(cfg, params, batch_stats)
+    got = _float_forward(ops, x, taps=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4)
+
+
+def test_resnet_quantized_fidelity(resnet18_model):
+    model, params, batch_stats = resnet18_model
+    cfg = ModelConfig(name="resnet18", image_size=TSIZE)
+    rng = np.random.default_rng(9)
+    calib = rng.integers(0, 255, (16, TSIZE, TSIZE, 3), np.uint8)
+    qtree = quantize_model(cfg, params, calib, batch_stats=batch_stats)
+    held = rng.integers(0, 255, (32, TSIZE, TSIZE, 3), np.uint8)
+    from skin_image_analysis_tpu.serve.quantize import (
+        quantization_report,
+    )
+
+    report = quantization_report(cfg, params, qtree, held,
+                                 batch_stats=batch_stats)
+    assert report["agreement_confident"] == 1.0
+    assert report["mean_abs_dlogp"] < 0.1
+
+
+def test_vgg_graph_and_fidelity():
+    from skin_image_analysis_tpu.models.vgg import VGG, _BLOCKS
+    from skin_image_analysis_tpu.serve.quantize import (
+        _build_graph,
+        _float_forward,
+        quantization_report,
+    )
+
+    model = VGG(num_classes=2, block_convs=_BLOCKS["vgg16"],
+                compute_dtype="float32")
+    x0 = jnp.zeros((1, TSIZE, TSIZE, 3), jnp.float32)
+    variables = model.init(jax.random.key(2), x0, train=False)
+    params = variables["params"]
+    cfg = ModelConfig(name="vgg16", image_size=TSIZE)
+
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.uniform(0, 1, (2, TSIZE, TSIZE, 3)), jnp.float32)
+    want = model.apply({"params": params}, x, train=False)
+    ops = _build_graph(cfg, params)
+    got = _float_forward(ops, x, taps=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4)
+
+    calib = rng.integers(0, 255, (8, TSIZE, TSIZE, 3), np.uint8)
+    qtree = quantize_model(cfg, params, calib)
+    held = rng.integers(0, 255, (16, TSIZE, TSIZE, 3), np.uint8)
+    report = quantization_report(cfg, params, qtree, held)
+    assert report["agreement_confident"] == 1.0
+    assert report["mean_abs_dlogp"] < 0.1
+
+
+@pytest.mark.parametrize("family", ["xception_small", "mobilenet_v2"])
+def test_depthwise_families_graph_and_fidelity(family):
+    """Xception / MobileNetV2 graph IR: BN-folded separable convs,
+    standalone pre-activation relus, ReLU6, correct_pad stride-2
+    depthwise geometry, f32 residual adds — pinned to the live model
+    forward, then quantized fidelity."""
+    from skin_image_analysis_tpu.models.cnn import build_model
+    from skin_image_analysis_tpu.serve.quantize import (
+        _build_graph,
+        _float_forward,
+    )
+
+    cfg = ModelConfig(name=family, image_size=TSIZE,
+                      compute_dtype="float32")
+    model, params, batch_stats = _init_bn_model(
+        build_model(cfg), 3, 11 if family == "mobilenet_v2" else 13)
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.uniform(0, 1, (2, TSIZE, TSIZE, 3)), jnp.float32)
+    want = model.apply({"params": params, "batch_stats": batch_stats},
+                       x, train=False)
+    ops = _build_graph(cfg, params, batch_stats)
+    got = _float_forward(ops, x, taps=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4)
+
+    calib = rng.integers(0, 255, (8, TSIZE, TSIZE, 3), np.uint8)
+    qtree = quantize_model(cfg, params, calib, batch_stats=batch_stats)
+    held = rng.integers(0, 255, (16, TSIZE, TSIZE, 3), np.uint8)
+    report = quantization_report(cfg, params, qtree, held,
+                                 batch_stats=batch_stats)
+    assert report["agreement_confident"] == 1.0
+    assert report["mean_abs_dlogp"] < 0.1
 
 
 def test_quantized_pool_commutes(small_model):

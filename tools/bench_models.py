@@ -4,13 +4,17 @@
 backbones) on the real chip, through the production step machinery
 (train.step.make_train_step / make_eval_step, bf16 compute, BN state).
 
-Usage: python tools/bench_models.py [--freeze] [--scan K] [model ...]
+Usage: python tools/bench_models.py [--freeze] [--scan K] [--int8]
+       [model ...]
        (default models: resnet50 xception; --freeze benches the
        frozen-backbone transfer step — head-only backward; --scan K
        benches the classify trainer's production pipeline instead:
        uint8 canonical arena + crop/flip/ImageNet preprocess, per-batch
        vs K-steps-per-dispatch scanned programs
-       (train.classify steps_per_dispatch))
+       (train.classify steps_per_dispatch); --int8 benches the SERVING
+       programs instead — bf16 build_infer_fn vs the int8
+       post-training-quantized program (serve/quantize.py), uint8
+       pixels in, per-dispatch)
 
 Prints one line per model: fwd+bwd step ms, train img/s/chip, eval
 img/s/chip. Fences with value readbacks (block_until_ready returns
@@ -29,7 +33,8 @@ import numpy as np
 
 def main(argv: list[str]) -> int:
     freeze = "--freeze" in argv
-    argv = [a for a in argv if a != "--freeze"]
+    int8_mode = "--int8" in argv
+    argv = [a for a in argv if a not in ("--freeze", "--int8")]
     scan_k = 0
     if "--scan" in argv:
         i = argv.index("--scan")
@@ -101,6 +106,9 @@ def main(argv: list[str]) -> int:
             cfg, OptimConfig(learning_rate=1e-3, optimizer="adamw"),
             jax.random.key(0), batch_size=batch,
         )
+        if int8_mode:
+            _bench_int8(name, cfg, state, batch, image, rng)
+            continue
         step = make_train_step(preprocess_fn=pre_t)
         estep = make_eval_step(preprocess_fn=pre_e)
 
@@ -169,6 +177,62 @@ def main(argv: list[str]) -> int:
                 f"({batch / scan_eval_ms * 1e3:,.0f} img/s/chip)"
             )
     return 0
+
+
+def _bench_int8(name, cfg, state, batch, image, rng):
+    """Serving comparison: the bf16 inference program vs the int8
+    post-training-quantized one (serve/quantize.py), both uint8 pixels →
+    eval preprocess → forward → {log_probs, pred, p_malignant}."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from skin_image_analysis_tpu.serve.export import build_infer_fn
+    from skin_image_analysis_tpu.serve.quantize import (
+        build_infer_fn_quantized,
+        quantize_model,
+    )
+
+    pixels = jnp.asarray(
+        rng.integers(0, 255, (batch, image, image, 3)), jnp.uint8)
+    calib = rng.integers(0, 255, (64, image, image, 3)).astype(np.uint8)
+    norm = name not in ("skin_cancer_list", "skin_cancer")
+
+    t0 = time.perf_counter()
+    qtree = quantize_model(cfg, state.params, calib,
+                           normalize_imagenet=norm,
+                           batch_stats=state.batch_stats)
+    calib_s = time.perf_counter() - t0
+    q_bytes = sum(op["kernel_q"].nbytes for op in qtree["ops"]
+                  if "kernel_q" in op)
+    f_bytes = 4 * sum(x.size for x in jax.tree.leaves(state.params))
+
+    results = {}
+    for tag, fn in (
+        ("bf16", build_infer_fn(cfg, state.params, state.batch_stats,
+                                normalize_imagenet=norm)),
+        ("int8", build_infer_fn_quantized(qtree)),
+    ):
+        jfn = jax.jit(fn)
+        t0 = time.perf_counter()
+        out = jfn(pixels)
+        np.asarray(out["pred"])  # readback fence (tiny i32 vector)
+        compile_s = time.perf_counter() - t0
+        iters = 20
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = jfn(pixels)
+        np.asarray(out["pred"])
+        ms = (time.perf_counter() - t0) / iters * 1e3
+        results[tag] = ms
+        print(f"{name} serve[{tag}]: {ms:.2f} ms/batch "
+              f"({batch / ms * 1e3:,.0f} img/s/chip) "
+              f"compile={compile_s:.1f}s B={batch}@{image}")
+    print(f"{name} int8/bf16 speedup: "
+          f"{results['bf16'] / results['int8']:.2f}x  weights "
+          f"{f_bytes / 1e6:.1f} -> {q_bytes / 1e6:.1f} MB "
+          f"(calib {calib_s:.1f}s)")
 
 
 if __name__ == "__main__":
