@@ -32,8 +32,10 @@ def main(argv: list[str] | None = None) -> int:
         print("Usage: <experiment folder> <out path> "
               "[--canonical-size N] [--platforms tpu,cpu] "
               "[--normalize-imagenet] "
-              "[--quantize int8 --calib-root <image root> "
-              "[--calib-rows N]]")
+              "[--quantize int8|int8-weights --calib-root <image root> "
+              "[--calib-rows N]]  (int8-weights works on ANY model "
+              "family and needs no calibration; --calib-root there "
+              "only feeds the fidelity report)")
         return 1
     folder, out_path = positional
 
@@ -41,14 +43,15 @@ def main(argv: list[str] | None = None) -> int:
 
     calib = report = None
     if opts["quantize"]:
-        if not opts["calib-root"]:
-            print("--quantize needs --calib-root (the image root; "
+        if not opts["calib-root"] and opts["quantize"] != "int8-weights":
+            print("--quantize int8 needs --calib-root (the image root; "
                   "calibration rows come from the experiment's "
                   "session_train.csv, the fidelity report from "
                   "session_test.csv)")
             return 1
-        calib, report = _load_calibration(
-            folder, opts["calib-root"], opts["calib-rows"])
+        if opts["calib-root"]:
+            calib, report = _load_calibration(
+                folder, opts["calib-root"], opts["calib-rows"])
 
     manifest = export_model(
         folder, out_path,

@@ -99,7 +99,11 @@ def main(argv: list[str] | None = None) -> int:
         # constants, so --watch/--reload are unavailable — restart to
         # pick up a retrained checkpoint.
         if opts["quantize"] != "int8":
-            raise SystemExit(f"unknown --quantize {opts['quantize']!r}")
+            raise SystemExit(
+                f"unknown --quantize {opts['quantize']!r} (the daemon "
+                "serves full int8 only; 'int8-weights' is an export-time "
+                "artifact-size scheme — in-process weights are already "
+                "device-resident, so it would change nothing here)")
         if not os.path.isdir(source):
             raise SystemExit(
                 "--quantize serves experiment folders; to serve a "

@@ -140,6 +140,10 @@ def export_model(
     contractions, 4x smaller artifact): requires ``calib_pixels``
     (uint8 calibration images, e.g. training rows); ``report_pixels``
     (held-out rows) adds a fidelity report to the manifest.
+    ``quantize="int8-weights"`` embeds int8 WEIGHT constants that
+    dequantize in the program prologue — compute unchanged, artifact
+    ~4x smaller, works on ANY model family and needs no calibration
+    (``report_pixels`` still adds the fidelity report).
     """
     from jax import export as jexport
 
@@ -169,9 +173,7 @@ def export_model(
     # their 2 channels INSIDE the exported program (build_infer_fn)
     c = 3
     quant_report = None
-    if quantize is not None:
-        if quantize != "int8":
-            raise ValueError(f"unknown quantize scheme {quantize!r}")
+    if quantize == "int8":
         if calib_pixels is None:
             raise ValueError(
                 "quantize='int8' needs calib_pixels (uint8 images, e.g. "
@@ -192,6 +194,28 @@ def export_model(
                 model_cfg, params, qtree, report_pixels,
                 batch_stats=batch_stats)
         infer = build_infer_fn_quantized(qtree)
+    elif quantize == "int8-weights":
+        # weight-only: ANY family (no calibration — compute unchanged,
+        # int8 constants dequantize in the program prologue)
+        from skin_image_analysis_tpu.serve.quantize import (
+            build_infer_fn_w8,
+            quantize_weights_only,
+            weights_only_report,
+        )
+
+        qparams = quantize_weights_only(params)
+        if report_pixels is not None:
+            quant_report = weights_only_report(
+                model_cfg, params, qparams, report_pixels,
+                batch_stats=batch_stats,
+                normalize_imagenet=normalize_imagenet,
+                input_affine=input_affine)
+        infer = build_infer_fn_w8(
+            model_cfg, qparams, batch_stats,
+            normalize_imagenet=normalize_imagenet,
+            input_affine=input_affine)
+    elif quantize is not None:
+        raise ValueError(f"unknown quantize scheme {quantize!r}")
     else:
         infer = build_infer_fn(model_cfg, params, batch_stats,
                                normalize_imagenet=normalize_imagenet,

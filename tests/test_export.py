@@ -275,3 +275,86 @@ def test_export_quantized_int8(exp_folder, tmp_path):
     with pytest.raises(ValueError, match="calib_pixels"):
         export_model(exp_folder, str(tmp_path / "x.stablehlo"),
                      quantize="int8")
+
+
+def test_export_quantized_int8_weights(exp_folder, tmp_path):
+    """quantize='int8-weights' (weight-only, any family): no
+    calibration needed, artifact shrinks like the full int8 one,
+    compute matches the float program to weight-rounding precision."""
+    from skin_image_analysis_tpu.serve import (
+        export_model,
+        load_exported,
+        predict_exported,
+    )
+
+    rng = np.random.default_rng(5)
+    held = rng.integers(0, 255, (8, 16, 16, 3), np.uint8)
+
+    out_f32 = str(tmp_path / "m_f32.stablehlo")
+    export_model(exp_folder, out_f32)
+    out_w8 = str(tmp_path / "m_w8.stablehlo")
+    manifest = export_model(exp_folder, out_w8, quantize="int8-weights",
+                            report_pixels=held)
+    q = manifest["quantization"]
+    assert q["scheme"] == "int8-weights"
+    assert q["agreement_confident"] == 1.0
+    assert q["mean_abs_dlogp"] < 0.05
+    assert os.path.getsize(out_w8) < 0.75 * os.path.getsize(out_f32)
+
+    pixels = rng.integers(0, 255, (3, 16, 16, 3), np.uint8)
+    got = predict_exported(out_w8, pixels)
+    ref = predict_exported(out_f32, pixels)
+    assert (got["pred"] == ref["pred"]).all()
+    np.testing.assert_allclose(got["log_probs"], ref["log_probs"],
+                               atol=0.05)
+
+    with pytest.raises(ValueError, match="unknown quantize"):
+        export_model(exp_folder, str(tmp_path / "y.stablehlo"),
+                     quantize="int4")
+
+
+def test_weights_only_any_family():
+    """int8-weights works on a family full int8 refuses (SE/swish):
+    efficientnet-style is too slow to compile on the one-core CPU here,
+    so pin the mechanism on a BN model (resnet geometry) — the
+    quantize_weights_only/dequantize_weights pair is family-agnostic
+    (pure tree transform + model.apply)."""
+    from skin_image_analysis_tpu.models.resnet import resnet18
+    from skin_image_analysis_tpu.serve.quantize import (
+        dequantize_weights,
+        quantize_weights_only,
+    )
+
+    model = resnet18(num_classes=2, compute_dtype="float32")
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.key(3), x, train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    qparams = quantize_weights_only(params)
+    # kernel leaves became int8 payloads; vector leaves stayed f32
+    flat_kernels = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "_w8" in node:
+                flat_kernels.append(node)
+                assert node["_w8"].dtype == np.int8
+                assert node["_scale"].dtype == np.float32
+                return
+            for v in node.values():
+                walk(v)
+
+    walk(qparams)
+    assert len(flat_kernels) > 10
+
+    deq = dequantize_weights(qparams)
+    xr = jnp.asarray(
+        np.random.default_rng(4).uniform(0, 1, (2, 32, 32, 3)),
+        jnp.float32)
+    want = model.apply({"params": params, "batch_stats": batch_stats},
+                       xr, train=False)
+    got = model.apply({"params": deq, "batch_stats": batch_stats},
+                      xr, train=False)
+    # weight rounding only: per-channel int8 keeps ~0.4% relative error
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=0.1, rtol=0.05)
