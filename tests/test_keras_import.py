@@ -50,6 +50,7 @@ def test_keras_artifact_import_numerical_parity(tmp_path):
     from skin_image_analysis_tpu.models import build_model
     from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
 
+    keras.utils.set_random_seed(7)  # keras inits from TF's GLOBAL rng
     kmodel = _notebook_transfer_model(keras, num_classes=2, size=96)
     path = str(tmp_path / "skin_cancer_xception_model.keras")
     kmodel.save(path)
@@ -196,6 +197,7 @@ def test_efficientnet_v1_keras_artifact_parity(tmp_path):
     from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
     from tests.test_vgg_mobilenet import _randomize_bn, _transfer_model
 
+    keras.utils.set_random_seed(8)  # keras inits from TF's GLOBAL rng
     rng = np.random.default_rng(8)
     base = keras.applications.EfficientNetB0(
         weights=None, include_top=False, input_shape=(96, 96, 3)
@@ -261,14 +263,30 @@ def test_efficientnet_v2_s_keras_artifact_input_affine(tmp_path):
     from skin_image_analysis_tpu.migrate import import_keras_experiment
     from skin_image_analysis_tpu.models import build_model
     from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
-    from tests.test_vgg_mobilenet import _randomize_bn, _transfer_model
+    from tests.test_vgg_mobilenet import _transfer_model
 
+    # deterministic weight draw — keras.applications inits from TF's
+    # GLOBAL rng, so an unseeded build varies with test order
+    keras.utils.set_random_seed(12)
     rng = np.random.default_rng(12)
     base = keras.applications.EfficientNetV2S(
         weights=None, include_top=False, input_shape=(96, 96, 3)
     )
     kmodel = _transfer_model(keras, base, num_classes=2)
-    _randomize_bn(keras, kmodel, rng)
+    # TAME BN randomization: v2-S stacks ~170 BN+swish layers, and the
+    # shared ±50% gamma/var draw compounds to ~1e6-scale activations
+    # where the forward is chaotic (measured: a 1e-6 input perturbation
+    # moves keras' own features 57% — no tolerance is meaningful there).
+    # ±5% still catches stat routing/transpose mistakes at fine atol.
+    for layer in kmodel.layers:
+        if isinstance(layer, keras.layers.BatchNormalization):
+            c = layer.get_weights()[0].shape[0]
+            layer.set_weights([
+                rng.uniform(0.95, 1.05, c).astype(np.float32),
+                rng.normal(0, 0.02, c).astype(np.float32),
+                rng.normal(0, 0.02, c).astype(np.float32),
+                rng.uniform(0.95, 1.05, c).astype(np.float32),
+            ])
     path = str(tmp_path / "env2s.keras")
     kmodel.save(path)
 
@@ -289,11 +307,25 @@ def test_efficientnet_v2_s_keras_artifact_input_affine(tmp_path):
         str(tmp_path / "imported" / ckpt_lib.MODEL_FILENAME)
     )
     x_255 = rng.uniform(0, 255, (2, 96, 96, 3)).astype(np.float32)
-    theirs = np.asarray(kmodel(x_255, training=False))
     x_pipeline = (x_255 / 255.0) * (255.0 / 128.0) - 1.0
     ours_log = np.asarray(
         build_model(cfg).apply(variables, jnp.asarray(x_pipeline),
                                train=False)
     )
-    np.testing.assert_allclose(np.exp(ours_log), theirs,
-                               rtol=1e-3, atol=1e-5)
+    # Random-init v2-S with randomized BN stats produces HUGE logits
+    # (softmax saturates to exact 0/1), so comparing probabilities is
+    # meaningless: a legitimate ~1e-4 relative backend drift (oneDNN vs
+    # XLA reduction orders) flips saturated rows. Compare normalized
+    # LOG probs against keras' own pre-softmax logits with a tolerance
+    # proportional to the logit scale — a real import bug (wrong/
+    # misrouted weights) diverges at the logit scale itself.
+    feat = np.asarray(
+        keras.Model(kmodel.input, kmodel.layers[-2].output)(
+            x_255, training=False))
+    w, b = kmodel.layers[-1].get_weights()
+    logits = feat @ w + b
+    ref_log = logits - np.log(np.exp(
+        logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True)
+    ) - logits.max(-1, keepdims=True)
+    atol = max(1e-4 * float(np.abs(logits).max()), 1e-4)
+    np.testing.assert_allclose(ours_log, ref_log, atol=atol)
