@@ -461,8 +461,10 @@ def _pool_pad(padding):
 def _float_forward(ops: list[dict], x: jnp.ndarray, taps: bool):
     """The eval forward over the graph IR in plain f32 XLA ops — pinned
     equal to the real model's eval ``apply`` (tests/test_quantize.py).
-    Used for calibration (``taps=True`` returns per-tensor max|·|) and
-    as the fidelity oracle."""
+    Used for calibration (``taps=True`` additionally returns the
+    per-tensor max|·| stacked as ONE device array — jit-compatible, so
+    the whole calibration pass is a single XLA program instead of
+    hundreds of eager dispatches) and as the fidelity oracle."""
     ts = [x.astype(jnp.float32)]
     out = None
     for op in ops:
@@ -501,7 +503,7 @@ def _float_forward(ops: list[dict], x: jnp.ndarray, taps: bool):
         raise AssertionError("graph has no log-softmax head")
     if not taps:
         return out
-    maxima = [float(jnp.max(jnp.abs(t))) for t in ts]
+    maxima = jnp.stack([jnp.max(jnp.abs(t)) for t in ts])
     return out, maxima
 
 
@@ -651,9 +653,15 @@ def quantize_model(model_cfg, params, calib_pixels,
     ops = _build_graph(model_cfg, params, batch_stats)
     pre = _eval_preprocess(model_cfg.image_size, normalize_imagenet,
                            input_affine)
-    x = pre(jnp.asarray(calib_pixels), None).astype(jnp.float32)
-    _, maxima = _float_forward(ops, x, taps=True)
-    scales = [max(m, 1e-12) / 127.0 for m in maxima]
+
+    # one jitted program for the whole calibration pass (eager per-op
+    # dispatch costs minutes through a remote-dispatch relay)
+    def calibrate(pixels):
+        x = pre(pixels, None).astype(jnp.float32)
+        return _float_forward(ops, x, taps=True)[1]
+
+    maxima = np.asarray(jax.jit(calibrate)(jnp.asarray(calib_pixels)))
+    scales = [max(float(m), 1e-12) / 127.0 for m in maxima]
 
     from skin_image_analysis_tpu.ops.preprocess import normalize_affine
 
@@ -703,8 +711,10 @@ def quantization_report(model_cfg, params, qtree, eval_pixels,
         qtree.get("input_affine"),
     )
     x = pre(jnp.asarray(eval_pixels), None).astype(jnp.float32)
-    ref = np.asarray(_float_forward(ops, x, taps=False))
-    got = np.asarray(quantized_forward(qtree, x))
+    ref = np.asarray(jax.jit(
+        lambda v: _float_forward(ops, v, taps=False))(x))
+    got = np.asarray(jax.jit(
+        lambda v: quantized_forward(qtree, v))(x))
     return _fidelity(ref, got)
 
 
@@ -795,8 +805,8 @@ def weights_only_report(model_cfg, params, qparams, eval_pixels,
                                normalize_imagenet=normalize_imagenet,
                                input_affine=input_affine)
     px = jnp.asarray(eval_pixels)
-    ref = np.asarray(ref_fn(px)["log_probs"])
-    got = np.asarray(got_fn(px)["log_probs"])
+    ref = np.asarray(jax.jit(ref_fn)(px)["log_probs"])
+    got = np.asarray(jax.jit(got_fn)(px)["log_probs"])
     return _fidelity(ref, got)
 
 
