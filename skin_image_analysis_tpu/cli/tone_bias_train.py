@@ -11,7 +11,11 @@ Extra (optional) flags after the positional args: ``--seed N``,
 ``--checkpoint-every N`` (periodic full-state snapshots),
 ``--auto-resume N`` (elastic supervision: on a crash, locate the
 experiment folder and resume the remaining epochs, up to N restarts;
-implies ``--checkpoint-every 1`` unless set).
+implies ``--checkpoint-every 1`` unless set),
+``--keep-best loss|accuracy|auc`` (save session_model_best.msgpack at
+each improvement of the metric — the legacy notebook's best-val
+pattern, tone_bias_torch.py:943-1014), ``--early-stop N`` (stop after
+N metric epochs without improvement).
 """
 
 from __future__ import annotations
@@ -70,7 +74,8 @@ def main(argv: list[str] | None = None) -> int:
          "lr-step-size": 0, "lr-gamma": 0.1, "lr-decay-steps": 0,
          "lr-warmup-steps": 0, "moment-dtype": "", "nu-dtype": "",
          "steps-per-dispatch": 8, "auto-resume": 0,
-         "checkpoint-every": 0, "from-hpo": ""},
+         "checkpoint-every": 0, "from-hpo": "",
+         "keep-best": "", "early-stop": 0},
         bool_flags={"augment", "fp32", "bf16", "debug-nans", "streaming",
                     "stream-cache"},
     )
@@ -99,11 +104,19 @@ def main(argv: list[str] | None = None) -> int:
         # run that dies before its first save resumes from fresh init
         checkpoint_every = 1
 
+    # --keep-best [loss|accuracy|auc|<record key>] saves
+    # session_model_best.msgpack at each improvement; --early-stop N
+    # stops after N metric epochs without one (the metric defaults to
+    # 'loss' when only --early-stop is given)
+    best_metric = opts["keep-best"] or "loss"
     cfg = TrainConfig(
         epochs=epochs,
         experiment_dir=experiment_dir,
         init_from=opts["init-from"] or None,
         checkpoint_every=checkpoint_every,
+        checkpoint_best=bool(opts["keep-best"]),
+        best_metric=best_metric,
+        early_stop_patience=int(opts["early-stop"]),
         seed=seed,
         data=DataConfig(
             root_dir=root, balance=balance, batch_size=batch_size,

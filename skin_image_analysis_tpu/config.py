@@ -182,6 +182,17 @@ class TrainConfig:
                                        # another experiment's session_model
     log_every_batches: int = 8     # reference prints every 8 batches
     checkpoint_best: bool = False  # reference saves last weights only
+    best_metric: str = "loss"      # what "best" means for the best
+                                   # checkpoint / early stopping:
+                                   # 'loss' = train avg batch loss
+                                   # (lower better, every epoch); any
+                                   # eval-record key ('accuracy',
+                                   # 'auc', ...) is higher-better and
+                                   # updates on eval epochs only
+    early_stop_patience: int = 0   # stop after N metric epochs without
+                                   # improvement (0 = off) — the legacy
+                                   # notebook's best-val pattern,
+                                   # tone_bias_torch.py:943-1014
     seed: int = 0
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)

@@ -721,9 +721,16 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         )
 
     start = time.time()
-    best_batch_loss = None
+    # best_metric value seen so far — seeded from the folder's prior
+    # epoch records on resume, so a worse post-resume epoch can never
+    # overwrite a better pre-crash session_model_best
+    best_value = _prior_best(folder, cfg.best_metric) if (
+        cfg.checkpoint_best or cfg.early_stop_patience) else None
+    epochs_since_best = 0      # early-stop counter (metric epochs only)
+    epochs_run = 0
     for epoch in range(cfg.epochs):
         epoch_start = time.time()
+        record = None
         if verbose:
             print(f"Epoch {epoch + 1}/{cfg.epochs}")
             print("-" * 10)
@@ -805,16 +812,49 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
             record["eval_time_s"] = time.time() - eval_start
             jsonl.append_record(results_path, record)
 
-        if cfg.checkpoint_best and (
-            best_batch_loss is None or avg_batch_loss < best_batch_loss
-        ):
-            # best-loss weights (the improvement the reference discusses
-            # but does not ship, tone_bias_train.py:438-442)
-            best_batch_loss = avg_batch_loss
-            ckpt_lib.save_model(
-                os.path.join(folder, "session_model_best.msgpack"),
-                model_cfg, state.params, state.batch_stats,
-            )
+        # Best-checkpoint / early-stop bookkeeping (the legacy
+        # notebook's best-val pattern, tone_bias_torch.py:943-1014, and
+        # the improvement the reference discusses but does not ship,
+        # tone_bias_train.py:438-442). 'loss' tracks the train avg
+        # batch loss every epoch (lower is better); any other
+        # best_metric reads the fairness eval record ('accuracy',
+        # 'auc', ... higher is better) and therefore only updates on
+        # eval epochs — non-eval epochs neither improve nor consume
+        # early-stop patience.
+        if cfg.best_metric in ("loss", "avg_batch_loss"):
+            current, higher_better = avg_batch_loss, False
+        elif record is not None:
+            if cfg.best_metric not in record:
+                raise ValueError(
+                    f"best_metric {cfg.best_metric!r} is not an epoch-"
+                    f"record key; have e.g. accuracy, auc")
+            current, higher_better = float(record[cfg.best_metric]), True
+        else:
+            current = None
+        epochs_run = epoch + 1
+        if current is not None:
+            improved = best_value is None or (
+                current > best_value if higher_better
+                else current < best_value)
+            if improved:
+                best_value = current
+                epochs_since_best = 0
+                if cfg.checkpoint_best:
+                    ckpt_lib.save_model(
+                        os.path.join(folder,
+                                     "session_model_best.msgpack"),
+                        model_cfg, state.params, state.batch_stats,
+                    )
+            else:
+                epochs_since_best += 1
+            if (cfg.early_stop_patience
+                    and epochs_since_best >= cfg.early_stop_patience):
+                if verbose:
+                    print(
+                        f"early stop: {cfg.best_metric} has not "
+                        f"improved for {epochs_since_best} epochs "
+                        f"(best {best_value:.4f})")
+                break
 
         # Fault injection (SURVEY §5 row the reference lacks): if the
         # env names a sentinel file, consume it and crash exactly once —
@@ -834,8 +874,37 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
 
     ckpt_lib.save_model(model_path, model_cfg, state.params, state.batch_stats)
     ckpt_lib.save_train_state(ckpt_dir, state)
-    _mark_progress(folder, base_done + cfg.epochs)
+    # epochs_run < cfg.epochs when early stopping fired — the progress
+    # marker records epochs actually trained, so resume semantics stay
+    # truthful
+    _mark_progress(folder, base_done + epochs_run)
     return folder
+
+
+def _prior_best(folder: str, metric: str):
+    """Best ``metric`` value across the folder's existing epoch records
+    (all timestamped JSON-lines files — resumes append a new one).
+    'loss' reads avg_batch_loss (lower better); anything else is a
+    higher-better record key. None when no prior value exists."""
+    import glob
+    import json as _json
+
+    lower_better = metric in ("loss", "avg_batch_loss")
+    key = "avg_batch_loss" if lower_better else metric
+    values: list[float] = []
+    for p in glob.glob(os.path.join(folder, "*.json")):
+        if not os.path.basename(p)[0].isdigit():
+            continue
+        with open(p) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                rec = _json.loads(line)
+                if key in rec:
+                    values.append(float(rec[key]))
+    if not values:
+        return None
+    return min(values) if lower_better else max(values)
 
 
 def _mark_progress(folder: str, total_epochs_done: int) -> None:

@@ -168,6 +168,81 @@ def test_checkpoint_best(synth_root, tmp_path):
     assert os.path.exists(os.path.join(folder, "session_model_best.msgpack"))
 
 
+def test_keep_best_eval_metric_and_early_stop(synth_root, tmp_path):
+    """best_metric='accuracy' keeps the best-EVAL-epoch weights (the
+    legacy notebook's best-val pattern, tone_bias_torch.py:943-1014)
+    and early_stop_patience halts a diverging run: lr=5.0 destroys the
+    model after epoch 1, so accuracy never improves again — the run
+    must stop early, the progress marker must record the TRUE epoch
+    count, and the best checkpoint must outscore the final one."""
+    import dataclasses
+
+    import numpy as np
+
+    from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
+    from skin_image_analysis_tpu.train.loop import completed_epochs
+
+    cfg = dataclasses.replace(
+        _tiny_cfg(synth_root, tmp_path, epochs=8),
+        checkpoint_best=True,
+        best_metric="accuracy",
+        early_stop_patience=2,
+        optim=OptimConfig(learning_rate=5.0),  # diverges immediately
+    )
+    folder = run_training(cfg, verbose=False)
+    done = completed_epochs(folder)
+    assert done < 8  # early stop fired
+    # the per-epoch records stop at the same point
+    json_files = [n for n in os.listdir(folder)
+                  if n.endswith(".json") and n[0].isdigit()]
+    with open(os.path.join(folder, json_files[0])) as f:
+        recs = [json.loads(line) for line in f if line.strip()]
+    assert len(recs) == done
+    accs = [r["accuracy"] for r in recs]
+    best_path = os.path.join(folder, "session_model_best.msgpack")
+    assert os.path.exists(best_path)
+
+    # best checkpoint reproduces the best epoch's accuracy; the final
+    # model reproduces the (worse) last epoch's
+    from skin_image_analysis_tpu.data import LesionTable
+    from skin_image_analysis_tpu.data.loader import HostImageStore
+    from skin_image_analysis_tpu.models.cnn import build_model
+
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from skin_image_analysis_tpu.ops.preprocess import make_preprocess_fn
+
+    test_df = pd.read_csv(os.path.join(folder, "session_test.csv"),
+                          index_col=0)
+    table = LesionTable(test_df, synth_root)
+    store = HostImageStore(table, canonical_size=40)  # the run's arena
+    pre = make_preprocess_fn(32, train=False)  # the run's eval preprocess
+
+    def acc_of(path):
+        mcfg, loaded = ckpt_lib.load_model(path)
+        params, _ = ckpt_lib.split_variables(loaded)
+        model = build_model(mcfg)
+        x = pre(jnp.asarray(store.images), None)
+        logp = model.apply({"params": params}, x, train=False)
+        return float((np.asarray(logp).argmax(-1) == table.labels).mean())
+
+    best_acc = acc_of(best_path)
+    final_acc = acc_of(os.path.join(folder, "session_model.msgpack"))
+    assert best_acc == pytest.approx(max(accs), abs=1e-6)
+    assert final_acc == pytest.approx(accs[-1], abs=1e-6)
+    assert best_acc >= final_acc
+
+    # RESUME must not let a worse epoch overwrite the best checkpoint:
+    # best_value is seeded from the folder's prior epoch records
+    before = open(best_path, "rb").read()
+    resume_cfg = dataclasses.replace(
+        cfg, epochs=1, experiment_dir=folder, early_stop_patience=0)
+    run_training(resume_cfg, verbose=False)
+    if acc_of(os.path.join(folder, "session_model.msgpack")) < best_acc:
+        assert open(best_path, "rb").read() == before
+
+
 def test_auto_class_weights_imbalanced(synth_root, tmp_path):
     """BASELINE config 2: imbalanced sampling + class-weighted loss."""
     import dataclasses
