@@ -89,3 +89,21 @@ def input_convention(folder: str) -> tuple[bool, tuple | None]:
         bool(data_cfg.get("normalize_imagenet", False)),
         normalize_affine(data_cfg.get("input_affine")),
     )
+
+
+def model_file(folder: str, best: bool = False) -> str:
+    """Path of the model artifact to load from an experiment folder:
+    ``session_model.msgpack`` (final weights), or with ``best`` the
+    ``--keep-best`` checkpoint ``session_model_best.msgpack`` — refused
+    loudly when the run was not trained with --keep-best."""
+    import os
+
+    from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
+
+    name = "session_model_best.msgpack" if best else ckpt_lib.MODEL_FILENAME
+    path = os.path.join(folder, name)
+    if best and not os.path.exists(path):
+        raise SystemExit(
+            f"{folder} has no session_model_best.msgpack — train with "
+            "--keep-best to produce one")
+    return path

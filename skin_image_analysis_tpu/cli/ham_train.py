@@ -31,7 +31,8 @@ def main(argv: list[str] | None = None) -> int:
         argv,
         {"classes": "binary", "model": "xception", "batch-size": 32,
          "lr": 1e-3, "image-size": 224, "canonical-size": 256,
-         "out": "ham_runs", "seed": 0, "steps-per-dispatch": 8},
+         "out": "ham_runs", "seed": 0, "steps-per-dispatch": 8,
+         "keep-best": "", "early-stop": 0},
         bool_flags={"freeze-backbone"},
     )
     if len(positional) != 3:
@@ -77,6 +78,9 @@ def main(argv: list[str] | None = None) -> int:
         learning_rate=opts["lr"], seed=opts["seed"], out_dir=opts["out"],
         freeze_backbone=opts["freeze-backbone"],
         steps_per_dispatch=opts["steps-per-dispatch"],
+        checkpoint_best=bool(opts["keep-best"]),
+        best_metric=opts["keep-best"] or "accuracy",
+        early_stop_patience=int(opts["early-stop"]),
     )
     out = train_classifier(train_table, test_table, cfg)
     print(f"final test metrics: {out['test_metrics']}")

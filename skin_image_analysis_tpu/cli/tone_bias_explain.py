@@ -29,7 +29,8 @@ def main(argv: list[str] | None = None) -> int:
 
     argv = list(sys.argv[1:] if argv is None else argv)
     positional, opts = parse(
-        argv, {"method": "ig", "n-images": 6, "steps": 200}
+        argv, {"method": "ig", "n-images": 6, "steps": 200},
+        bool_flags={"best"},
     )
     if len(positional) != 2:
         print("Usage: <root directory of ISIC images> <experiment folder> "
@@ -58,8 +59,10 @@ def main(argv: list[str] | None = None) -> int:
     from skin_image_analysis_tpu.train import checkpoint as ckpt_lib  # noqa: E402
 
     test_df = pd.read_csv(os.path.join(folder, "session_test.csv"), index_col=0)
+    from skin_image_analysis_tpu.cli._common import model_file
+
     model_cfg, loaded = ckpt_lib.load_model(
-        os.path.join(folder, ckpt_lib.MODEL_FILENAME)
+        model_file(folder, best=opts["best"])
     )
     params, batch_stats = ckpt_lib.split_variables(loaded)
     variables = {"params": params}

@@ -26,7 +26,7 @@ def main(argv: list[str] | None = None) -> int:
     positional, opts = parse(
         argv, {"canonical-size": 0, "platforms": "", "quantize": "",
                "calib-root": "", "calib-rows": 256},
-        bool_flags={"normalize-imagenet"},
+        bool_flags={"normalize-imagenet", "best"},
     )
     if len(positional) != 2:
         print("Usage: <experiment folder> <out path> "
@@ -53,8 +53,12 @@ def main(argv: list[str] | None = None) -> int:
             calib, report = _load_calibration(
                 folder, opts["calib-root"], opts["calib-rows"])
 
+    from skin_image_analysis_tpu.cli._common import model_file
+
     manifest = export_model(
         folder, out_path,
+        model_filename=os.path.basename(
+            model_file(folder, best=opts["best"])),
         canonical_size=opts["canonical-size"] or None,
         # True forces it; default None = read the folder's
         # train_config.json (False if absent)

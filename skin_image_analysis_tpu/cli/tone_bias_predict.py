@@ -26,10 +26,11 @@ def main(argv: list[str] | None = None) -> int:
     from skin_image_analysis_tpu.cli._common import parse
 
     argv = list(sys.argv[1:] if argv is None else argv)
-    positional, opts = parse(argv, {"batch-size": 64, "metadata": ""})
+    positional, opts = parse(argv, {"batch-size": 64, "metadata": ""},
+                             bool_flags={"best"})
     if len(positional) != 3:
         print("Usage: <image root> <experiment folder> <out.csv> "
-              "[--batch-size N] [--metadata CSV]")
+              "[--batch-size N] [--metadata CSV] [--best]")
         return 1
     root, folder, out_csv = positional
 
@@ -49,8 +50,10 @@ def main(argv: list[str] | None = None) -> int:
     else:
         df = pd.read_csv(os.path.join(folder, "session_test.csv"), index_col=0)
 
+    from skin_image_analysis_tpu.cli._common import model_file
+
     model_cfg, loaded = ckpt_lib.load_model(
-        os.path.join(folder, ckpt_lib.MODEL_FILENAME)
+        model_file(folder, best=opts["best"])
     )
     params, batch_stats = ckpt_lib.split_variables(loaded)
     model = build_model(model_cfg)

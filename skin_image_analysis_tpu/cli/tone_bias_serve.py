@@ -4,7 +4,7 @@
     python cli/tone_bias_serve.py <experiment folder | model.stablehlo>
         [--host 127.0.0.1] [--port 8000] [--max-batch 64]
         [--window-ms 2] [--warm N,N,...] [--no-warm] [--reload-any]
-        [--watch SECONDS]
+        [--watch SECONDS] [--best]
         [--quantize int8 --calib-root <image root> [--calib-rows N]]
 
 Serves the trained model (an experiment folder's checkpoint — flagship
@@ -21,7 +21,10 @@ argument, so every compiled bucket still hits the cache) — the
 trainer-writes/server-reloads deployment loop; ``--reload-any``
 additionally permits a JSON body naming a different folder, and
 ``--watch N`` polls the folder every N seconds and reloads new
-checkpoints automatically (no POST needed).
+checkpoints automatically (no POST needed). ``--best`` serves (and
+reloads/watches) the folder's ``--keep-best`` checkpoint
+``session_model_best.msgpack`` instead of the final weights — a
+watching daemon then only picks up best-metric improvements.
 
 ``--quantize int8`` serves the post-training-quantized program instead
 (serve/quantize.py — measured 1.41x the bf16 rate): calibration rows
@@ -56,17 +59,26 @@ def main(argv: list[str] | None = None) -> int:
         {"host": "127.0.0.1", "port": 8000, "max-batch": 64,
          "window-ms": 2.0, "warm": "", "mesh": 0, "watch": 0.0,
          "quantize": "", "calib-root": "", "calib-rows": 256},
-        bool_flags={"no-warm", "reload-any"},
+        bool_flags={"no-warm", "reload-any", "best"},
     )
     if len(positional) != 1:
         print("Usage: <experiment folder | exported .stablehlo artifact> "
               "[--host H] [--port N] [--max-batch N] [--window-ms F] "
               "[--warm N,N,...] [--no-warm] [--mesh N] [--reload-any] "
-              "[--watch SECONDS] "
+              "[--watch SECONDS] [--best] "
               "[--quantize int8 --calib-root <image root> "
               "[--calib-rows N]]")
         return 1
     source = positional[0]
+
+    # --best serves the --keep-best checkpoint; reload/--watch then
+    # track that file, so the daemon follows best-metric improvements
+    # instead of every checkpoint write
+    model_filename = None
+    if opts["best"] and os.path.isdir(source):
+        from skin_image_analysis_tpu.cli._common import model_file
+
+        model_filename = os.path.basename(model_file(source, best=True))
 
     from skin_image_analysis_tpu.serve.server import (
         DynamicBatcher,
@@ -125,11 +137,17 @@ def main(argv: list[str] | None = None) -> int:
         calib, _ = calibration_rows(
             source, opts["calib-root"], int(opts["calib-rows"]))
         session = InferenceSession.from_experiment_quantized(
-            source, calib, max_batch=int(opts["max-batch"]))
+            source, calib, max_batch=int(opts["max-batch"]),
+            model_filename=model_filename)
     elif os.path.isdir(source):
         session = InferenceSession.from_experiment(
-            source, max_batch=int(opts["max-batch"]), mesh=mesh)
+            source, max_batch=int(opts["max-batch"]), mesh=mesh,
+            model_filename=model_filename)
     else:
+        if opts["best"]:
+            raise SystemExit(
+                "--best serves experiment folders (exported artifacts "
+                "already embed the weights you exported)")
         if mesh is not None:
             raise SystemExit(
                 "--mesh serves experiment folders; exported artifacts "

@@ -35,11 +35,12 @@ def main(argv: list[str] | None = None) -> int:
 
     argv = list(sys.argv[1:] if argv is None else argv)
     positional, opts = parse(
-        argv, {"metadata": "", "batch-size": 64, "grid": ""}
+        argv, {"metadata": "", "batch-size": 64, "grid": ""},
+        bool_flags={"best"},
     )
     if len(positional) != 2:
         print("Usage: <root directory of ISIC images> <root dir of model> "
-              "[--metadata other_metadata.csv] [--grid out.png]")
+              "[--metadata other_metadata.csv] [--grid out.png] [--best]")
         print("Example: tone results/balanced_2024-10-12_09-22-38/")
         print("--metadata evaluates the model cross-dataset against a "
               "different cohort (e.g. the HIBA subset) instead of the "
@@ -60,8 +61,10 @@ def main(argv: list[str] | None = None) -> int:
         test_df = pd.read_csv(
             os.path.join(folder, "session_test.csv"), index_col=0
         )
+    from skin_image_analysis_tpu.cli._common import model_file
+
     model_cfg, loaded = ckpt_lib.load_model(
-        os.path.join(folder, ckpt_lib.MODEL_FILENAME)
+        model_file(folder, best=opts["best"])
     )
     params, batch_stats = ckpt_lib.split_variables(loaded)
     model = build_model(model_cfg)

@@ -41,7 +41,7 @@ def main(argv: list[str] | None = None) -> int:
         {"model": "resnet50", "batch-size": 32, "lr": 1e-3,
          "image-size": 224, "out": "tone_runs", "seed": 0,
          "canonical-size": 256, "input": "rgb",
-         "steps-per-dispatch": 8},
+         "steps-per-dispatch": 8, "keep-best": "", "early-stop": 0},
         bool_flags={"oversample", "no-class-weights", "freeze-backbone",
                     "five-crop"},
     )
@@ -80,6 +80,8 @@ def main(argv: list[str] | None = None) -> int:
         seed=opts["seed"],
         out_dir=opts["out"],
         steps_per_dispatch=opts["steps-per-dispatch"],
+        keep_best=opts["keep-best"],
+        early_stop_patience=int(opts["early-stop"]),
     )
     out = train_tone_classifier(train_df, test_df, root, cfg)
     print(f"final test metrics: {out['test_metrics']}")

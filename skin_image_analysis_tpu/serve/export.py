@@ -119,6 +119,7 @@ def export_model(
     quantize: str | None = None,
     calib_pixels=None,
     report_pixels=None,
+    model_filename: str | None = None,
 ) -> dict:
     """Export the experiment's trained model as a serialized StableHLO
     program at ``out_path`` (+ ``out_path + ".json"`` manifest).
@@ -150,7 +151,8 @@ def export_model(
     from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
 
     model_cfg, loaded = ckpt_lib.load_model(
-        os.path.join(experiment_folder, ckpt_lib.MODEL_FILENAME)
+        os.path.join(experiment_folder,
+                     model_filename or ckpt_lib.MODEL_FILENAME)
     )
     params, batch_stats = ckpt_lib.split_variables(loaded)
     train_cfg: dict = {}

@@ -76,7 +76,8 @@ class InferenceSession:
                  source: str = "experiment", mesh=None,
                  data_axis: str = "data", weights=None, model_cfg=None,
                  normalize_imagenet: bool = False,
-                 input_affine: tuple | None = None):
+                 input_affine: tuple | None = None,
+                 model_filename: str = "session_model.msgpack"):
         self._jit = jax.jit(infer_fn)
         # weights-as-argument sessions (from_experiment) can hot-swap
         # same-architecture checkpoints with ZERO recompiles — jit's
@@ -87,6 +88,11 @@ class InferenceSession:
         self._model_cfg = model_cfg
         self._normalize = bool(normalize_imagenet)
         self._input_affine = input_affine
+        # the artifact name this session serves (and reloads/watches):
+        # session_model.msgpack, or session_model_best.msgpack when
+        # launched with --best — the watcher then tracks --keep-best
+        # improvements instead of every checkpoint write
+        self.model_filename = model_filename
         self.reloads = 0
         self.image_size = int(image_size)
         self.in_channels = int(in_channels)
@@ -119,10 +125,14 @@ class InferenceSession:
     def from_experiment(cls, folder: str, max_batch: int = 64,
                         class_names: Sequence[str] | None = None,
                         mesh=None, data_axis: str = "data",
+                        model_filename: str | None = None,
                         ) -> "InferenceSession":
         """Serve straight from an experiment folder (a tone_bias_train
         experiment OR a transfer trainer's out_dir — same artifact
-        format): same program the AOT export lowers."""
+        format): same program the AOT export lowers.
+        ``model_filename`` picks a different artifact in the folder
+        (e.g. ``session_model_best.msgpack``, the --keep-best
+        checkpoint); reload/watch then track that same file."""
         import os
 
         from skin_image_analysis_tpu.serve.export import (
@@ -130,8 +140,9 @@ class InferenceSession:
         )
         from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
 
+        model_filename = model_filename or ckpt_lib.MODEL_FILENAME
         model_cfg, loaded = ckpt_lib.load_model(
-            os.path.join(folder, ckpt_lib.MODEL_FILENAME)
+            os.path.join(folder, model_filename)
         )
         params, batch_stats = ckpt_lib.split_variables(loaded)
         normalize, affine, train_cfg = False, None, {}
@@ -161,12 +172,13 @@ class InferenceSession:
                    class_names, source=folder, mesh=mesh,
                    data_axis=data_axis, weights=weights,
                    model_cfg=model_cfg, normalize_imagenet=normalize,
-                   input_affine=affine)
+                   input_affine=affine, model_filename=model_filename)
 
     @classmethod
     def from_experiment_quantized(cls, folder: str, calib_pixels,
                                   max_batch: int = 64,
                                   class_names: Sequence[str] | None = None,
+                                  model_filename: str | None = None,
                                   ) -> "InferenceSession":
         """Serve the int8 post-training-quantized program straight from
         an experiment folder (serve/quantize.py — measured 1.41x the
@@ -182,8 +194,9 @@ class InferenceSession:
         )
         from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
 
+        model_filename = model_filename or ckpt_lib.MODEL_FILENAME
         model_cfg, loaded = ckpt_lib.load_model(
-            os.path.join(folder, ckpt_lib.MODEL_FILENAME)
+            os.path.join(folder, model_filename)
         )
         params, batch_stats = ckpt_lib.split_variables(loaded)
         normalize, affine, train_cfg = False, None, {}
@@ -204,7 +217,8 @@ class InferenceSession:
         infer = build_infer_fn_quantized(qtree)
         return cls(infer, model_cfg.image_size, 3, max_batch,
                    class_names, source=folder,
-                   normalize_imagenet=normalize, input_affine=affine)
+                   normalize_imagenet=normalize, input_affine=affine,
+                   model_filename=model_filename)
 
     @staticmethod
     def _commit_weights(weights, mesh):
@@ -326,7 +340,7 @@ class InferenceSession:
                 "reload needs a float experiment-folder session")
         folder = folder or self.source
         model_cfg, loaded = ckpt_lib.load_model(
-            os.path.join(folder, ckpt_lib.MODEL_FILENAME)
+            os.path.join(folder, self.model_filename)
         )
         if model_cfg != self._model_cfg:
             raise ValueError(
@@ -525,13 +539,11 @@ def start_reload_watcher(session: InferenceSession,
     Returns ``(thread, stop_event)``; set the event to stop."""
     import os
 
-    from skin_image_analysis_tpu.train.checkpoint import MODEL_FILENAME
-
     if session._weights is None:
         raise RuntimeError(
             "auto-reload needs an experiment-folder session (artifact "
             "weights are embedded program constants)")
-    path = os.path.join(str(session.source), MODEL_FILENAME)
+    path = os.path.join(str(session.source), session.model_filename)
     stop = threading.Event()
 
     def _mtime():

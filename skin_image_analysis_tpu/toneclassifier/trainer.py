@@ -44,6 +44,8 @@ class ToneTrainConfig:
     compute_dtype: str = "bfloat16"
     out_dir: str = "tone_runs"
     steps_per_dispatch: int = 1     # >1: scanned multi-step dispatch
+    keep_best: str = ""             # metric → save session_model_best
+    early_stop_patience: int = 0    # stop after N non-improving epochs
 
 
 class ToneTable(LesionTable):
@@ -100,6 +102,9 @@ def train_tone_classifier(
             compute_dtype=cfg.compute_dtype,
             out_dir=cfg.out_dir,
             steps_per_dispatch=cfg.steps_per_dispatch,
+            checkpoint_best=bool(cfg.keep_best),
+            best_metric=cfg.keep_best or "accuracy",
+            early_stop_patience=cfg.early_stop_patience,
         ),
         verbose=verbose,
     )

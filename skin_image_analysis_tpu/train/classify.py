@@ -78,6 +78,14 @@ class ClassifyConfig:
                                     # multi-step dispatch — amortizes the
                                     # ~2 ms/program relay tax,
                                     # docs/PERF.md §Transfer)
+    checkpoint_best: bool = False   # save session_model_best.msgpack at
+                                    # each best_metric improvement (the
+                                    # flagship loop's semantics)
+    best_metric: str = "accuracy"   # epoch-metric key ('accuracy',
+                                    # 'auc', 'f1' — higher better) or
+                                    # 'loss' (train_loss_mean, lower)
+    early_stop_patience: int = 0    # stop after N epochs without a
+                                    # best_metric improvement (0 = off)
 
 
 def multiclass_metrics(preds, labels, n_classes: int) -> dict[str, float]:
@@ -288,6 +296,9 @@ def train_classifier(
     )
 
     history = []
+    best_value = None
+    best_snapshot = None   # (params, batch_stats) host copies
+    epochs_since_best = 0
     with MetricsLogger(cfg.out_dir, run_name=f"classify_{cfg.model_name}") as logger:
         step_idx = 0
         for epoch in range(cfg.epochs):
@@ -377,6 +388,36 @@ def train_classifier(
             if verbose:
                 print(f"epoch {epoch}: {m}")
 
+            # best-metric bookkeeping (mirrors train.loop's semantics;
+            # here every epoch evaluates, so every epoch is a metric
+            # epoch)
+            if cfg.checkpoint_best or cfg.early_stop_patience:
+                lower = cfg.best_metric in ("loss", "train_loss_mean")
+                key = "train_loss_mean" if lower else cfg.best_metric
+                if key not in m:
+                    raise ValueError(
+                        f"best_metric {cfg.best_metric!r} is not an "
+                        f"epoch-metric key; have {sorted(m)}")
+                val = float(m[key])
+                if best_value is None or (
+                    val < best_value if lower else val > best_value
+                ):
+                    best_value = val
+                    epochs_since_best = 0
+                    if cfg.checkpoint_best:
+                        best_snapshot = jax.device_get(
+                            (state.params, state.batch_stats))
+                else:
+                    epochs_since_best += 1
+                if (cfg.early_stop_patience
+                        and epochs_since_best
+                        >= cfg.early_stop_patience):
+                    if verbose:
+                        print(f"early stop: {cfg.best_metric} has not "
+                              f"improved for {epochs_since_best} epochs "
+                              f"(best {best_value:.4f})")
+                    break
+
     # Persist the trained model in the flagship artifact format (the TF
     # notebook saves skin_cancer_xception_model.keras, jgi_ham_2018_tf
     # cell 75; without this the transfer weights evaporate at exit).
@@ -390,6 +431,10 @@ def train_classifier(
     model_path = os.path.join(cfg.out_dir, ckpt_lib.MODEL_FILENAME)
     ckpt_lib.save_model(model_path, model_cfg, state.params,
                         state.batch_stats)
+    if best_snapshot is not None:
+        ckpt_lib.save_model(
+            os.path.join(cfg.out_dir, "session_model_best.msgpack"),
+            model_cfg, best_snapshot[0], best_snapshot[1])
     # the frozen splits, flagship-layout (train/loop.py TRAIN_SET_FILENAME):
     # serve.quantize.calibration_rows and tone_bias_test read them
     train_table.metadata_df.to_csv(

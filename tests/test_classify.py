@@ -178,3 +178,45 @@ def test_train_classifier_multi_step_empty_train_split(ham_style_root,
         verbose=False,
     )
     assert out["test_metrics"]["train_loss_mean"] == 0.0
+
+
+def test_classify_keep_best_and_early_stop(ham_style_root, tmp_path):
+    """Transfer-trainer mirror of the flagship --keep-best/--early-stop:
+    a diverging lr stops early and session_model_best.msgpack holds the
+    best-accuracy epoch's weights."""
+    import json
+
+    from skin_image_analysis_tpu.data.dataset import LesionTable
+    from skin_image_analysis_tpu.data.ham import read_ham_metadata
+
+    df = read_ham_metadata(
+        os.path.join(ham_style_root, "HAM10000_metadata.csv")
+    )
+    train_df, test_df = df[:28], df[28:]
+    tables = [LesionTable(d, ham_style_root) for d in (train_df, test_df)]
+    out_dir = str(tmp_path / "bestrun")
+    cfg = ClassifyConfig(
+        model_name="skin_cancer_list", num_classes=2, image_size=24,
+        canonical_size=32, batch_size=7, epochs=8, learning_rate=8.0,
+        compute_dtype="float32", out_dir=out_dir,
+        checkpoint_best=True, best_metric="accuracy",
+        early_stop_patience=2,
+    )
+    out = train_classifier(*tables, cfg, verbose=False)
+    assert len(out["history"]) < 8  # early stop fired
+    best_path = os.path.join(out_dir, "session_model_best.msgpack")
+    assert os.path.exists(best_path)
+    # metrics.jsonl's epoch records stop at the same point
+    recs = [json.loads(line)
+            for line in open(os.path.join(out_dir, "metrics.jsonl"))
+            if "accuracy" in line]
+    assert len(recs) == len(out["history"])
+    # unknown metric refused loudly
+    bad = ClassifyConfig(
+        model_name="skin_cancer_list", num_classes=2, image_size=24,
+        canonical_size=32, batch_size=7, epochs=1,
+        compute_dtype="float32", out_dir=str(tmp_path / "badrun"),
+        checkpoint_best=True, best_metric="nope",
+    )
+    with pytest.raises(ValueError, match="nope"):
+        train_classifier(*tables, bad, verbose=False)

@@ -731,3 +731,36 @@ def test_session_applies_input_affine(tmp_path):
         json.dump({"data": {}}, f)
     with pytest.raises(ValueError, match="input_affine"):
         sess.reload_weights(str(other))
+
+
+def test_session_best_checkpoint(tmp_path):
+    """--best serving: model_filename picks session_model_best.msgpack,
+    predictions differ from the final checkpoint, and reload tracks the
+    same file. Missing best file is refused loudly by the CLI helper."""
+    folder = str(tmp_path / "bexp")
+    _make_exp(folder, seed=1)
+    import os
+    import shutil
+
+    # fabricate a DIFFERENT "best" checkpoint (other seed)
+    other = str(tmp_path / "other")
+    _make_exp(other, seed=2)
+    shutil.copy(os.path.join(other, ckpt_lib.MODEL_FILENAME),
+                os.path.join(folder, "session_model_best.msgpack"))
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 255, (2, SIZE, SIZE, 3), np.uint8)
+    final = InferenceSession.from_experiment(folder, max_batch=2)
+    best = InferenceSession.from_experiment(
+        folder, max_batch=2, model_filename="session_model_best.msgpack")
+    assert best.model_filename == "session_model_best.msgpack"
+    out_f = final.predict(px)["log_probs"]
+    out_b = best.predict(px)["log_probs"]
+    assert not np.allclose(out_f, out_b)
+
+    from skin_image_analysis_tpu.cli._common import model_file
+
+    assert model_file(folder, best=True).endswith(
+        "session_model_best.msgpack")
+    with pytest.raises(SystemExit, match="keep-best"):
+        model_file(other, best=True)
