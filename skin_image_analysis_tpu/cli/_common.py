@@ -100,7 +100,8 @@ def model_file(folder: str, best: bool = False) -> str:
 
     from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
 
-    name = "session_model_best.msgpack" if best else ckpt_lib.MODEL_FILENAME
+    name = (ckpt_lib.BEST_MODEL_FILENAME if best
+            else ckpt_lib.MODEL_FILENAME)
     path = os.path.join(folder, name)
     if best and not os.path.exists(path):
         raise SystemExit(

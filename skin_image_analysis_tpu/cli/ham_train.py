@@ -4,11 +4,15 @@
     python cli/ham_train.py <image root> <metadata csv> <epochs>
         [--classes binary|dx] [--model xception|resnet50|efficientnet_b0|skin_cancer_list]
         [--batch-size N] [--lr F] [--image-size N] [--freeze-backbone]
-        [--out DIR]
+        [--keep-best accuracy|auc|f1|loss] [--early-stop N] [--out DIR]
 
 ``binary`` trains benign/malignant (mel/bcc/akiec malignant — the TF
 notebook's transfer config); ``dx`` trains the 7-class dx labels (the
-torch notebook's HamDataset framing).
+torch notebook's HamDataset framing). ``--keep-best`` saves
+``session_model_best.msgpack`` at each improvement; ``--early-stop N``
+stops after N non-improving epochs (metric defaults to ``accuracy``
+here — every classify epoch evaluates; the flagship trainer defaults
+to ``loss``).
 """
 
 from __future__ import annotations
@@ -37,7 +41,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     if len(positional) != 3:
         print("Usage: <image root> <metadata csv> <epochs> "
-              "[--classes binary|dx] [--model NAME] ...")
+              "[--classes binary|dx] [--model NAME] "
+              "[--keep-best METRIC] [--early-stop N] ...")
         return 1
     root, csv_path, epochs = positional[0], positional[1], int(positional[2])
 

@@ -50,8 +50,12 @@ def main(argv: list[str] | None = None) -> int:
                   "session_test.csv)")
             return 1
         if opts["calib-root"]:
+            # weight-only quantization never consumes calibration rows —
+            # only the fidelity report's held-out split; skip the
+            # train-split decode (minutes on a real cohort)
             calib, report = _load_calibration(
-                folder, opts["calib-root"], opts["calib-rows"])
+                folder, opts["calib-root"], opts["calib-rows"],
+                report_only=opts["quantize"] == "int8-weights")
 
     from skin_image_analysis_tpu.cli._common import model_file
 
@@ -80,11 +84,13 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
-def _load_calibration(folder: str, root: str, n_rows: int):
+def _load_calibration(folder: str, root: str, n_rows: int,
+                      report_only: bool = False):
     from skin_image_analysis_tpu.serve.quantize import calibration_rows
 
     try:
-        return calibration_rows(folder, root, n_rows)
+        return calibration_rows(folder, root, n_rows,
+                                report_only=report_only)
     except ValueError as e:
         raise SystemExit(str(e))
 

@@ -6,7 +6,12 @@ trainer surface (notebooks/ToneClassifier/CNNTrial.py)::
         [--model resnet50|resnet18|xception|efficientnet_b0|skin_cancer_list]
         [--batch-size N] [--lr F] [--image-size N] [--oversample]
         [--freeze-backbone] [--input rgb|ita] [--five-crop]
+        [--keep-best accuracy|auc|f1|loss] [--early-stop N]
         [--no-class-weights] [--out DIR]
+
+``--keep-best`` saves ``session_model_best.msgpack`` at each metric
+improvement; ``--early-stop N`` stops after N non-improving epochs
+(metric defaults to ``accuracy`` — every classify epoch evaluates).
 
 ``--input ita`` trains on fused on-device [ITA/90, skin-mask] channels —
 stage 3 of the ToneClassifier plan (readme.md's "ITA-matrix CNN", which
@@ -49,6 +54,7 @@ def main(argv: list[str] | None = None) -> int:
         print("Usage: <image root> <epochs> [--model NAME] [--batch-size N]"
               " [--lr F] [--image-size N] [--oversample]"
               " [--freeze-backbone] [--input rgb|ita] [--five-crop]"
+              " [--keep-best METRIC] [--early-stop N]"
               " [--no-class-weights] [--out DIR]")
         return 1
     root, epochs = positional[0], int(positional[1])

@@ -26,9 +26,12 @@ Scheme (standard symmetric PTQ):
 - **Compute**: ``conv/dot(x_q, w_q, preferred_element_type=int32)`` →
   dequantize ``* (s_x * s_w[o])`` → ``+ bias`` (f32) → residual add
   (f32, both sides dequantized) → activation → requantize to the
-  tensor's own scale. Max-pools run directly on int8 (max commutes
-  with the monotone quantizer). Global-average-pool dequantizes
-  EXACTLY (int32 sum × s_x / HW). The log-softmax head stays f32.
+  tensor's own scale. Max-pools whose input is int8 (the flagship/
+  VGG/ResNet pools) run directly on int8 — max commutes with the
+  monotone quantizer and the pool moves 4x fewer bytes; Xception's
+  pools consume f32 pre-add tensors and stay f32. Global-average-pool
+  dequantizes EXACTLY (int32 sum × s_x / HW). The log-softmax head
+  stays f32.
 
 Models quantize through a tiny graph IR (``_build_graph``): a flat op
 list (conv / maxpool / gap / dense) extracted per family from the
@@ -829,14 +832,17 @@ def _fidelity(ref: np.ndarray, got: np.ndarray) -> dict[str, float]:
     }
 
 
-def calibration_rows(folder: str, root: str, n_rows: int = 256):
+def calibration_rows(folder: str, root: str, n_rows: int = 256,
+                     report_only: bool = False):
     """Calibration pixels from an experiment's frozen train split
     (falling back to the test split) and held-out report pixels from the
     test split, decoded at the model's canonical geometry — the standard
     way to feed :func:`quantize_model` from a checkpoint folder.
 
     Returns ``(calib, report)`` uint8 arrays; ``report`` is None when the
-    folder has no ``session_test.csv``."""
+    folder has no ``session_test.csv``. ``report_only`` skips the
+    train-split decode (weight-only quantization needs no calibration —
+    only the fidelity report's held-out rows)."""
     import os
 
     import pandas as pd
@@ -861,8 +867,10 @@ def calibration_rows(folder: str, root: str, n_rows: int = 256):
         store = HostImageStore(table, canonical_size=model_cfg.image_size)
         return store.images
 
-    calib = rows("session_train.csv")
     report = rows("session_test.csv")
+    if report_only:
+        return None, report
+    calib = rows("session_train.csv")
     if calib is None:
         calib = report
     if calib is None:

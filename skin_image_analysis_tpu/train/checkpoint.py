@@ -30,6 +30,9 @@ from skin_image_analysis_tpu.config import ModelConfig
 from skin_image_analysis_tpu.train.state import TrainState
 
 MODEL_FILENAME = "session_model.msgpack"
+#: the --keep-best checkpoint (best best_metric epoch; train.loop /
+#: train.classify write it, --best surfaces read it)
+BEST_MODEL_FILENAME = "session_model_best.msgpack"
 _MAGIC = b"SIAT"
 
 

@@ -134,6 +134,17 @@ def train_classifier(
             "five_crop_eval needs canonical_size > image_size "
             f"({cfg.canonical_size} <= {cfg.image_size})"
         )
+    if cfg.checkpoint_best or cfg.early_stop_patience:
+        # validated upfront — a typo'd metric must not cost an epoch
+        trackable = ("loss", "train_loss_mean", "accuracy",
+                     "precision", "recall", "f1") + (
+                         ("auc",) if cfg.num_classes == 2 else ())
+        if cfg.best_metric not in trackable:
+            raise ValueError(
+                f"best_metric {cfg.best_metric!r} is not trackable; "
+                f"choose one of {trackable}"
+                + ("" if cfg.num_classes == 2
+                   else " ('auc' needs num_classes == 2)"))
     # Decode in the background: JPEG decode and the model/step compiles
     # are the two cold-start costs — overlap them. This mirrors the
     # flagship loop's cold-start machinery (train/loop.py _decode /
@@ -391,13 +402,11 @@ def train_classifier(
             # best-metric bookkeeping (mirrors train.loop's semantics;
             # here every epoch evaluates, so every epoch is a metric
             # epoch)
-            if cfg.checkpoint_best or cfg.early_stop_patience:
+            if (cfg.checkpoint_best or cfg.early_stop_patience) and (
+                cfg.best_metric != "auc" or "auc" in m
+            ):  # auc is absent on an empty test split — skip the epoch
                 lower = cfg.best_metric in ("loss", "train_loss_mean")
                 key = "train_loss_mean" if lower else cfg.best_metric
-                if key not in m:
-                    raise ValueError(
-                        f"best_metric {cfg.best_metric!r} is not an "
-                        f"epoch-metric key; have {sorted(m)}")
                 val = float(m[key])
                 if best_value is None or (
                     val < best_value if lower else val > best_value
@@ -433,14 +442,19 @@ def train_classifier(
                         state.batch_stats)
     if best_snapshot is not None:
         ckpt_lib.save_model(
-            os.path.join(cfg.out_dir, "session_model_best.msgpack"),
+            os.path.join(cfg.out_dir, ckpt_lib.BEST_MODEL_FILENAME),
             model_cfg, best_snapshot[0], best_snapshot[1])
-    # the frozen splits, flagship-layout (train/loop.py TRAIN_SET_FILENAME):
-    # serve.quantize.calibration_rows and tone_bias_test read them
+    # the frozen splits, flagship-layout: serve.quantize.calibration_rows
+    # and tone_bias_test read them
+    from skin_image_analysis_tpu.train.loop import (
+        TEST_SET_FILENAME,
+        TRAIN_SET_FILENAME,
+    )
+
     train_table.metadata_df.to_csv(
-        os.path.join(cfg.out_dir, "session_train.csv"))
+        os.path.join(cfg.out_dir, TRAIN_SET_FILENAME))
     test_table.metadata_df.to_csv(
-        os.path.join(cfg.out_dir, "session_test.csv"))
+        os.path.join(cfg.out_dir, TEST_SET_FILENAME))
     with open(os.path.join(cfg.out_dir, "train_config.json"), "w") as f:
         data_cfg = {"normalize_imagenet": norm}
         if affine is not None:

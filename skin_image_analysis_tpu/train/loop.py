@@ -64,6 +64,11 @@ TRAIN_SET_FILENAME = "session_train.csv"
 TEST_SET_FILENAME = "session_test.csv"
 CHECKPOINT_DIRNAME = "checkpoint"
 PROGRESS_FILENAME = "epochs_completed.log"
+#: metrics --keep-best / --early-stop can track: 'loss' = train avg
+#: batch loss (lower better, every epoch); the rest are fairness
+#: eval-record keys (higher better, eval epochs only)
+_BEST_METRICS = ("loss", "avg_batch_loss", "accuracy", "auc",
+                 "auc_dark", "auc_light")
 
 
 def _timestamp() -> str:
@@ -721,6 +726,20 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         )
 
     start = time.time()
+    if cfg.checkpoint_best or cfg.early_stop_patience:
+        # validate UP FRONT — discovering a typo'd metric after the
+        # first (expensive) epoch would abort before the end-of-run
+        # save and lose the weights
+        if cfg.best_metric not in _BEST_METRICS:
+            raise ValueError(
+                f"best_metric {cfg.best_metric!r} is not trackable; "
+                f"choose one of {_BEST_METRICS}")
+        if (cfg.best_metric not in ("loss", "avg_batch_loss")
+                and not cfg.eval_every):
+            raise ValueError(
+                f"best_metric {cfg.best_metric!r} comes from the "
+                "fairness eval record, which eval_every=0 disables — "
+                "enable eval or track 'loss'")
     # best_metric value seen so far — seeded from the folder's prior
     # epoch records on resume, so a worse post-resume epoch can never
     # overwrite a better pre-crash session_model_best
@@ -823,11 +842,9 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
         # early-stop patience.
         if cfg.best_metric in ("loss", "avg_batch_loss"):
             current, higher_better = avg_batch_loss, False
-        elif record is not None:
-            if cfg.best_metric not in record:
-                raise ValueError(
-                    f"best_metric {cfg.best_metric!r} is not an epoch-"
-                    f"record key; have e.g. accuracy, auc")
+        elif record is not None and record.get(cfg.best_metric) is not None:
+            # validated upfront; .get covers records that legitimately
+            # omit a key (e.g. auc_dark on an all-light test split)
             current, higher_better = float(record[cfg.best_metric]), True
         else:
             current = None
@@ -842,7 +859,7 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
                 if cfg.checkpoint_best:
                     ckpt_lib.save_model(
                         os.path.join(folder,
-                                     "session_model_best.msgpack"),
+                                     ckpt_lib.BEST_MODEL_FILENAME),
                         model_cfg, state.params, state.batch_stats,
                     )
             else:
