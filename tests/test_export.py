@@ -358,3 +358,27 @@ def test_weights_only_any_family():
     # weight rounding only: per-channel int8 keeps ~0.4% relative error
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=0.1, rtol=0.05)
+
+
+def test_export_cli_best_flag(exp_folder, tmp_path):
+    """--best without a --keep-best checkpoint is refused loudly; with
+    one present it exports those weights."""
+    import shutil
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from cli import tone_bias_export
+
+    with pytest.raises(SystemExit, match="keep-best"):
+        tone_bias_export.main(
+            [exp_folder, str(tmp_path / "b.stablehlo"), "--best"])
+
+    best_folder = str(tmp_path / "bexp")
+    os.makedirs(best_folder)
+    shutil.copy(os.path.join(exp_folder, ckpt_lib.MODEL_FILENAME),
+                os.path.join(best_folder, ckpt_lib.MODEL_FILENAME))
+    shutil.copy(os.path.join(exp_folder, ckpt_lib.MODEL_FILENAME),
+                os.path.join(best_folder, ckpt_lib.BEST_MODEL_FILENAME))
+    out = str(tmp_path / "best.stablehlo")
+    assert tone_bias_export.main([best_folder, out, "--best"]) == 0
+    assert os.path.exists(out)

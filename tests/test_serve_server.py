@@ -764,3 +764,15 @@ def test_session_best_checkpoint(tmp_path):
         "session_model_best.msgpack")
     with pytest.raises(SystemExit, match="keep-best"):
         model_file(other, best=True)
+
+
+def test_serve_cli_best_rejects_artifact(tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from cli import tone_bias_serve
+
+    art = tmp_path / "m.stablehlo"
+    art.write_bytes(b"not a program")
+    with pytest.raises(SystemExit, match="experiment folders"):
+        tone_bias_serve.main([str(art), "--best"])
