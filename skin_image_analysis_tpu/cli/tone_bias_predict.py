@@ -2,11 +2,16 @@
 """Batch inference CLI (serving path — new capability)::
 
     python cli/tone_bias_predict.py <image root> <experiment folder> <out.csv>
-        [--batch-size N] [--metadata CSV]
+        [--batch-size N] [--metadata CSV] [--images] [--best]
 
 Runs the trained model over a cohort and writes one row per image:
 isic_id, prediction, p_malignant, benign_malignant (when labeled),
 skin_tone, sex — the flat artifact downstream systems consume.
+
+``--images`` scores every image file in ``<image root>`` directly (no
+metadata needed — the production bulk-scoring mode for unlabeled
+cohorts); rows then carry isic_id, prediction, p_malignant only.
+``--best`` loads the --keep-best checkpoint.
 """
 
 from __future__ import annotations
@@ -27,10 +32,10 @@ def main(argv: list[str] | None = None) -> int:
 
     argv = list(sys.argv[1:] if argv is None else argv)
     positional, opts = parse(argv, {"batch-size": 64, "metadata": ""},
-                             bool_flags={"best"})
+                             bool_flags={"best", "images"})
     if len(positional) != 3:
         print("Usage: <image root> <experiment folder> <out.csv> "
-              "[--batch-size N] [--metadata CSV] [--best]")
+              "[--batch-size N] [--metadata CSV] [--images] [--best]")
         return 1
     root, folder, out_csv = positional
 
@@ -41,7 +46,24 @@ def main(argv: list[str] | None = None) -> int:
     from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
     from skin_image_analysis_tpu.train.evaluate import collect_predictions
 
-    if opts["metadata"]:
+    unlabeled = bool(opts["images"])
+    if unlabeled:
+        # score every image file in the root — no metadata required
+        # (the bulk-scoring mode for unlabeled production cohorts)
+        import glob
+
+        files: list[str] = []
+        for ext in (".jpg", ".jpeg", ".png", ".dcm"):
+            files += glob.glob(os.path.join(root, f"*{ext}"))
+        if not files:
+            raise SystemExit(f"--images: no image files under {root}")
+        names = sorted(os.path.splitext(os.path.basename(f))[0]
+                       for f in files)
+        # pixels are all that matters; the placeholder label satisfies
+        # LesionTable's contract (same trick as calibration_rows)
+        df = pd.DataFrame({"isic_id": names,
+                           "benign_malignant": "benign"})
+    elif opts["metadata"]:
         meta = opts["metadata"]
         df = read_isic_metadata(
             os.path.dirname(os.path.abspath(meta)) or root,
@@ -71,20 +93,35 @@ def main(argv: list[str] | None = None) -> int:
         ),
         batch_stats=batch_stats,
     )
+    # prediction NAMES come from the folder's label space (transfer
+    # folders predict light/dark or HAM dx classes, not the default
+    # benign/malignant — the index would be right but the name wrong)
+    import json
+
+    class_names = list(table.class_names)
+    cfg_path = os.path.join(folder, "train_config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            class_names = list(
+                json.load(f).get("class_names", class_names))
+
     order = np.argsort(out["row_id"])
     rows = []
     for i in order:
-        inst = table.instance(int(out["row_id"][i]))
-        rows.append(
-            {
-                "isic_id": inst["image_name"],
-                "prediction": table.class_names[int(out["pred"][i])],
-                "p_malignant": float(out["score_malignant"][i]),
-                "benign_malignant": inst["benign_malignant"],
-                "skin_tone": inst["skin_tone"],
-                "sex": inst["sex"],
-            }
-        )
+        rid = int(out["row_id"][i])
+        row = {
+            "isic_id": str(table.metadata_df["isic_id"].iloc[rid]),
+            "prediction": class_names[int(out["pred"][i])],
+            "p_malignant": float(out["score_malignant"][i]),
+        }
+        if not unlabeled:
+            inst = table.instance(rid)
+            row.update(
+                benign_malignant=inst["benign_malignant"],
+                skin_tone=inst["skin_tone"],
+                sex=inst["sex"],
+            )
+        rows.append(row)
     pd.DataFrame(rows).to_csv(out_csv, index=False)
     print(f"wrote {out_csv} ({len(rows)} rows)")
     return 0

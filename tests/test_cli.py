@@ -81,6 +81,33 @@ def test_predict_cli_e2e(synth_root, tmp_path, capsys):
     assert set(df["prediction"]) <= {"benign", "malignant"}
 
 
+def test_predict_cli_images_mode(synth_root, tmp_path):
+    """--images scores every image file in the root with no metadata —
+    the bulk-scoring mode for unlabeled cohorts."""
+    import glob
+
+    import pandas as pd
+
+    from cli import tone_bias_predict
+    from skin_image_analysis_tpu.train.loop import run_training
+    from tests.test_e2e_train import _tiny_cfg
+
+    folder = run_training(_tiny_cfg(synth_root, tmp_path), verbose=False)
+    out_csv = str(tmp_path / "img_preds.csv")
+    rc = tone_bias_predict.main([synth_root, folder, out_csv, "--images"])
+    assert rc == 0
+    df = pd.read_csv(out_csv)
+    assert set(df.columns) == {"isic_id", "prediction", "p_malignant"}
+    assert len(df) == len(glob.glob(synth_root + "/*.jpg"))
+    assert df["p_malignant"].between(0, 1).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="no image files"):
+        tone_bias_predict.main(
+            [str(tmp_path), folder, out_csv, "--images"])
+
+
 def test_predict_cli_honors_input_convention(synth_root, tmp_path):
     """An experiment folder whose train_config.json carries an input
     convention (ImageNet normalization or a generic affine) must be
