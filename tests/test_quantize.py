@@ -361,3 +361,35 @@ def test_quantized_pool_commutes(small_model):
         (1, 2, 2, 1), "VALID")
     np.testing.assert_array_equal(np.asarray(quant(pool_f)),
                                   np.asarray(pool_q))
+
+
+def test_quantized_session_bn_family(resnet18_model, tmp_path):
+    """The daemon's --quantize path on a BatchNorm family: the session
+    threads the folder's batch_stats into the BN fold and matches the
+    in-process quantized forward (the serve-side twin of
+    test_resnet_quantized_fidelity)."""
+    import os
+
+    from skin_image_analysis_tpu.serve import InferenceSession
+    from skin_image_analysis_tpu.train import checkpoint as ckpt_lib
+
+    _, params, batch_stats = resnet18_model
+    cfg = ModelConfig(name="resnet18", image_size=TSIZE,
+                      compute_dtype="float32")
+    folder = str(tmp_path / "rnexp")
+    os.makedirs(folder)
+    ckpt_lib.save_model(
+        os.path.join(folder, ckpt_lib.MODEL_FILENAME), cfg, params,
+        batch_stats,
+    )
+    rng = np.random.default_rng(21)
+    calib = rng.integers(0, 255, (8, TSIZE, TSIZE, 3), np.uint8)
+    sess = InferenceSession.from_experiment_quantized(
+        folder, calib, max_batch=4)
+    pixels = rng.integers(0, 255, (3, TSIZE, TSIZE, 3), np.uint8)
+    got = sess.predict(pixels)
+    qtree = quantize_model(cfg, params, calib, batch_stats=batch_stats)
+    want = build_infer_fn_quantized(qtree)(jnp.asarray(pixels))
+    np.testing.assert_allclose(
+        got["log_probs"], np.asarray(want["log_probs"]), atol=1e-5
+    )
