@@ -776,3 +776,46 @@ def test_serve_cli_best_rejects_artifact(tmp_path):
     art.write_bytes(b"not a program")
     with pytest.raises(SystemExit, match="experiment folders"):
         tone_bias_serve.main([str(art), "--best"])
+
+
+def test_reload_watcher_tracks_best_file(tmp_path):
+    """A --best session's watcher follows session_model_best.msgpack:
+    a new FINAL checkpoint is ignored, a new BEST checkpoint swaps in —
+    the daemon follows --keep-best improvements only."""
+    import os
+    import shutil
+    import time as _time
+
+    from skin_image_analysis_tpu.serve.server import start_reload_watcher
+
+    folder = tmp_path / "exp"
+    _make_exp(folder, seed=1)
+    shutil.copy(os.path.join(folder, ckpt_lib.MODEL_FILENAME),
+                os.path.join(folder, ckpt_lib.BEST_MODEL_FILENAME))
+    sess = InferenceSession.from_experiment(
+        str(folder), max_batch=4,
+        model_filename=ckpt_lib.BEST_MODEL_FILENAME)
+    rng = np.random.default_rng(31)
+    pixels = rng.integers(0, 255, (2, SIZE, SIZE, 3), np.uint8)
+    before = sess.predict(pixels)
+
+    thread, stop = start_reload_watcher(sess, interval_s=0.05,
+                                        verbose=False)
+    try:
+        _make_exp(folder, seed=9)  # final checkpoint only — NOT best
+        _time.sleep(0.5)
+        assert sess.reloads == 0  # watcher ignores the final file
+        # a new BEST lands (trainer found an improvement)
+        other = tmp_path / "other"
+        _make_exp(other, seed=10)
+        os.replace(os.path.join(other, ckpt_lib.MODEL_FILENAME),
+                   os.path.join(folder, ckpt_lib.BEST_MODEL_FILENAME))
+        deadline = _time.time() + 20
+        while sess.reloads < 1 and _time.time() < deadline:
+            _time.sleep(0.05)
+        assert sess.reloads == 1
+        after = sess.predict(pixels)
+        assert not np.allclose(before["log_probs"], after["log_probs"])
+    finally:
+        stop.set()
+        thread.join(timeout=5)
