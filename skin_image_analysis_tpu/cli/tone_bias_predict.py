@@ -49,16 +49,21 @@ def main(argv: list[str] | None = None) -> int:
     unlabeled = bool(opts["images"])
     if unlabeled:
         # score every image file in the root — no metadata required
-        # (the bulk-scoring mode for unlabeled production cohorts)
-        import glob
-
-        files: list[str] = []
-        for ext in (".jpg", ".jpeg", ".png", ".dcm"):
-            files += glob.glob(os.path.join(root, f"*{ext}"))
-        if not files:
+        # (the bulk-scoring mode for unlabeled production cohorts).
+        # Extensions match case-insensitively (.JPG camera exports) and
+        # stems dedupe: a name present under two extensions must yield
+        # ONE row, since the loader resolves by stem anyway.
+        exts = {".jpg", ".jpeg", ".png", ".dcm"}
+        stems: dict[str, str] = {}
+        for entry in os.scandir(root):
+            if not entry.is_file():
+                continue
+            stem, ext = os.path.splitext(entry.name)
+            if ext.lower() in exts:
+                stems.setdefault(stem, entry.name)
+        if not stems:
             raise SystemExit(f"--images: no image files under {root}")
-        names = sorted(os.path.splitext(os.path.basename(f))[0]
-                       for f in files)
+        names = sorted(stems)
         # pixels are all that matters; the placeholder label satisfies
         # LesionTable's contract (same trick as calibration_rows)
         df = pd.DataFrame({"isic_id": names,

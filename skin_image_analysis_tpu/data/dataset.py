@@ -76,8 +76,10 @@ class LesionTable:
 
     #: probe order when ``<isic_id>.jpg`` is absent — the ISIC-2020
     #: archive distributes ``<isic_id>.dcm`` DICOMs (jgi_isic_2020
-    #: notebook); png covers re-exports
-    _EXT_PROBE = (".jpg", ".jpeg", ".png", ".dcm")
+    #: notebook); png covers re-exports; uppercase variants cover
+    #: camera exports (.JPG) on case-sensitive filesystems
+    _EXT_PROBE = (".jpg", ".jpeg", ".png", ".dcm",
+                  ".JPG", ".JPEG", ".PNG", ".DCM")
 
     def get_file_path(self, image_name: str) -> str:
         """``<root>/<isic_id>.jpg`` (reference: tone_bias_dataset.py:357-362),

@@ -348,26 +348,31 @@ class InferenceSession:
                 f"({model_cfg} vs {self._model_cfg}); restart the "
                 "server to change models")
         cfg_path = os.path.join(folder, "train_config.json")
+        # a folder WITHOUT train_config.json trained under the default
+        # convention (plain [0,1] floats) — run the same mismatch checks
+        # against that, or --reload-any could silently hot-swap weights
+        # trained under a different input convention
+        data_cfg: dict[str, Any] = {}
         if os.path.exists(cfg_path):
             with open(cfg_path) as f:
                 data_cfg = json.load(f).get("data", {})
-            normalize = bool(data_cfg.get("normalize_imagenet", False))
-            if normalize != self._normalize:
-                raise ValueError(
-                    "checkpoint was trained with normalize_imagenet="
-                    f"{normalize} but the serving program was compiled "
-                    f"with {self._normalize}; restart the server")
-            from skin_image_analysis_tpu.ops.preprocess import (
-                normalize_affine,
-            )
+        normalize = bool(data_cfg.get("normalize_imagenet", False))
+        if normalize != self._normalize:
+            raise ValueError(
+                "checkpoint was trained with normalize_imagenet="
+                f"{normalize} but the serving program was compiled "
+                f"with {self._normalize}; restart the server")
+        from skin_image_analysis_tpu.ops.preprocess import (
+            normalize_affine,
+        )
 
-            affine = normalize_affine(data_cfg.get("input_affine"))
-            if affine != normalize_affine(self._input_affine):
-                raise ValueError(
-                    "checkpoint input_affine differs from the serving "
-                    f"program's ({affine} vs "
-                    f"{normalize_affine(self._input_affine)}); restart "
-                    "the server")
+        affine = normalize_affine(data_cfg.get("input_affine"))
+        if affine != normalize_affine(self._input_affine):
+            raise ValueError(
+                "checkpoint input_affine differs from the serving "
+                f"program's ({affine} vs "
+                f"{normalize_affine(self._input_affine)}); restart "
+                "the server")
         params, batch_stats = ckpt_lib.split_variables(loaded)
         new_weights: dict[str, Any] = {"params": params}
         if batch_stats is not None:

@@ -916,7 +916,13 @@ def _prior_best(folder: str, metric: str):
             for line in f:
                 if not line.strip():
                     continue
-                rec = _json.loads(line)
+                # a run killed mid-write leaves a truncated final line;
+                # the crash-recovery path must tolerate it or --keep-best
+                # resumes die on the very file the crash produced
+                try:
+                    rec = _json.loads(line)
+                except ValueError:
+                    continue
                 if key in rec:
                     values.append(float(rec[key]))
     if not values:

@@ -42,11 +42,19 @@ def append_record(path: str, record: dict) -> None:
 
 
 def read_records(path: str) -> Iterator[dict]:
+    """Yield one dict per parseable JSON line. Unparseable lines are
+    skipped: a run killed mid-append leaves a truncated final line, and
+    every consumer of these records (resume, --keep-best seeding,
+    analysis stitching) must keep working on exactly such a file."""
     with open(path) as f:
         for line in f:
             line = line.strip()
-            if line:
+            if not line:
+                continue
+            try:
                 yield json.loads(line)
+            except ValueError:
+                continue
 
 
 def read_experiment_files(folder: str) -> list[str]:

@@ -108,6 +108,34 @@ def test_predict_cli_images_mode(synth_root, tmp_path):
             [str(tmp_path), folder, out_csv, "--images"])
 
 
+def test_predict_cli_images_case_and_dedup(synth_root, tmp_path):
+    """--images matches extensions case-insensitively (.JPG camera
+    exports on case-sensitive filesystems) and dedupes stems present
+    under two extensions into ONE row."""
+    import glob
+    import shutil
+
+    import pandas as pd
+
+    from cli import tone_bias_predict
+    from skin_image_analysis_tpu.train.loop import run_training
+    from tests.test_e2e_train import _tiny_cfg
+
+    folder = run_training(_tiny_cfg(synth_root, tmp_path), verbose=False)
+    jpgs = sorted(glob.glob(synth_root + "/*.jpg"))[:2]
+    root = tmp_path / "camera"
+    root.mkdir()
+    shutil.copy(jpgs[0], root / "shot_a.JPG")  # uppercase extension
+    shutil.copy(jpgs[1], root / "shot_b.jpg")
+    shutil.copy(jpgs[1], root / "shot_b.png")  # duplicate stem
+    out_csv = str(tmp_path / "camera.csv")
+    rc = tone_bias_predict.main([str(root), folder, out_csv, "--images"])
+    assert rc == 0
+    df = pd.read_csv(out_csv)
+    assert sorted(df["isic_id"]) == ["shot_a", "shot_b"]
+    assert df["p_malignant"].between(0, 1).all()
+
+
 def test_predict_cli_honors_input_convention(synth_root, tmp_path):
     """An experiment folder whose train_config.json carries an input
     convention (ImageNet normalization or a generic affine) must be

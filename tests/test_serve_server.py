@@ -540,6 +540,30 @@ def test_hot_reload_rejects_incompatible_and_keeps_serving(tmp_path):
         before["log_probs"], again["log_probs"], atol=1e-6)
 
 
+def test_hot_reload_checks_convention_without_train_config(tmp_path):
+    """A target folder with NO train_config.json trained under the
+    default convention (plain [0,1] floats) — reloading it into a
+    session compiled with a different input convention must be refused.
+    Previously the mismatch checks were skipped entirely when the
+    config file was absent, silently hot-swapping weights trained
+    under a different convention."""
+    import json
+
+    src = tmp_path / "exp"
+    _make_exp(src, seed=1)
+    (src / "train_config.json").write_text(json.dumps(
+        {"data": {"input_affine": [[2.0, 2.0, 2.0], [-1.0, -1.0, -1.0]]}}
+    ))
+    sess = InferenceSession.from_experiment(str(src), max_batch=4)
+    assert sess._input_affine is not None
+
+    bare = tmp_path / "bare"
+    _make_exp(bare, seed=2)  # same architecture, no train_config.json
+    with pytest.raises(ValueError, match="input_affine"):
+        sess.reload_weights(str(bare))
+    assert sess.reloads == 0
+
+
 def test_artifact_session_cannot_hot_reload(exp_folder, tmp_path):
     from skin_image_analysis_tpu.serve import export_model
 
