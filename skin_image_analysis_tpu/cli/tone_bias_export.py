@@ -25,7 +25,7 @@ def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     positional, opts = parse(
         argv, {"canonical-size": 0, "platforms": "", "quantize": "",
-               "calib-root": "", "calib-rows": 256},
+               "calib-root": "", "calib-rows": 256, "calib-mode": "max"},
         bool_flags={"normalize-imagenet", "best"},
     )
     if len(positional) != 2:
@@ -33,7 +33,8 @@ def main(argv: list[str] | None = None) -> int:
               "[--canonical-size N] [--platforms tpu,cpu] "
               "[--normalize-imagenet] "
               "[--quantize int8|int8-weights --calib-root <image root> "
-              "[--calib-rows N]]  (int8-weights works on ANY model "
+              "[--calib-rows N] [--calib-mode max|percentile[:p]]]  "
+              "(int8-weights works on ANY model "
               "family and needs no calibration; --calib-root there "
               "only feeds the fidelity report)")
         return 1
@@ -42,6 +43,7 @@ def main(argv: list[str] | None = None) -> int:
     from skin_image_analysis_tpu.serve import export_model
 
     calib = report = None
+    report_is_calib = False
     if opts["quantize"]:
         if not opts["calib-root"] and opts["quantize"] != "int8-weights":
             print("--quantize int8 needs --calib-root (the image root; "
@@ -53,7 +55,7 @@ def main(argv: list[str] | None = None) -> int:
             # weight-only quantization never consumes calibration rows —
             # only the fidelity report's held-out split; skip the
             # train-split decode (minutes on a real cohort)
-            calib, report = _load_calibration(
+            calib, report, report_is_calib = _load_calibration(
                 folder, opts["calib-root"], opts["calib-rows"],
                 report_only=opts["quantize"] == "int8-weights")
 
@@ -72,8 +74,10 @@ def main(argv: list[str] | None = None) -> int:
             or None
         ),
         quantize=opts["quantize"] or None,
+        calib_mode=opts["calib-mode"],
         calib_pixels=calib,
         report_pixels=report,
+        report_on_calibration_rows=report_is_calib,
     )
     if manifest.get("quantization"):
         print(f"quantization: {manifest['quantization']}")

@@ -58,7 +58,8 @@ def main(argv: list[str] | None = None) -> int:
         argv,
         {"host": "127.0.0.1", "port": 8000, "max-batch": 64,
          "window-ms": 2.0, "warm": "", "mesh": 0, "watch": 0.0,
-         "quantize": "", "calib-root": "", "calib-rows": 256},
+         "quantize": "", "calib-root": "", "calib-rows": 256,
+         "calib-mode": "max"},
         bool_flags={"no-warm", "reload-any", "best"},
     )
     if len(positional) != 1:
@@ -134,10 +135,11 @@ def main(argv: list[str] | None = None) -> int:
             calibration_rows,
         )
 
-        calib, _ = calibration_rows(
+        calib, _, _ = calibration_rows(
             source, opts["calib-root"], int(opts["calib-rows"]))
         session = InferenceSession.from_experiment_quantized(
-            source, calib, max_batch=int(opts["max-batch"]),
+            source, calib, calib_mode=opts["calib-mode"],
+            max_batch=int(opts["max-batch"]),
             model_filename=model_filename)
     elif os.path.isdir(source):
         session = InferenceSession.from_experiment(

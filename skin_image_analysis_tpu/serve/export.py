@@ -120,6 +120,8 @@ def export_model(
     calib_pixels=None,
     report_pixels=None,
     model_filename: str | None = None,
+    report_on_calibration_rows: bool = False,
+    calib_mode: str = "max",
 ) -> dict:
     """Export the experiment's trained model as a serialized StableHLO
     program at ``out_path`` (+ ``out_path + ".json"`` manifest).
@@ -190,6 +192,7 @@ def export_model(
             model_cfg, params, calib_pixels,
             normalize_imagenet=normalize_imagenet,
             input_affine=input_affine, batch_stats=batch_stats,
+            calib_mode=calib_mode,
         )
         if report_pixels is not None:
             quant_report = quantization_report(
@@ -260,7 +263,14 @@ def export_model(
         "normalize_imagenet": bool(normalize_imagenet),
         "input_affine": input_affine,
         "quantization": (
-            {"scheme": quantize, **(quant_report or {})}
+            {"scheme": quantize,
+             **({"calib_mode": calib_mode} if quantize == "int8" else {}),
+             **(quant_report or {}),
+             # True = the fidelity report scored the very rows the
+             # activation scales were calibrated on (train split was
+             # absent) — its agreement numbers are optimistic
+             **({"report_on_calibration_rows": True}
+                if report_on_calibration_rows and quant_report else {})}
             if quantize else None
         ),
         "platforms": list(exported.platforms),

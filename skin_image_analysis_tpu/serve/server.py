@@ -179,6 +179,7 @@ class InferenceSession:
                                   max_batch: int = 64,
                                   class_names: Sequence[str] | None = None,
                                   model_filename: str | None = None,
+                                  calib_mode: str = "max",
                                   ) -> "InferenceSession":
         """Serve the int8 post-training-quantized program straight from
         an experiment folder (serve/quantize.py — measured 1.41x the
@@ -213,7 +214,7 @@ class InferenceSession:
         qtree = quantize_model(
             model_cfg, params, calib_pixels,
             normalize_imagenet=normalize, input_affine=affine,
-            batch_stats=batch_stats)
+            batch_stats=batch_stats, calib_mode=calib_mode)
         infer = build_infer_fn_quantized(qtree)
         return cls(infer, model_cfg.image_size, 3, max_batch,
                    class_names, source=folder,
