@@ -51,13 +51,16 @@ PAD_WIDTH = 256  # the search-space max width (tone_bias_optuna.py:133-169)
 @dataclass(frozen=True)
 class WaveSkeleton:
     """The static shape of one wave: everything that changes tensor
-    shapes or control flow."""
+    shapes or control flow. ``pad_width`` is the width every layer pads
+    to (the search-space max; 256 for the reference protocol — smaller
+    values exist for budget sweeps/dry runs over narrowed spaces)."""
 
     n_conv: int          # extra k=3 conv blocks (reference n_conv_layers)
     n_linear: int        # linear blocks
     optimizer: str       # adam | rmsprop | sgd (static per wave)
     image_size: int = 224
     compute_dtype: str = "bfloat16"
+    pad_width: int = PAD_WIDTH
 
     @property
     def conv_count(self) -> int:
@@ -65,10 +68,10 @@ class WaveSkeleton:
 
     def padded_model_config(self) -> ModelConfig:
         return ModelConfig(
-            conv_features=(PAD_WIDTH,) * self.conv_count,
+            conv_features=(self.pad_width,) * self.conv_count,
             first_kernel=7,
             kernel=3,
-            linear_features=(PAD_WIDTH,) * self.n_linear,
+            linear_features=(self.pad_width,) * self.n_linear,
             dropout=(0.5,) * self.n_linear,
             image_size=self.image_size,
             compute_dtype=self.compute_dtype,
@@ -82,13 +85,14 @@ class WaveSkeleton:
 
     def padded_param_bytes(self) -> int:
         """f32 parameter footprint of the padded network (for K capping)."""
-        total = 7 * 7 * 3 * PAD_WIDTH + PAD_WIDTH
+        pad = self.pad_width
+        total = 7 * 7 * 3 * pad + pad
         for _ in range(self.n_conv):
-            total += 3 * 3 * PAD_WIDTH * PAD_WIDTH + PAD_WIDTH
-        fan_in = self.flatten_spatial() * PAD_WIDTH
+            total += 3 * 3 * pad * pad + pad
+        fan_in = self.flatten_spatial() * pad
         for _ in range(self.n_linear):
-            total += fan_in * PAD_WIDTH + PAD_WIDTH
-            fan_in = PAD_WIDTH
+            total += fan_in * pad + pad
+            fan_in = pad
         total += fan_in * 2 + 2
         return total * 4
 
@@ -98,7 +102,7 @@ def activation_bytes(skel: WaveSkeleton, microbatch: int) -> int:
     at the padded width, for a microbatch: the first conv's full-res
     output dominates (microbatch x image^2 x PAD x bf16), with ~3x
     headroom for the cotangent + fusion workspace."""
-    first_conv = microbatch * skel.image_size ** 2 * PAD_WIDTH * 2
+    first_conv = microbatch * skel.image_size ** 2 * skel.pad_width * 2
     return 3 * first_conv
 
 
@@ -159,7 +163,7 @@ def _feature_mask(width, pad: int) -> jnp.ndarray:
 def _input_mask_dense0(skel: WaveSkeleton, conv_last_w) -> jnp.ndarray:
     """Flatten-layout input mask for MlpBlock_0: NHWC flatten orders
     features (h, w, c), so the channel mask tiles over spatial."""
-    ch = _feature_mask(conv_last_w, PAD_WIDTH)
+    ch = _feature_mask(conv_last_w, skel.pad_width)
     return jnp.tile(ch, skel.flatten_spatial())
 
 
@@ -171,21 +175,21 @@ def trial_param_masks(skel: WaveSkeleton, conv_w: jnp.ndarray,
     for path, kind, idx in _layer_specs(skel):
         if kind == "conv":
             cin_active, cout_active = _active_fans(skel, kind, idx, conv_w, lin_w)
-            cin_pad = 3 if idx == 0 else PAD_WIDTH
+            cin_pad = 3 if idx == 0 else skel.pad_width
             in_m = _feature_mask(cin_active, cin_pad)
-            out_m = _feature_mask(cout_active, PAD_WIDTH)
+            out_m = _feature_mask(cout_active, skel.pad_width)
             kmask = in_m[None, None, :, None] * out_m[None, None, None, :]
             bmask = out_m
         elif kind == "dense":
             if idx == 0:
                 in_m = _input_mask_dense0(skel, conv_w[skel.conv_count - 1])
             else:
-                in_m = _feature_mask(lin_w[idx - 1], PAD_WIDTH)
-            out_m = _feature_mask(lin_w[idx], PAD_WIDTH)
+                in_m = _feature_mask(lin_w[idx - 1], skel.pad_width)
+            out_m = _feature_mask(lin_w[idx], skel.pad_width)
             kmask = in_m[:, None] * out_m[None, :]
             bmask = out_m
         else:  # head
-            in_m = _feature_mask(lin_w[skel.n_linear - 1], PAD_WIDTH)
+            in_m = _feature_mask(lin_w[skel.n_linear - 1], skel.pad_width)
             kmask = in_m[:, None] * jnp.ones((1, 2), jnp.float32)
             bmask = jnp.ones((2,), jnp.float32)
         node = out
@@ -204,16 +208,16 @@ def init_trial_params(skel: WaveSkeleton, key: jax.Array,
     for n, (path, kind, idx) in enumerate(_layer_specs(skel)):
         fin, fout = _active_fans(skel, kind, idx, conv_w, lin_w)
         if kind == "conv":
-            cin_pad = 3 if idx == 0 else PAD_WIDTH
-            shape = (7 if idx == 0 else 3,) * 2 + (cin_pad, PAD_WIDTH)
+            cin_pad = 3 if idx == 0 else skel.pad_width
+            shape = (7 if idx == 0 else 3,) * 2 + (cin_pad, skel.pad_width)
             receptive = shape[0] * shape[1]
             fan_in, fan_out = receptive * fin, receptive * fout
         elif kind == "dense":
-            shape = (skel.flatten_spatial() * PAD_WIDTH if idx == 0
-                     else PAD_WIDTH, PAD_WIDTH)
+            shape = (skel.flatten_spatial() * skel.pad_width if idx == 0
+                     else skel.pad_width, skel.pad_width)
             fan_in, fan_out = fin, fout
         else:
-            shape = (PAD_WIDTH, 2)
+            shape = (skel.pad_width, 2)
             fan_in, fan_out = fin, fout
         std = jnp.sqrt(2.0 / (fan_in + fan_out).astype(jnp.float32))
         kernel = jax.random.normal(keys[n], shape, jnp.float32) * std

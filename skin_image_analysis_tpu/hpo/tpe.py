@@ -37,9 +37,19 @@ class TPESampler(RandomSampler):
 
     # -- history helpers --------------------------------------------------
     def _observations(self, study, name: str) -> tuple[np.ndarray, np.ndarray]:
+        """Completed AND pruned trials feed the densities — pruned
+        trials carry their last intermediate value (Study.optimize /
+        the wave engine record it at tell time). Dropping them starves
+        the history under a median pruner (~60% of trials die early)
+        and discards exactly the strongest 'bad' signal: measured in
+        tpe_regret_100_20_pruned.json, COMPLETE-only TPE fell to
+        parity with random search (8/20 seed wins) while this form
+        separates — the same design choice Optuna's TPE makes."""
         values, scores = [], []
         for t in study.trials:
-            if t.state != TrialState.COMPLETE or t.value is None:
+            if t.state not in (TrialState.COMPLETE, TrialState.PRUNED):
+                continue
+            if t.value is None:
                 continue
             if name in t.params:
                 values.append(t.params[name])

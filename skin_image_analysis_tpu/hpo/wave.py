@@ -62,14 +62,16 @@ from skin_image_analysis_tpu.hpo.study import (
 )
 
 
-def _suggest_non_skeleton(t, n_conv: int, n_linear: int):
+def _suggest_non_skeleton(t, n_conv: int, n_linear: int,
+                          width_range: tuple = (16, 256)):
     """Sample the per-lane parameters (widths, dropouts, lr) for a trial
     whose skeleton is already fixed."""
-    t.suggest_int("first_conv_out", 16, 256)
+    lo, hi = width_range
+    t.suggest_int("first_conv_out", lo, hi)
     for j in range(n_conv):
-        t.suggest_int(f"conv_out_{j}", 16, 256)
+        t.suggest_int(f"conv_out_{j}", lo, hi)
     for j in range(n_linear):
-        t.suggest_int(f"linear_out_{j}", 16, 256)
+        t.suggest_int(f"linear_out_{j}", lo, hi)
     for j in range(n_linear):
         t.suggest_float(f"dropout_{j}", 0.2, 0.5)
     t.suggest_float("lr", 1e-5, 1e-1, log=True)
@@ -95,6 +97,7 @@ def run_wave_study(
     wave_size: int | None = None,
     mesh=None,
     verbose: bool = True,
+    width_range: tuple = (16, 256),
 ) -> tuple[Study, dict[str, Any]]:
     """Run ~cfg.trials trials as rolling-lane waves; returns
     (study, stats). stats carries the compute accounting: lane_epochs
@@ -106,7 +109,13 @@ def run_wave_study(
     rounded to a multiple of the mesh's device count and every per-lane
     array is placed with a leading-axis NamedSharding (the data pool is
     replicated), so each device trains K/N of the wave's supernet trials
-    with no cross-device collectives."""
+    with no cross-device collectives.
+
+    ``width_range``: the per-layer width search interval. The default is
+    the reference protocol's (16, 256) (tone_bias_optuna.py:133-169);
+    the padded supernet width follows its upper bound, so a narrowed
+    range (e.g. (8, 32) in the driver dry run) compiles proportionally
+    faster while exercising the identical wave machinery."""
     if image_size is None:
         image_size = pixels.shape[1]
     study = study or create_study("maximize")
@@ -156,6 +165,7 @@ def run_wave_study(
         skel = WaveSkeleton(
             n_conv=n_conv, n_linear=n_linear, optimizer=optimizer,
             image_size=image_size, compute_dtype=compute_dtype,
+            pad_width=width_range[1],
         )
         skel_params = dict(probe.params)
         k = min(
@@ -222,7 +232,7 @@ def run_wave_study(
                 t = (Trial(study, -1, study.sampler) if filler
                      else study.ask())
                 t.params.update(skel_params)
-            _suggest_non_skeleton(t, n_conv, n_linear)
+            _suggest_non_skeleton(t, n_conv, n_linear, width_range)
             sample = rng.permutation(len(labels))[:n_sample]
             tr_rows = sample[:n_tb * cfg.batch_size]
             va_rows = sample[cut:cut + n_vb * mb_eval]
