@@ -25,6 +25,30 @@ import time
 import numpy as np
 
 
+def _train_flops_per_img(model_cfg, image_size: int) -> float:
+    """Analytic training FLOPs per image for the flagship conv stack
+    (contraction terms only — elementwise/pool/optimizer work is not
+    counted, so the returned MFU is the honest 'useful matmul FLOPs'
+    form). Forward: 2 MACs/FLOP over each conv and dense; training ≈
+    3x forward (activation + weight gradient matmuls). docs/PERF.md's
+    XLA cost-model figure (1.024 TFLOP at B=256 → 4.0 GFLOP/img)
+    cross-checks this within its fusion double-counting."""
+    s = image_size
+    c_in = 3
+    fwd = 0.0
+    for i, c_out in enumerate(model_cfg.conv_features):
+        k = model_cfg.first_kernel if i == 0 else model_cfg.kernel
+        fwd += 2.0 * s * s * c_out * k * k * c_in  # SAME stride-1 conv
+        s //= 2  # 2x2 pool
+        c_in = c_out
+    feats = s * s * c_in
+    for width in model_cfg.linear_features:
+        fwd += 2.0 * feats * width
+        feats = width
+    fwd += 2.0 * feats * model_cfg.num_classes
+    return 3.0 * fwd
+
+
 def main() -> int:
     from skin_image_analysis_tpu.utils.compile_cache import (
         enable_compilation_cache,
@@ -140,6 +164,10 @@ def main() -> int:
     imgs_per_sec = batch_size * k * iters / elapsed
     per_chip = imgs_per_sec / n_devices
     baseline = 6.0  # reference img/s (SURVEY.md §6)
+    # MFU anchor: contraction FLOPs per image vs the chip's bf16 peak
+    # (v5e ≈ 197 TFLOP/s bf16; override for other chip classes)
+    flops_per_img = _train_flops_per_img(model_cfg, image_size)
+    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
     print(
         json.dumps(
             {
@@ -147,6 +175,9 @@ def main() -> int:
                 "value": round(per_chip, 2),
                 "unit": "img/s/chip",
                 "vs_baseline": round(per_chip / baseline, 2),
+                "model_flops_per_img": round(flops_per_img),
+                "mfu": round(per_chip * flops_per_img / peak, 4),
+                "peak_tflops_assumed": peak / 1e12,
             }
         )
     )
