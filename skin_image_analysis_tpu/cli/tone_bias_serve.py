@@ -4,7 +4,7 @@
     python cli/tone_bias_serve.py <experiment folder | model.stablehlo>
         [--host 127.0.0.1] [--port 8000] [--max-batch 64]
         [--window-ms 2] [--warm N,N,...] [--no-warm] [--reload-any]
-        [--watch SECONDS] [--best]
+        [--watch SECONDS] [--best] [--max-rss-mb N]
         [--quantize int8 --calib-root <image root> [--calib-rows N]]
 
 Serves the trained model (an experiment folder's checkpoint — flagship
@@ -31,6 +31,22 @@ watching daemon then only picks up best-metric improvements.
 come from the folder's frozen train split decoded under
 ``--calib-root``; quantized sessions cannot hot-reload (constant
 weights), so it is exclusive with ``--watch``/``--mesh``.
+
+``--max-rss-mb N`` bounds the daemon's memory: through the axon remote
+relay every host→device transfer leaks ~its own bytes of host RSS
+(docs/PERF.md §Serving memory), so a long-running daemon grows without
+bound. When RSS crosses the cap the daemon spawns a successor with the
+LISTENING SOCKET inherited (``--listen-fd``/``--ready-fd``, internal)
+and KEEPS SERVING until the successor has re-warmed and starts
+accepting — a zero-downtime handoff; only then does it drain in-flight
+requests and exit. The successor prints the measured handoff window
+(which is overlap, not unavailability). ``GET /healthz`` reports
+``recycles``. Because the old process serves — and keeps leaking —
+through the successor's warm-up, a HARD cap at 1.5x the soft cap
+backstops slow warms: crossing it pauses the accept loop (connections
+queue in the kernel backlog; bounded memory, no failures) until the
+successor takes over, and accepts resume automatically if the handoff
+fails.
 
 The reference's deployment surface is "unpickle the module"
 (tone_bias_model.py:305-338); this is its production-serving
@@ -59,7 +75,8 @@ def main(argv: list[str] | None = None) -> int:
         {"host": "127.0.0.1", "port": 8000, "max-batch": 64,
          "window-ms": 2.0, "warm": "", "mesh": 0, "watch": 0.0,
          "quantize": "", "calib-root": "", "calib-rows": 256,
-         "calib-mode": "max"},
+         "calib-mode": "max", "max-rss-mb": 0, "max-rss-hard-factor": 1.5,
+         "listen-fd": -1, "ready-fd": -1},
         bool_flags={"no-warm", "reload-any", "best"},
     )
     if len(positional) != 1:
@@ -183,8 +200,26 @@ def main(argv: list[str] | None = None) -> int:
 
     batcher = DynamicBatcher(session,
                              window_ms=float(opts["window-ms"])).start()
+    listen_fd = int(opts["listen-fd"])
+    ready_fd = int(opts["ready-fd"])
+    recycled_at = os.environ.pop("SIA_SERVE_RECYCLED_AT", None)
+    if recycled_at is not None:
+        # the predecessor spawned us at this stamp and KEPT SERVING
+        # through our whole warm-up — this window is overlap, not
+        # unavailability (it retires once we write the ready byte)
+        import time
+
+        window = time.time() - float(recycled_at)
+        print(f"recycle handoff: {window:.1f}s spawn-to-serving, "
+              "predecessor served throughout "
+              f"(recycles={os.environ.get('SIA_SERVE_RECYCLES', '0')})",
+              flush=True)
     serve_http(batcher, host=opts["host"], port=int(opts["port"]),
-               reload_any=bool(opts["reload-any"]))
+               reload_any=bool(opts["reload-any"]),
+               listen_fd=listen_fd if listen_fd >= 0 else None,
+               max_rss_mb=int(opts["max-rss-mb"]),
+               max_rss_hard_factor=float(opts["max-rss-hard-factor"]),
+               ready_fd=ready_fd if ready_fd >= 0 else None)
     return 0
 
 

@@ -39,6 +39,7 @@ The session serves either source of truth:
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 from concurrent.futures import Future
@@ -585,6 +586,248 @@ def start_reload_watcher(session: InferenceSession,
     return thread, stop
 
 
+def process_rss_kb() -> int | None:
+    """This process's resident set size in kB (Linux /proc)."""
+    import os
+
+    try:
+        with open(f"/proc/{os.getpid()}/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return None
+
+
+class RecycleMonitor:
+    """Bounded-memory serving: recycle the daemon before the relay's
+    RSS leak OOMs it — with a ZERO-DOWNTIME process handoff.
+
+    Through the axon remote relay every host→device transfer leaks
+    ~its own bytes of host RSS (measured, docs/PERF.md §Serving
+    memory; gc/clear_caches/Array.delete reclaim nothing), so a
+    long-running ``/predict`` daemon grows without bound. The leak is
+    the environment's; the MITIGATION POLICY is the framework's job.
+    A drain-then-exec recycle was measured first and rejected: the
+    successor's re-warm is 30-340 s through the relay (one bucket
+    compile, window-dependent), and every request queued in the
+    backlog waits it out — long enough to blow ordinary client
+    timeouts. Instead, when RSS crosses ``max_rss_mb`` the monitor
+
+    1. SPAWNS the successor process with the LISTENING SOCKET and a
+       readiness pipe inherited (``--listen-fd`` / ``--ready-fd``,
+       internal flags) — the old process KEEPS SERVING while the
+       successor builds its session and re-warms its buckets,
+    2. waits for the successor's ready byte (it writes the pipe right
+       before its accept loop starts; both processes then accept from
+       the shared socket, so there is no gap),
+    3. retires: stops the old accept loop, marks the server draining
+       (responses add ``Connection: close`` so pooled clients migrate
+       to the successor), gives in-flight handler threads ``grace_s``,
+       drains the batcher, and lets the process exit.
+
+    Because the old process serves (and leaks) through the successor's
+    whole warm-up, the soft cap alone bounds nothing when the warm is
+    slow — measured live: at ~28 req/s of 224² pixels the old process
+    leaked ~3.4 MB/s for the 15+ min a congested-window bucket compile
+    took, a ~3 GB excursion per handoff. So a HARD cap
+    (``hard_factor x max_rss_mb``) backstops the wait: crossing it
+    stops the accept loop — connections queue in the kernel backlog
+    (bounded memory, queuing latency, no failures) until the successor
+    takes over. If the successor instead dies or misses
+    ``handoff_timeout_s``, the old process resumes accepting (the
+    backlog drains) and retries after ``cooldown_s`` — availability is
+    never sacrificed to the recycle itself. Size ``handoff_timeout_s``
+    to your platform's worst-case warm (through the axon relay: tens of
+    minutes). ``rss_fn`` / ``spawn_fn`` exist for tests."""
+
+    def __init__(self, server, batcher: DynamicBatcher,
+                 max_rss_mb: int, argv: list[str],
+                 interval_s: float = 5.0, grace_s: float = 600.0,
+                 handoff_timeout_s: float = 3600.0,
+                 cooldown_s: float = 60.0, hard_factor: float = 1.5,
+                 rss_fn=None, spawn_fn=None, verbose: bool = True):
+        self.server = server
+        self.batcher = batcher
+        self.max_rss_kb = int(max_rss_mb) * 1024
+        self.argv = list(argv)
+        self.interval_s = float(interval_s)
+        self.grace_s = float(grace_s)
+        self.handoff_timeout_s = float(handoff_timeout_s)
+        self.cooldown_s = float(cooldown_s)
+        self.hard_rss_kb = int(hard_factor * self.max_rss_kb)
+        self.rss_fn = rss_fn or process_rss_kb
+        self.spawn_fn = spawn_fn
+        self.verbose = verbose
+        self.triggered = False
+        self.retiring = False
+        self.hard_stopped = False
+        self.want_resume = False
+        self.handoffs_failed = 0
+        self.trigger_rss_kb: int | None = None
+        self._stop = threading.Event()
+        self._concluded = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "RecycleMonitor":
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.interval_s):
+            rss = self.rss_fn()
+            if rss is None or rss <= self.max_rss_kb:
+                continue
+            self.triggered = True
+            self.trigger_rss_kb = rss
+            if self.verbose:
+                print(f"recycle: rss {rss} kB > {self.max_rss_kb} kB "
+                      "cap — spawning successor (this process keeps "
+                      "serving until it is warm)", flush=True)
+            self._concluded.clear()
+            if self._handoff():
+                # successor is accepting on the shared socket — retire.
+                # draining first so responses written from here on tell
+                # pooled clients to reconnect (they land on the successor)
+                self.retiring = True
+                self.server.draining = True
+                if not self.hard_stopped:  # else already shut down
+                    self.server.shutdown()
+                self._concluded.set()
+                return
+            self.handoffs_failed += 1
+            if self.hard_stopped:
+                # accept loop was stopped at the hard cap; hand it back
+                # to serve_http's main loop (the backlog drains)
+                self.hard_stopped = False
+                self.want_resume = True
+            self._concluded.set()
+            if self.verbose:
+                print("recycle: handoff failed — still serving; retry "
+                      f"in {self.cooldown_s:.0f}s", flush=True)
+            if self._stop.wait(self.cooldown_s):
+                return
+
+    def should_resume(self) -> bool:
+        """Called by serve_http's main thread when serve_forever
+        returns: True when the accept loop was hard-stopped for a
+        handoff that then FAILED — the caller re-enters serve_forever
+        and the queued backlog drains. Blocks until the in-progress
+        handoff concludes."""
+        if not self.triggered or self._stop.is_set():
+            return False  # external shutdown, not ours
+        self._concluded.wait()
+        if self.want_resume:
+            self.want_resume = False
+            return True
+        return False
+
+    def successor_argv(self, listen_fd: int, ready_fd: int) -> list[str]:
+        """The successor's command line: the original argv with any
+        stale --listen-fd/--ready-fd pairs replaced by this process's
+        inherited-socket and readiness-pipe fds."""
+        argv = list(self.argv)
+        for flag in ("--listen-fd", "--ready-fd"):
+            while flag in argv:
+                i = argv.index(flag)
+                del argv[i:i + 2]
+        return argv + ["--listen-fd", str(listen_fd),
+                       "--ready-fd", str(ready_fd)]
+
+    def _handoff(self) -> bool:
+        """Spawn the successor and wait for its ready byte. True when
+        it is accepting; False (child reaped) on death or timeout."""
+        import select
+        import subprocess
+        import sys as _sys
+        import time as _time
+
+        fd = self.server.socket.fileno()
+        rpipe, wpipe = os.pipe()
+        env = dict(os.environ)
+        env["SIA_SERVE_RECYCLES"] = str(
+            int(env.get("SIA_SERVE_RECYCLES", "0")) + 1)
+        env["SIA_SERVE_RECYCLED_AT"] = repr(_time.time())
+        argv = self.successor_argv(fd, wpipe)
+        spawn = self.spawn_fn or (
+            lambda a, fds, e: subprocess.Popen(
+                [_sys.executable] + a, pass_fds=fds, env=e))
+        try:
+            child = spawn(argv, (fd, wpipe), env)
+        except OSError:
+            os.close(rpipe)
+            os.close(wpipe)
+            return False
+        finally:
+            # the write end lives on only in the child; our copy must
+            # close so rpipe sees EOF if the child dies before ready
+            try:
+                os.close(wpipe)
+            except OSError:
+                pass
+        deadline = _time.time() + self.handoff_timeout_s
+        ready = False
+        try:
+            while _time.time() < deadline:
+                rl, _, _ = select.select([rpipe], [], [], 1.0)
+                if rl:
+                    ready = os.read(rpipe, 1) != b""  # b"" = EOF: died
+                    break
+                rc = child.poll()
+                if rc is not None:  # exited without ever writing
+                    break
+                if not self.hard_stopped:
+                    rss = self.rss_fn()
+                    if rss is not None and rss > self.hard_rss_kb:
+                        # leaking through a slow warm blew the hard cap:
+                        # stop accepting; connections queue in the
+                        # kernel backlog until the successor (or a
+                        # resume on failure) picks them up
+                        self.hard_stopped = True
+                        if self.verbose:
+                            print(f"recycle: rss {rss} kB > hard cap "
+                                  f"{self.hard_rss_kb} kB during "
+                                  "handoff — pausing accepts "
+                                  "(connections queue in the backlog)",
+                                  flush=True)
+                        self.server.shutdown()
+        finally:
+            os.close(rpipe)
+        if not ready:
+            try:
+                child.kill()
+                child.wait(timeout=10)
+            except Exception:
+                pass
+        return ready
+
+    def finish_retire(self) -> None:
+        """Drain this (old) process after the successor took over —
+        called by serve_http on the main thread once serve_forever
+        returns. The process exits normally afterwards; in-flight
+        requests complete, queued batcher work completes, idle
+        keep-alive connections past grace_s reset (their clients
+        reconnect to the successor). ``grace_s`` is generous by
+        default (600 s): wait_idle returns the moment in-flight hits
+        zero, the successor is already serving so a lingering retiree
+        costs nothing, and a stingy grace loses real requests — an
+        in-flight batch can sit minutes behind the successor's own
+        relay compile (measured: a 15 s grace reset 1 connection of
+        8,000 during exactly that window)."""
+        if not self.server.wait_idle(self.grace_s) and self.verbose:
+            print(f"recycle: {self.server.inflight()} connections "
+                  f"still open after {self.grace_s}s grace — they "
+                  "reset at old-process exit", flush=True)
+        self.batcher.stop()  # drains the queue; nothing dropped
+        if self.verbose:
+            print("recycle: retired — successor is serving", flush=True)
+
+
 def _result_json(session: InferenceSession, res: dict[str, Any]) -> dict:
     pred = int(res["pred"])
     return {
@@ -598,7 +841,8 @@ def _result_json(session: InferenceSession, res: dict[str, Any]) -> dict:
 
 def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                      port: int = 8000, read_timeout: float = 60.0,
-                     reload_any: bool = False):
+                     reload_any: bool = False,
+                     listen_fd: int | None = None):
     """Build (not run) the HTTP server. Endpoints:
 
     - ``POST /predict`` — body: one encoded image (JPEG/PNG bytes) or a
@@ -634,8 +878,39 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
         # the moment more than a handful of clients connect at once —
         # measured: 64 simultaneous connects lost ~¼ of them. Size the
         # backlog to the coalescing width we actually want to absorb.
+        # (The backlog also buffers connects across a --max-rss-mb
+        # recycle: the listening socket survives the re-exec.)
         request_queue_size = 4 * max(64, session.max_batch)
         daemon_threads = True
+        # set by RecycleMonitor at retirement: responses then carry
+        # Connection: close so pooled clients migrate to the successor
+        draining = False
+
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self._inflight = 0
+            self._inflight_cv = threading.Condition()
+
+        # ThreadingMixIn hook: count live connection threads so a
+        # recycle can wait for in-flight requests before re-exec
+        def process_request_thread(self, request, client_address):
+            with self._inflight_cv:
+                self._inflight += 1
+            try:
+                super().process_request_thread(request, client_address)
+            finally:
+                with self._inflight_cv:
+                    self._inflight -= 1
+                    self._inflight_cv.notify_all()
+
+        def inflight(self) -> int:
+            with self._inflight_cv:
+                return self._inflight
+
+        def wait_idle(self, timeout: float) -> bool:
+            with self._inflight_cv:
+                return self._inflight_cv.wait_for(
+                    lambda: self._inflight == 0, timeout=timeout)
 
     MAX_BODY = 1 << 28  # 256 MB — far above any real bucket's bytes
 
@@ -659,6 +934,11 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if getattr(self.server, "draining", False):
+                # retiring across a --max-rss-mb recycle: tell pooled
+                # clients to reconnect (they land on the successor)
+                self.send_header("Connection", "close")
+                self.close_connection = True
             self.end_headers()
             self.wfile.write(body)
 
@@ -672,6 +952,11 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                     "buckets": session.buckets,
                     "compiled_buckets": session.compiled_buckets(),
                     "reloads": session.reloads,
+                    # --max-rss-mb handoffs bump this (env is passed to
+                    # each successor); pid identifies the incarnation
+                    "recycles": int(os.environ.get(
+                        "SIA_SERVE_RECYCLES", "0")),
+                    "pid": os.getpid(),
                 })
             elif self.path == "/stats":
                 snap = batcher.stats.snapshot()
@@ -815,21 +1100,81 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                 return
             self._send(200, _result_json(session, res))
 
+    if listen_fd is not None:
+        # adopt an inherited, already-listening socket (a --max-rss-mb
+        # recycle re-exec): bind_and_activate=False, swap the socket in
+        import socket as _socket
+
+        server = Server((host, port), Handler, bind_and_activate=False)
+        server.socket.close()
+        server.socket = _socket.socket(fileno=listen_fd)
+        addr = server.socket.getsockname()
+        server.server_address = addr
+        server.server_name, server.server_port = addr[0], addr[1]
+        return server
     return Server((host, port), Handler)
 
 
 def serve_http(batcher: DynamicBatcher, host: str = "127.0.0.1",
                port: int = 8000, verbose: bool = True,
-               reload_any: bool = False) -> None:
-    """Run the HTTP server until interrupted."""
-    server = make_http_server(batcher, host, port, reload_any=reload_any)
+               reload_any: bool = False, listen_fd: int | None = None,
+               max_rss_mb: int = 0, max_rss_hard_factor: float = 1.5,
+               recycle_argv: list[str] | None = None,
+               ready_fd: int | None = None) -> None:
+    """Run the HTTP server until interrupted.
+
+    ``max_rss_mb`` > 0 arms the :class:`RecycleMonitor`: when process
+    RSS crosses the cap the daemon spawns a warm successor over
+    ``recycle_argv`` (default ``sys.argv``) with the listening socket
+    inherited, keeps serving until the successor accepts, then drains
+    and exits — bounded memory with zero downtime under the relay's
+    per-transfer RSS leak (docs/PERF.md §Serving memory). ``listen_fd``
+    adopts such an inherited socket on the way back up; ``ready_fd``
+    is the predecessor's readiness pipe (written the moment this
+    process's accept loop is about to start)."""
+    import sys as _sys
+
+    server = make_http_server(batcher, host, port, reload_any=reload_any,
+                              listen_fd=listen_fd)
+    monitor = None
+    if max_rss_mb:
+        monitor = RecycleMonitor(
+            server, batcher, max_rss_mb,
+            recycle_argv if recycle_argv is not None else _sys.argv,
+            hard_factor=max_rss_hard_factor, verbose=verbose,
+        ).start()
     if verbose:
         print(f"serving {batcher.session.source} on http://{host}:{port} "
-              f"(buckets {batcher.session.buckets})")
+              f"(buckets {batcher.session.buckets}"
+              + (f", rss cap {max_rss_mb} MB" if max_rss_mb else "")
+              + ")", flush=True)
+    if ready_fd is not None:
+        # tell the retiring predecessor we are about to accept; it
+        # keeps accepting too until this byte lands, so no gap
+        try:
+            os.write(ready_fd, b"R")
+            os.close(ready_fd)
+        except OSError:
+            pass
     try:
-        server.serve_forever()
+        while True:
+            server.serve_forever()
+            if monitor is not None and monitor.should_resume():
+                # hard-capped accept pause for a handoff that failed —
+                # take the accept loop back; the queued backlog drains
+                if verbose:
+                    print("recycle: handoff failed under hard cap — "
+                          "accepting again", flush=True)
+                continue
+            break
     except KeyboardInterrupt:
         pass
     finally:
+        if monitor is not None:
+            monitor.stop()
+            if monitor.retiring:
+                # successor owns the socket now; drain and fall through
+                # to a normal exit
+                monitor.finish_retire()
         server.server_close()
         batcher.stop()

@@ -4,6 +4,7 @@ capability — the reference's deployment surface is unpickle-the-module
 (tone_bias_model.py:305-338)."""
 
 import json
+import os
 import threading
 import urllib.error
 import urllib.request
@@ -843,3 +844,298 @@ def test_reload_watcher_tracks_best_file(tmp_path):
     finally:
         stop.set()
         thread.join(timeout=5)
+
+
+# -- bounded-memory recycle (--max-rss-mb) ---------------------------------
+
+
+class _FakeChild:
+    """Stands in for the spawned successor process in handoff tests."""
+
+    def __init__(self, exit_code=None):
+        self._exit_code = exit_code
+        self.killed = False
+
+    def poll(self):
+        return self._exit_code
+
+    def kill(self):
+        self.killed = True
+        self._exit_code = -9
+
+    def wait(self, timeout=None):
+        return self._exit_code
+
+
+def test_recycle_handoff_retires_after_successor_ready(session):
+    """RSS over the cap → successor spawned with the listening socket +
+    readiness pipe; the OLD server keeps accepting until the ready byte
+    lands, then retires: accept loop stops, draining responses close
+    connections, queued work completes. Nothing is dropped."""
+    from skin_image_analysis_tpu.serve.server import (
+        RecycleMonitor,
+        make_http_server,
+    )
+
+    batcher = DynamicBatcher(session, window_ms=1.0).start()
+    server = make_http_server(batcher, "127.0.0.1", 0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    spawns: list[tuple] = []
+    ready_w: list[int] = []
+
+    def spawn_fn(argv, pass_fds, env):
+        # simulate fd inheritance: hold a dup of the write pipe like a
+        # real child would, so the monitor's own close doesn't EOF it
+        ready_w.append(os.dup(pass_fds[1]))
+        spawns.append((list(argv), tuple(pass_fds), dict(env)))
+        return _FakeChild()
+
+    monitor = RecycleMonitor(
+        server, batcher, max_rss_mb=1,
+        argv=["cli/tone_bias_serve.py", "exp", "--port", "0",
+              "--listen-fd", "99", "--ready-fd", "98"],
+        interval_s=0.05, grace_s=2.0,
+        # over the 1 MB soft cap, under the 1.5 MB hard cap: the old
+        # server must keep accepting through the whole handoff
+        rss_fn=lambda: 1200,
+        spawn_fn=spawn_fn, verbose=False,
+    ).start()
+
+    # wait for the spawn; the old server must STILL be accepting while
+    # the successor warms (the whole point of the handoff)
+    for _ in range(100):
+        if spawns:
+            break
+        threading.Event().wait(0.05)
+    assert spawns and not monitor.retiring
+    rng = np.random.default_rng(0)
+    port = server.socket.getsockname()[1]
+    img = rng.integers(0, 255, (SIZE, SIZE, 3), np.uint8)
+    got = _post(f"http://127.0.0.1:{port}/predict", img.tobytes(),
+                "application/octet-stream")
+    assert got["class"] in ("benign", "malignant")
+
+    # a request already submitted must complete through the retirement
+    fut = batcher.submit(img)
+
+    os.write(ready_w[0], b"R")  # successor signals: accepting now
+    os.close(ready_w[0])
+    t.join(timeout=10)  # monitor's shutdown() stops serve_forever
+    assert not t.is_alive() and monitor.triggered and monitor.retiring
+    assert server.draining
+    assert monitor.trigger_rss_kb and monitor.trigger_rss_kb > 1024
+
+    monitor.finish_retire()
+    res = fut.result(timeout=10)  # drained, not dropped
+    assert "pred" in res
+    with pytest.raises(RuntimeError, match="stopped"):
+        batcher.submit(img)
+
+    argv, pass_fds, env = spawns[0]
+    fd = server.socket.fileno()
+    # stale --listen-fd/--ready-fd pairs replaced with the live fds
+    assert "99" not in argv and "98" not in argv
+    i = argv.index("--listen-fd")
+    assert argv[i + 1] == str(fd) and pass_fds[0] == fd
+    j = argv.index("--ready-fd")
+    assert argv[j + 1] == str(pass_fds[1])
+    assert env["SIA_SERVE_RECYCLES"] == "1"
+    assert "SIA_SERVE_RECYCLED_AT" in env
+    # the listening socket is still open (the successor owns it now)
+    assert server.socket.getsockname()[1] != 0
+    server.server_close()
+
+
+def test_recycle_hard_cap_pauses_then_retires(session):
+    """RSS blowing the HARD cap during a slow handoff pauses the accept
+    loop (connections queue in the backlog); when the successor then
+    becomes ready the old process retires without a second shutdown."""
+    from skin_image_analysis_tpu.serve.server import (
+        RecycleMonitor,
+        make_http_server,
+    )
+
+    batcher = DynamicBatcher(session, window_ms=1.0).start()
+    server = make_http_server(batcher, "127.0.0.1", 0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    ready_w: list[int] = []
+
+    def spawn_fn(argv, pass_fds, env):
+        ready_w.append(os.dup(pass_fds[1]))
+        return _FakeChild()
+
+    monitor = RecycleMonitor(
+        server, batcher, max_rss_mb=1,  # hard cap 1.5 MB: always over
+        argv=["cli/tone_bias_serve.py", "exp"],
+        interval_s=0.05, grace_s=2.0, handoff_timeout_s=30.0,
+        spawn_fn=spawn_fn, verbose=False,
+    ).start()
+
+    # the hard cap fires on the first 1 s handoff tick: accept loop
+    # stops while the successor is still warming
+    t.join(timeout=15)
+    assert not t.is_alive() and monitor.hard_stopped
+    assert not monitor.retiring  # successor not ready yet
+
+    os.write(ready_w[0], b"R")
+    os.close(ready_w[0])
+    for _ in range(100):
+        if monitor.retiring:
+            break
+        threading.Event().wait(0.05)
+    assert monitor.retiring and server.draining
+    assert monitor.should_resume() is False  # retire, don't resume
+    monitor.finish_retire()
+    server.server_close()
+
+
+def test_recycle_hard_cap_resumes_on_failed_handoff(session):
+    """Hard-capped accept pause + successor death → should_resume()
+    hands the accept loop back and queued/new connections are served
+    again (availability is never sacrificed to the recycle)."""
+    from skin_image_analysis_tpu.serve.server import (
+        RecycleMonitor,
+        make_http_server,
+    )
+
+    batcher = DynamicBatcher(session, window_ms=1.0).start()
+    server = make_http_server(batcher, "127.0.0.1", 0)
+    port = server.socket.getsockname()[1]
+
+    children: list[_FakeChild] = []
+    held_pipes: list[int] = []
+
+    def spawn_fn(argv, pass_fds, env):
+        # hold the ready pipe open like a live child would, but never
+        # write it: the handoff must fail by TIMEOUT, not pipe EOF
+        held_pipes.append(os.dup(pass_fds[1]))
+        children.append(_FakeChild())
+        return children[-1]
+
+    monitor = RecycleMonitor(
+        server, batcher, max_rss_mb=1,
+        argv=["cli/tone_bias_serve.py", "exp"],
+        interval_s=0.05, grace_s=2.0, handoff_timeout_s=2.5,
+        cooldown_s=300.0,  # no second attempt inside this test
+        spawn_fn=spawn_fn, verbose=False,
+    ).start()
+
+    served = threading.Event()
+
+    def serve_loop():  # serve_http's main-thread structure
+        while True:
+            server.serve_forever()
+            if monitor.should_resume():
+                served.set()
+                continue
+            break
+
+    t = threading.Thread(target=serve_loop, daemon=True)
+    t.start()
+    try:
+        # hard stop → successor times out at 2.5 s → resume
+        assert served.wait(timeout=30)
+        assert children and children[0].killed
+        assert monitor.handoffs_failed == 1 and not monitor.retiring
+        assert not server.draining
+
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 255, (SIZE, SIZE, 3), np.uint8)
+        got = _post(f"http://127.0.0.1:{port}/predict", img.tobytes(),
+                    "application/octet-stream")
+        assert got["class"] in ("benign", "malignant")
+        monitor.stop()
+    finally:
+        for fd in held_pipes:
+            os.close(fd)
+        server.shutdown()
+        t.join(timeout=10)
+        server.server_close()
+        batcher.stop()
+
+
+def test_recycle_handoff_failure_keeps_serving(session):
+    """A successor that dies before becoming ready must NOT take the
+    old daemon down: the monitor reaps it, keeps serving, and retries
+    after the cooldown."""
+    from skin_image_analysis_tpu.serve.server import (
+        RecycleMonitor,
+        make_http_server,
+    )
+
+    batcher = DynamicBatcher(session, window_ms=1.0).start()
+    server = make_http_server(batcher, "127.0.0.1", 0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        spawned = threading.Event()
+
+        def spawn_fn(argv, pass_fds, env):
+            spawned.set()
+            return _FakeChild(exit_code=1)  # dies immediately
+
+        monitor = RecycleMonitor(
+            server, batcher, max_rss_mb=1,
+            argv=["cli/tone_bias_serve.py", "exp"],
+            interval_s=0.05, grace_s=2.0, cooldown_s=30.0,
+            spawn_fn=spawn_fn, verbose=False,
+        ).start()
+
+        assert spawned.wait(timeout=10)
+        for _ in range(100):  # the failure is recorded shortly after
+            if monitor.handoffs_failed:
+                break
+            threading.Event().wait(0.05)
+        assert monitor.handoffs_failed >= 1 and not monitor.retiring
+        assert not server.draining
+
+        # still serving after the failed handoff
+        rng = np.random.default_rng(1)
+        port = server.socket.getsockname()[1]
+        img = rng.integers(0, 255, (SIZE, SIZE, 3), np.uint8)
+        got = _post(f"http://127.0.0.1:{port}/predict", img.tobytes(),
+                    "application/octet-stream")
+        assert got["class"] in ("benign", "malignant")
+        monitor.stop()
+    finally:
+        server.shutdown()
+        server.server_close()
+        batcher.stop()
+
+
+def test_listen_fd_adoption(session):
+    """A recycled process adopts the inherited, already-listening
+    socket (bind_and_activate=False) and serves on it."""
+    import socket
+
+    from skin_image_analysis_tpu.serve.server import make_http_server
+
+    lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(64)
+    port = lsock.getsockname()[1]
+    fd = lsock.detach()  # hand the fd over, as across an exec
+
+    batcher = DynamicBatcher(session, window_ms=1.0).start()
+    server = make_http_server(batcher, "127.0.0.1", 0, listen_fd=fd)
+    assert server.server_port == port
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 255, (SIZE, SIZE, 3), np.uint8)
+        got = _post(f"http://127.0.0.1:{port}/predict", img.tobytes(),
+                    "application/octet-stream")
+        assert got["class"] in ("benign", "malignant")
+        health = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=10).read())
+        assert "recycles" in health
+    finally:
+        server.shutdown()
+        server.server_close()
+        batcher.stop()

@@ -47,7 +47,7 @@ def main(argv: list[str]) -> int:
         del argv[i : i + 2]
     names = argv or ["resnet50", "xception"]
     batch = int(os.environ.get("BENCH_BATCH", "128"))
-    image = 224
+    image = int(os.environ.get("BENCH_IMAGE", "224"))  # 512/1024 sweeps
 
     import jax
     import jax.numpy as jnp
