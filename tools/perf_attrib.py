@@ -94,6 +94,9 @@ def main() -> int:
     p.add_argument("--moments", default="", help="adam moment dtype override")
     p.add_argument("--pre-dtype", default="",
                    help="Pallas preprocess output dtype (stepp stages)")
+    p.add_argument("--image-size", type=int, default=224,
+                   help="model input H=W (canonical decode = max(256, this)"
+                        " — matches the train CLI's rule)")
     args = p.parse_args()
     stages = args.stages or ["step", "scan", "fwd", "fwdbwd", "opt", "pre"]
 
@@ -107,10 +110,11 @@ def main() -> int:
     from skin_image_analysis_tpu.train.state import create_train_state
     from skin_image_analysis_tpu.train.step import make_train_step
 
-    B, canonical, image_size = args.batch_size, 256, 224
+    B, image_size = args.batch_size, args.image_size
+    canonical = max(256, image_size)
     results: dict[str, float] = {}
 
-    model_cfg = ModelConfig(compute_dtype="bfloat16")
+    model_cfg = ModelConfig(compute_dtype="bfloat16", image_size=image_size)
     state, model = create_train_state(
         model_cfg,
         OptimConfig(learning_rate=1e-5,
