@@ -77,9 +77,9 @@ def best_hyperparameters() -> dict[str, Any]:
         "linear_out_0": 227,
         "linear_out_1": 80,
         "linear_out_2": 86,
-        "dropout_0": 0.47527332768442945,
-        "dropout_1": 0.33620826828861754,
-        "dropout_2": 0.2683939182510959,
+        "dropout_0": 0.4750108276372097,
+        "dropout_1": 0.33605861431570366,
+        "dropout_2": 0.26780264501531464,
         "optimizer": "adam",
         "lr": 0.03627331743927454,
     }

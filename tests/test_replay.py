@@ -39,9 +39,9 @@ _REFERENCE_WINNER = {
     "n_units_linear_l0": 227,
     "n_units_linear_l1": 80,
     "n_units_linear_l2": 86,
-    "dropout_l0": 0.47527332768442945,
-    "dropout_l1": 0.33620826828861754,
-    "dropout_l2": 0.2683939182510959,
+    "dropout_l0": 0.4750108276372097,
+    "dropout_l1": 0.33605861431570366,
+    "dropout_l2": 0.26780264501531464,
     "optimizer": "Adam",
     "lr": 0.03627331743927454,
     "TRIALS": 100,
@@ -61,7 +61,7 @@ def test_parse_reference_format(tmp_path):
             json.loads(f.read())
     params = parse_reference_artifact(path)
     assert params["n_units_l0"] == 192
-    assert params["dropout_l1"] == pytest.approx(0.33620826828861754)
+    assert params["dropout_l1"] == pytest.approx(0.33605861431570366)
     assert params["optimizer"] == "Adam"  # bare word, unquoted by writer
     assert params["DEVICE"] == "mps"
     assert params["lr"] == pytest.approx(0.03627331743927454)
