@@ -336,8 +336,12 @@ def main() -> int:
             return jnp.asarray(
                 rngx.standard_normal(shape, np.float32), jnp.bfloat16)
 
-        # (input side, in_ch, out_ch, kernel) per conv block
-        block_shapes = [(224, 3, 32, 7), (112, 32, 64, 3), (56, 64, 128, 3)]
+        # (input side, in_ch, out_ch, kernel) per conv block — spatial
+        # sides follow --image-size (s, s/2, s/4), as in the model
+        s0 = image_size
+        block_shapes = [
+            (s0, 3, 32, 7), (s0 // 2, 32, 64, 3), (s0 // 4, 64, 128, 3),
+        ]
 
         for i, (s_in, c_in, c_out, k) in enumerate(block_shapes):
             xin = rand((B, s_in, s_in, c_in))
@@ -367,7 +371,8 @@ def main() -> int:
         # SelectAndScatter backward
         import flax.linen as nn
 
-        for s_io, c in [(224, 32), (112, 64), (56, 128)]:
+        for s_io, c in [(image_size, 32), (image_size // 2, 64),
+                        (image_size // 4, 128)]:
             xin = rand((B, s_io, s_io, c))
 
             @jax.jit
@@ -383,7 +388,7 @@ def main() -> int:
             emit(f"pool{s_io}x{c}_fwdbwd", ms)
 
         # MLP stack (flatten -> 512 -> 256 -> head) fwd+bwd
-        flat = rand((B, 28 * 28 * 128))
+        flat = rand((B, (s0 // 8) ** 2 * 128))
         mlp_params = {k: v for k, v in p.items() if not k.startswith("Conv")}
 
         @jax.jit
@@ -414,7 +419,8 @@ def main() -> int:
 
         rngx = np.random.default_rng(5)
 
-        for s_io, c in [(224, 32), (112, 64), (56, 128)]:
+        for s_io, c in [(image_size, 32), (image_size // 2, 64),
+                        (image_size // 4, 128)]:
             xin = jnp.asarray(
                 rngx.standard_normal((B, s_io, s_io, c), np.float32),
                 jnp.bfloat16)
@@ -448,6 +454,12 @@ def main() -> int:
 
     # ---- fused phase-conv0 Pallas kernel vs XLA packed path ----
     if "pconv0" in stages:
+        if image_size != 224:
+            raise SystemExit(
+                "pconv0 compares the record 224-pinned Pallas phase-conv0 "
+                "kernel (ops/pallas/convblock_kernel.py); rerun without "
+                f"--image-size {image_size} or drop the pconv0 stage"
+            )
         from skin_image_analysis_tpu.ops.pallas.convblock_kernel import (
             fused_phase_conv0,
         )
