@@ -35,18 +35,22 @@ weights), so it is exclusive with ``--watch``/``--mesh``.
 ``--max-rss-mb N`` bounds the daemon's memory: through the axon remote
 relay every host→device transfer leaks ~its own bytes of host RSS
 (docs/PERF.md §Serving memory), so a long-running daemon grows without
-bound. When RSS crosses the cap the daemon spawns a successor with the
-LISTENING SOCKET inherited (``--listen-fd``/``--ready-fd``, internal)
-and KEEPS SERVING until the successor has re-warmed and starts
-accepting — a zero-downtime handoff; only then does it drain in-flight
-requests and exit. The successor prints the measured handoff window
-(which is overlap, not unavailability). ``GET /healthz`` reports
-``recycles``. Because the old process serves — and keeps leaking —
-through the successor's warm-up, a HARD cap at 1.5x the soft cap
-backstops slow warms: crossing it pauses the accept loop (connections
-queue in the kernel backlog; bounded memory, no failures) until the
-successor takes over, and accepts resume automatically if the handoff
-fails.
+bound. The daemon spawns a successor with the LISTENING SOCKET
+inherited (``--listen-fd``/``--ready-fd``, internal) BEFORE the cap
+is reached — the handoff starts predictively at
+``cap − leak_rate × 1.5 × warm_s`` (leak rate estimated live; warm_s
+is this incarnation's own measured start→serving time) — and KEEPS
+SERVING until the successor has re-warmed and starts accepting, a
+zero-downtime handoff; only then does it drain in-flight requests and
+exit. The successor prints the measured handoff window (which is
+overlap, not unavailability). ``GET /healthz`` reports ``recycles``;
+``GET /stats`` shows the live trigger line (``recycle.trigger_kb``),
+leak estimate, and warm budget. Should the leak outrun the forecast
+and RSS reach the stated cap mid-handoff, the accept loop pauses
+(connections queue in the kernel backlog; bounded memory, no
+failures) until the successor takes over, and accepts resume
+automatically if the handoff fails — so the cap holds as an actual
+bound either way.
 
 The reference's deployment surface is "unpickle the module"
 (tone_bias_model.py:305-338); this is its production-serving
@@ -67,15 +71,18 @@ enable_compilation_cache()
 
 
 def main(argv: list[str] | None = None) -> int:
+    import time as _time
+
     from skin_image_analysis_tpu.cli._common import parse
 
+    warm_t0 = _time.time()  # session build + bucket compiles start here
     argv = list(sys.argv[1:] if argv is None else argv)
     positional, opts = parse(
         argv,
         {"host": "127.0.0.1", "port": 8000, "max-batch": 64,
          "window-ms": 2.0, "warm": "", "mesh": 0, "watch": 0.0,
          "quantize": "", "calib-root": "", "calib-rows": 256,
-         "calib-mode": "max", "max-rss-mb": 0, "max-rss-hard-factor": 1.5,
+         "calib-mode": "max", "max-rss-mb": 0,
          "listen-fd": -1, "ready-fd": -1},
         bool_flags={"no-warm", "reload-any", "best"},
     )
@@ -206,9 +213,12 @@ def main(argv: list[str] | None = None) -> int:
     if recycled_at is not None:
         # the predecessor spawned us at this stamp and KEPT SERVING
         # through our whole warm-up — this window is overlap, not
-        # unavailability (it retires once we write the ready byte)
+        # unavailability (it retires once we write the ready byte).
+        # Count OUR warm from that stamp too (includes interpreter
+        # start — what the NEXT handoff must actually budget for).
         import time
 
+        warm_t0 = float(recycled_at)
         window = time.time() - float(recycled_at)
         print(f"recycle handoff: {window:.1f}s spawn-to-serving, "
               "predecessor served throughout "
@@ -218,8 +228,8 @@ def main(argv: list[str] | None = None) -> int:
                reload_any=bool(opts["reload-any"]),
                listen_fd=listen_fd if listen_fd >= 0 else None,
                max_rss_mb=int(opts["max-rss-mb"]),
-               max_rss_hard_factor=float(opts["max-rss-hard-factor"]),
-               ready_fd=ready_fd if ready_fd >= 0 else None)
+               ready_fd=ready_fd if ready_fd >= 0 else None,
+               warm_started_at=warm_t0)
     return 0
 
 

@@ -628,25 +628,38 @@ class RecycleMonitor:
        drains the batcher, and lets the process exit.
 
     Because the old process serves (and leaks) through the successor's
-    whole warm-up, the soft cap alone bounds nothing when the warm is
-    slow — measured live: at ~28 req/s of 224² pixels the old process
-    leaked ~3.4 MB/s for the 15+ min a congested-window bucket compile
-    took, a ~3 GB excursion per handoff. So a HARD cap
-    (``hard_factor x max_rss_mb``) backstops the wait: crossing it
-    stops the accept loop — connections queue in the kernel backlog
-    (bounded memory, queuing latency, no failures) until the successor
-    takes over. If the successor instead dies or misses
-    ``handoff_timeout_s``, the old process resumes accepting (the
-    backlog drains) and retries after ``cooldown_s`` — availability is
-    never sacrificed to the recycle itself. Size ``handoff_timeout_s``
-    to your platform's worst-case warm (through the axon relay: tens of
-    minutes). ``rss_fn`` / ``spawn_fn`` exist for tests."""
+    whole warm-up, a cap that only fires when RSS CROSSES it bounds
+    nothing when the warm is slow — measured live: at ~28 req/s of 224²
+    pixels the old process leaked ~3.4 MB/s for the 15+ min a
+    congested-window bucket compile took, a ~3 GB excursion per
+    handoff. So the trigger is PREDICTIVE: the monitor estimates the
+    live leak rate (EWMA of ΔRSS per tick) and starts the handoff at
+
+        max_rss_mb − leak_rate × (safety × warm_s)
+
+    where ``warm_s`` is this incarnation's own measured start→ready
+    time (each successor re-measures under current relay conditions).
+    The headroom is clamped to at most half the cap — if the projected
+    leak exceeds that, the cap is undersized for the offered load and
+    the monitor says so. Should RSS still reach the stated cap during
+    the handoff (leak outran the forecast), the accept loop pauses —
+    connections queue in the kernel backlog (bounded memory, queuing
+    latency, no failures) until the successor takes over. Net effect:
+    ``--max-rss-mb`` is an actual bound (± one ``interval_s`` tick of
+    leak), not a trigger with an unbounded excursion. If the successor
+    instead dies or misses ``handoff_timeout_s``, the old process
+    resumes accepting (the backlog drains) and retries after
+    ``cooldown_s`` — availability is never sacrificed to the recycle
+    itself. Size ``handoff_timeout_s`` to your platform's worst-case
+    warm (through the axon relay: tens of minutes). ``rss_fn`` /
+    ``spawn_fn`` exist for tests."""
 
     def __init__(self, server, batcher: DynamicBatcher,
                  max_rss_mb: int, argv: list[str],
                  interval_s: float = 5.0, grace_s: float = 600.0,
                  handoff_timeout_s: float = 3600.0,
-                 cooldown_s: float = 60.0, hard_factor: float = 1.5,
+                 cooldown_s: float = 60.0, warm_s: float = 300.0,
+                 safety: float = 1.5, leak_alpha: float = 0.3,
                  rss_fn=None, spawn_fn=None, verbose: bool = True):
         self.server = server
         self.batcher = batcher
@@ -656,7 +669,10 @@ class RecycleMonitor:
         self.grace_s = float(grace_s)
         self.handoff_timeout_s = float(handoff_timeout_s)
         self.cooldown_s = float(cooldown_s)
-        self.hard_rss_kb = int(hard_factor * self.max_rss_kb)
+        self.warm_s = float(warm_s)
+        self.safety = float(safety)
+        self.leak_alpha = float(leak_alpha)
+        self.leak_kb_s = 0.0
         self.rss_fn = rss_fn or process_rss_kb
         self.spawn_fn = spawn_fn
         self.verbose = verbose
@@ -666,9 +682,42 @@ class RecycleMonitor:
         self.want_resume = False
         self.handoffs_failed = 0
         self.trigger_rss_kb: int | None = None
+        self._last_sample: tuple[float, int] | None = None
+        self._warned_undersized = False
         self._stop = threading.Event()
         self._concluded = threading.Event()
         self._thread: threading.Thread | None = None
+
+    def threshold_kb(self) -> int:
+        """The predictive trigger line: cap − forecast leak over a
+        (safety-padded) successor warm, clamped to [cap/2, cap]."""
+        headroom = self.leak_kb_s * self.safety * self.warm_s
+        return int(max(self.max_rss_kb / 2,
+                       self.max_rss_kb - headroom))
+
+    def _observe(self, rss: int) -> None:
+        """Fold one RSS sample into the leak-rate EWMA."""
+        now = time.monotonic()
+        if self._last_sample is not None:
+            t0, r0 = self._last_sample
+            dt = now - t0
+            if dt > 0:
+                rate = max(0.0, (rss - r0) / dt)
+                self.leak_kb_s += self.leak_alpha * (rate - self.leak_kb_s)
+        self._last_sample = (now, rss)
+        if (not self._warned_undersized
+                and self.leak_kb_s * self.safety * self.warm_s
+                > self.max_rss_kb / 2):
+            self._warned_undersized = True
+            if self.verbose:
+                print(
+                    "recycle: projected leak over one handoff "
+                    f"({self.leak_kb_s:.0f} kB/s x {self.safety:.1f} x "
+                    f"{self.warm_s:.0f}s warm) exceeds half the "
+                    f"{self.max_rss_kb} kB cap — the cap is undersized "
+                    "for this load; RSS may queue accepts at the cap "
+                    "during handoffs (size per docs/OPERATIONS.md)",
+                    flush=True)
 
     def start(self) -> "RecycleMonitor":
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -681,14 +730,21 @@ class RecycleMonitor:
     def _run(self) -> None:
         while not self._stop.wait(self.interval_s):
             rss = self.rss_fn()
-            if rss is None or rss <= self.max_rss_kb:
+            if rss is None:
+                continue
+            self._observe(rss)
+            threshold = self.threshold_kb()
+            if rss <= threshold:
                 continue
             self.triggered = True
             self.trigger_rss_kb = rss
             if self.verbose:
-                print(f"recycle: rss {rss} kB > {self.max_rss_kb} kB "
-                      "cap — spawning successor (this process keeps "
-                      "serving until it is warm)", flush=True)
+                print(f"recycle: rss {rss} kB > trigger {threshold} kB "
+                      f"(cap {self.max_rss_kb} kB − forecast "
+                      f"{self.leak_kb_s:.0f} kB/s x {self.safety:.1f} x "
+                      f"{self.warm_s:.0f}s warm) — spawning successor "
+                      "(this process keeps serving until it is warm)",
+                      flush=True)
             self._concluded.clear()
             if self._handoff():
                 # successor is accepting on the shared socket — retire.
@@ -783,15 +839,18 @@ class RecycleMonitor:
                     break
                 if not self.hard_stopped:
                     rss = self.rss_fn()
-                    if rss is not None and rss > self.hard_rss_kb:
-                        # leaking through a slow warm blew the hard cap:
-                        # stop accepting; connections queue in the
-                        # kernel backlog until the successor (or a
-                        # resume on failure) picks them up
+                    if rss is not None:
+                        self._observe(rss)
+                    if rss is not None and rss > self.max_rss_kb:
+                        # the leak outran the predictive headroom and
+                        # reached the stated cap: stop accepting;
+                        # connections queue in the kernel backlog until
+                        # the successor (or a resume on failure) picks
+                        # them up — RSS stays at ~the cap
                         self.hard_stopped = True
                         if self.verbose:
-                            print(f"recycle: rss {rss} kB > hard cap "
-                                  f"{self.hard_rss_kb} kB during "
+                            print(f"recycle: rss {rss} kB reached the "
+                                  f"{self.max_rss_kb} kB cap during "
                                   "handoff — pausing accepts "
                                   "(connections queue in the backlog)",
                                   flush=True)
@@ -976,6 +1035,18 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                                 break
                 except OSError:
                     pass
+                monitor = getattr(self.server, "recycle_monitor", None)
+                if monitor is not None:
+                    # the live predictive-recycle state: where the next
+                    # handoff will start and why (--max-rss-mb contract)
+                    snap["recycle"] = {
+                        "cap_kb": monitor.max_rss_kb,
+                        "trigger_kb": monitor.threshold_kb(),
+                        "leak_kb_s": round(monitor.leak_kb_s, 1),
+                        "warm_s": round(monitor.warm_s, 1),
+                        "safety": monitor.safety,
+                        "handoffs_failed": monitor.handoffs_failed,
+                    }
                 self._send(200, snap)
             else:
                 self._send(404, {"error": f"no route {self.path}"})
@@ -1118,31 +1189,41 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
 def serve_http(batcher: DynamicBatcher, host: str = "127.0.0.1",
                port: int = 8000, verbose: bool = True,
                reload_any: bool = False, listen_fd: int | None = None,
-               max_rss_mb: int = 0, max_rss_hard_factor: float = 1.5,
-               recycle_argv: list[str] | None = None,
-               ready_fd: int | None = None) -> None:
+               max_rss_mb: int = 0, recycle_argv: list[str] | None = None,
+               ready_fd: int | None = None,
+               warm_started_at: float | None = None) -> None:
     """Run the HTTP server until interrupted.
 
-    ``max_rss_mb`` > 0 arms the :class:`RecycleMonitor`: when process
-    RSS crosses the cap the daemon spawns a warm successor over
-    ``recycle_argv`` (default ``sys.argv``) with the listening socket
-    inherited, keeps serving until the successor accepts, then drains
-    and exits — bounded memory with zero downtime under the relay's
-    per-transfer RSS leak (docs/PERF.md §Serving memory). ``listen_fd``
-    adopts such an inherited socket on the way back up; ``ready_fd``
-    is the predecessor's readiness pipe (written the moment this
-    process's accept loop is about to start)."""
+    ``max_rss_mb`` > 0 arms the :class:`RecycleMonitor`: the daemon
+    spawns a warm successor over ``recycle_argv`` (default
+    ``sys.argv``) with the listening socket inherited BEFORE the cap
+    is reached (predictively, from the live leak rate and this
+    process's own measured warm time), keeps serving until the
+    successor accepts, then drains and exits — the cap is an actual
+    RSS bound with zero downtime under the relay's per-transfer RSS
+    leak (docs/PERF.md §Serving memory). ``listen_fd`` adopts such an
+    inherited socket on the way back up; ``ready_fd`` is the
+    predecessor's readiness pipe (written the moment this process's
+    accept loop is about to start). ``warm_started_at`` is when this
+    process began building its session (CLI entry / predecessor spawn
+    time); start→now is the measured warm used to size the next
+    handoff's predictive headroom."""
     import sys as _sys
 
     server = make_http_server(batcher, host, port, reload_any=reload_any,
                               listen_fd=listen_fd)
     monitor = None
     if max_rss_mb:
+        # this incarnation's own warm time, measured under CURRENT
+        # relay conditions, forecasts the successor's
+        measured_warm = (time.time() - warm_started_at
+                         if warm_started_at else 300.0)
         monitor = RecycleMonitor(
             server, batcher, max_rss_mb,
             recycle_argv if recycle_argv is not None else _sys.argv,
-            hard_factor=max_rss_hard_factor, verbose=verbose,
+            warm_s=max(60.0, measured_warm), verbose=verbose,
         ).start()
+        server.recycle_monitor = monitor
     if verbose:
         print(f"serving {batcher.session.source} on http://{host}:{port} "
               f"(buckets {batcher.session.buckets}"

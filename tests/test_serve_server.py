@@ -868,10 +868,11 @@ class _FakeChild:
 
 
 def test_recycle_handoff_retires_after_successor_ready(session):
-    """RSS over the cap → successor spawned with the listening socket +
-    readiness pipe; the OLD server keeps accepting until the ready byte
-    lands, then retires: accept loop stops, draining responses close
-    connections, queued work completes. Nothing is dropped."""
+    """RSS over the predictive trigger line (below the cap) → successor
+    spawned with the listening socket + readiness pipe; the OLD server
+    keeps accepting until the ready byte lands, then retires: accept
+    loop stops, draining responses close connections, queued work
+    completes. Nothing is dropped."""
     from skin_image_analysis_tpu.serve.server import (
         RecycleMonitor,
         make_http_server,
@@ -892,14 +893,18 @@ def test_recycle_handoff_retires_after_successor_ready(session):
         spawns.append((list(argv), tuple(pass_fds), dict(env)))
         return _FakeChild()
 
+    # growing-then-plateau RSS: the ramp gives the monitor a live leak
+    # estimate (predictive trigger fires below the cap), the plateau at
+    # 900 kB stays under the 1024 kB cap so the old server must keep
+    # accepting through the whole handoff
+    ticks = iter(range(10_000))
+
     monitor = RecycleMonitor(
         server, batcher, max_rss_mb=1,
         argv=["cli/tone_bias_serve.py", "exp", "--port", "0",
               "--listen-fd", "99", "--ready-fd", "98"],
         interval_s=0.05, grace_s=2.0,
-        # over the 1 MB soft cap, under the 1.5 MB hard cap: the old
-        # server must keep accepting through the whole handoff
-        rss_fn=lambda: 1200,
+        rss_fn=lambda: min(300 + 100 * next(ticks), 900),
         spawn_fn=spawn_fn, verbose=False,
     ).start()
 
@@ -925,7 +930,9 @@ def test_recycle_handoff_retires_after_successor_ready(session):
     t.join(timeout=10)  # monitor's shutdown() stops serve_forever
     assert not t.is_alive() and monitor.triggered and monitor.retiring
     assert server.draining
-    assert monitor.trigger_rss_kb and monitor.trigger_rss_kb > 1024
+    # predictive: the handoff started BELOW the stated cap
+    assert monitor.trigger_rss_kb and monitor.trigger_rss_kb < 1024
+    assert monitor.trigger_rss_kb > monitor.max_rss_kb // 2 - 1
 
     monitor.finish_retire()
     res = fut.result(timeout=10)  # drained, not dropped
@@ -948,10 +955,87 @@ def test_recycle_handoff_retires_after_successor_ready(session):
     server.server_close()
 
 
-def test_recycle_hard_cap_pauses_then_retires(session):
-    """RSS blowing the HARD cap during a slow handoff pauses the accept
-    loop (connections queue in the backlog); when the successor then
-    becomes ready the old process retires without a second shutdown."""
+def test_recycle_predictive_threshold_math(session):
+    """threshold_kb(): cap when no leak observed; cap − leak×safety×warm
+    once a rate is estimated; clamped at cap/2 (undersized-cap floor)."""
+    from skin_image_analysis_tpu.serve.server import (
+        RecycleMonitor,
+        make_http_server,
+    )
+
+    batcher = DynamicBatcher(session, window_ms=1.0).start()
+    server = make_http_server(batcher, "127.0.0.1", 0)
+    try:
+        monitor = RecycleMonitor(
+            server, batcher, max_rss_mb=100,  # cap 102400 kB
+            argv=["x"], warm_s=100.0, safety=1.5, leak_alpha=1.0,
+            rss_fn=lambda: None, verbose=False,
+        )
+        # no samples: trigger at the cap itself
+        assert monitor.threshold_kb() == 102400
+        # two samples 1 s apart, +200 kB → 200 kB/s (alpha=1 adopts it)
+        monitor._last_sample = (0.0, 1000)
+        now = monitor._last_sample[0]
+        import time as _time
+
+        real_monotonic = _time.monotonic
+        _time.monotonic = lambda: now + 1.0
+        try:
+            monitor._observe(1200)
+        finally:
+            _time.monotonic = real_monotonic
+        assert monitor.leak_kb_s == pytest.approx(200.0)
+        # 102400 − 200×1.5×100 = 72400
+        assert monitor.threshold_kb() == 72400
+        # a huge warm clamps at cap/2 and flags the cap as undersized
+        monitor.warm_s = 10_000.0
+        assert monitor.threshold_kb() == 51200
+    finally:
+        server.server_close()
+        batcher.stop()
+
+
+def test_recycle_stats_surface(session):
+    """GET /stats exposes the live predictive-recycle state (trigger
+    line, leak estimate, warm budget) when --max-rss-mb is armed."""
+    import urllib.request
+
+    from skin_image_analysis_tpu.serve.server import (
+        RecycleMonitor,
+        make_http_server,
+    )
+
+    batcher = DynamicBatcher(session, window_ms=1.0).start()
+    server = make_http_server(batcher, "127.0.0.1", 0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        monitor = RecycleMonitor(
+            server, batcher, max_rss_mb=4096, argv=["x"],
+            warm_s=120.0, rss_fn=lambda: 1000, verbose=False,
+        )
+        server.recycle_monitor = monitor  # serve_http wires this
+        port = server.socket.getsockname()[1]
+        stats = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=10).read())
+        rec = stats["recycle"]
+        assert rec["cap_kb"] == 4096 * 1024
+        assert rec["trigger_kb"] == monitor.threshold_kb()
+        assert rec["warm_s"] == 120.0
+        assert rec["safety"] == 1.5
+        assert rec["leak_kb_s"] == 0.0
+    finally:
+        server.shutdown()
+        t.join(timeout=10)
+        server.server_close()
+        batcher.stop()
+
+
+def test_recycle_cap_pauses_then_retires(session):
+    """RSS reaching the STATED cap during a slow handoff pauses the
+    accept loop (connections queue in the backlog) — the cap holds as
+    an actual bound; when the successor then becomes ready the old
+    process retires without a second shutdown."""
     from skin_image_analysis_tpu.serve.server import (
         RecycleMonitor,
         make_http_server,
@@ -969,13 +1053,13 @@ def test_recycle_hard_cap_pauses_then_retires(session):
         return _FakeChild()
 
     monitor = RecycleMonitor(
-        server, batcher, max_rss_mb=1,  # hard cap 1.5 MB: always over
+        server, batcher, max_rss_mb=1,  # real RSS: always over the cap
         argv=["cli/tone_bias_serve.py", "exp"],
         interval_s=0.05, grace_s=2.0, handoff_timeout_s=30.0,
         spawn_fn=spawn_fn, verbose=False,
     ).start()
 
-    # the hard cap fires on the first 1 s handoff tick: accept loop
+    # the cap pause fires on the first 1 s handoff tick: accept loop
     # stops while the successor is still warming
     t.join(timeout=15)
     assert not t.is_alive() and monitor.hard_stopped
@@ -993,8 +1077,8 @@ def test_recycle_hard_cap_pauses_then_retires(session):
     server.server_close()
 
 
-def test_recycle_hard_cap_resumes_on_failed_handoff(session):
-    """Hard-capped accept pause + successor death → should_resume()
+def test_recycle_cap_resumes_on_failed_handoff(session):
+    """Cap-paused accept loop + successor death → should_resume()
     hands the accept loop back and queued/new connections are served
     again (availability is never sacrificed to the recycle)."""
     from skin_image_analysis_tpu.serve.server import (
