@@ -136,11 +136,23 @@ def main(argv: list[str]) -> int:
 
         n_params = sum(x.size for x in jax.tree.leaves(state.params))
         tag = f"{name}+freeze" if freeze else name
+        # analytic contraction FLOPs (jaxpr walk — the ACTUAL executed
+        # dot/conv MACs, no device compile) -> MFU at the measured rate;
+        # train ~ 3x forward, eval = forward (bench.py convention)
+        from skin_image_analysis_tpu.utils.flops import (
+            forward_flops_per_img,
+        )
+
+        fwd_flops = forward_flops_per_img(cfg)
+        peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
+        train_mfu = (batch / train_ms * 1e3) * 3.0 * fwd_flops / peak
+        eval_mfu = (batch / eval_ms * 1e3) * fwd_flops / peak
         print(
             f"{tag}: params={n_params / 1e6:.1f}M compile={compile_s:.1f}s "
             f"train {train_ms:.1f} ms/step ({batch / train_ms * 1e3:,.0f} "
-            f"img/s/chip)  eval {eval_ms:.1f} ms ({batch / eval_ms * 1e3:,.0f} "
-            f"img/s/chip)  B={batch}@{image}"
+            f"img/s/chip, mfu {train_mfu:.3f})  eval {eval_ms:.1f} ms "
+            f"({batch / eval_ms * 1e3:,.0f} img/s/chip, mfu {eval_mfu:.3f})"
+            f"  fwd {fwd_flops / 1e9:.2f} GFLOP/img  B={batch}@{image}"
         )
 
         if scan_k:
