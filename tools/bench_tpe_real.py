@@ -96,6 +96,7 @@ def _ci90(values: np.ndarray) -> tuple[float, float]:
 
 def main(argv: list[str]) -> int:
     trials, seeds, wave, image_size, epochs = 64, 10, 8, 32, 10
+    width_max = 256  # reference protocol upper bound; shrink for smokes
     out = None
     i = 0
     while i < len(argv):
@@ -111,11 +112,13 @@ def main(argv: list[str]) -> int:
             epochs = int(argv[i + 1]); i += 1
         elif argv[i] == "--out":
             out = argv[i + 1]; i += 1
+        elif argv[i] == "--width-max":
+            width_max = int(argv[i + 1]); i += 1
         else:
             raise SystemExit(f"unknown arg {argv[i]}")
         i += 1
 
-    pixels, labels = hard_cohort(image_size=max(48, image_size))
+    pixels, labels = hard_cohort(image_size=image_size)
 
     curves: dict[str, list[list[float]]] = {"random": [], "tpe": []}
     times: list[float] = []
@@ -130,6 +133,7 @@ def main(argv: list[str]) -> int:
             study, stats = run_wave_study(
                 pixels, labels, cfg, image_size=image_size,
                 study=study, wave_size=wave, verbose=False,
+                width_range=(min(16, width_max), width_max),
             )
             dt = time.time() - t0
             times.append(dt)

@@ -97,6 +97,10 @@ def main() -> int:
     p.add_argument("--image-size", type=int, default=224,
                    help="model input H=W (canonical decode = max(256, this)"
                         " — matches the train CLI's rule)")
+    p.add_argument("--model", default="skin_cancer_list",
+                   help="registry family to attribute (step/scan/fwd/"
+                        "fwdbwd/opt/pre are model-generic; blocks/"
+                        "pools2/pconv0/stepp are flagship-only)")
     args = p.parse_args()
     stages = args.stages or ["step", "scan", "fwd", "fwdbwd", "opt", "pre"]
 
@@ -114,7 +118,15 @@ def main() -> int:
     canonical = max(256, image_size)
     results: dict[str, float] = {}
 
-    model_cfg = ModelConfig(compute_dtype="bfloat16", image_size=image_size)
+    flagship_only = {"blocks", "pools2", "pconv0", "stepp"}
+    if args.model != "skin_cancer_list" and flagship_only & set(stages):
+        raise SystemExit(
+            f"stages {sorted(flagship_only & set(stages))} probe the "
+            "flagship's layer structure; rerun them without "
+            f"--model {args.model}"
+        )
+    model_cfg = ModelConfig(name=args.model, compute_dtype="bfloat16",
+                            image_size=image_size)
     state, model = create_train_state(
         model_cfg,
         OptimConfig(learning_rate=1e-5,
@@ -230,26 +242,21 @@ def main() -> int:
     if "scan" in stages:
         K = args.scan_len
 
-        # inline step body (same math as make_train_step) so scan traces it
+        # inline step body (same math as make_train_step — the shared
+        # _loss_and_metrics core, so it is model-generic) so scan traces it
+        from skin_image_analysis_tpu.train.step import _loss_and_metrics
+
         def one_step(s, _):
             step_rng = jax.random.fold_in(s.rng, s.step)
             dropout_rng, aug_rng = jax.random.split(step_rng)
-
-            def loss_fn(params):
-                pixels = pre(batch["pixels"], aug_rng)
-                log_probs = s.apply_fn(
-                    {"params": params}, pixels, train=True,
-                    rngs={"dropout": dropout_rng},
-                )
-                labels = batch["label"]
-                picked = jnp.take_along_axis(
-                    log_probs, labels[:, None], axis=-1)[:, 0]
-                w = batch["valid"].astype(jnp.float32)
-                loss = -jnp.sum(w * picked) / jnp.maximum(jnp.sum(w), 1.0)
-                return loss
-
-            loss, grads = jax.value_and_grad(loss_fn)(s.params)
+            grad_fn = jax.value_and_grad(
+                partial(_loss_and_metrics, s.apply_fn), has_aux=True)
+            (loss, (_c, _n, new_stats)), grads = grad_fn(
+                s.params, s.batch_stats, batch, dropout_rng, None,
+                pre, aug_rng)
             s = s.apply_gradients(grads)
+            if new_stats is not None:
+                s = s.replace(batch_stats=new_stats)
             return s, loss
 
         @partial(jax.jit, donate_argnums=(0,))
@@ -261,45 +268,41 @@ def main() -> int:
         emit("scan", ms / K, f"{K} steps in one program; per-step ms")
 
     # ---- forward only ----
+    if "fwd" in stages or "fwdbwd" in stages:
+        from skin_image_analysis_tpu.train.step import _loss_and_metrics
+
     if "fwd" in stages:
         @jax.jit
-        def fwd(params, b, key):
-            pixels = pre(b["pixels"], key)
-            log_probs = state.apply_fn(
-                {"params": params}, pixels, train=True,
-                rngs={"dropout": key},
-            )
-            picked = jnp.take_along_axis(
-                log_probs, b["label"][:, None], axis=-1)[:, 0]
-            return -jnp.mean(picked)
+        def fwd(params, bstats, b, key):
+            loss, _aux = _loss_and_metrics(
+                state.apply_fn, params, bstats, b, key, None, pre, key)
+            return loss
 
         key = jax.random.key(1)
-        ms = _time_call(fwd, lambda: (state.params, batch, key), args.iters)
+        ms = _time_call(
+            fwd, lambda: (state.params, state.batch_stats, batch, key),
+            args.iters)
         emit("fwd", ms, "preprocess + forward + loss")
 
     # ---- forward + backward ----
     if "fwdbwd" in stages:
         @jax.jit
-        def fwdbwd(params, b, key):
-            def loss_fn(p):
-                pixels = pre(b["pixels"], key)
-                log_probs = state.apply_fn(
-                    {"params": p}, pixels, train=True, rngs={"dropout": key},
-                )
-                picked = jnp.take_along_axis(
-                    log_probs, b["label"][:, None], axis=-1)[:, 0]
-                return -jnp.mean(picked)
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+        def fwdbwd(params, bstats, b, key):
+            grad_fn = jax.value_and_grad(
+                partial(_loss_and_metrics, state.apply_fn), has_aux=True)
+            (loss, _aux), grads = grad_fn(params, bstats, b, key, None,
+                                          pre, key)
             return loss, grads
 
         key = jax.random.key(1)
 
-        def run(params, b, key):
-            loss, grads = fwdbwd(params, b, key)
+        def run(params, bstats, b, key):
+            loss, grads = fwdbwd(params, bstats, b, key)
             return loss
 
-        ms = _time_call(run, lambda: (state.params, batch, key), args.iters)
+        ms = _time_call(
+            run, lambda: (state.params, state.batch_stats, batch, key),
+            args.iters)
         emit("fwdbwd", ms, "preprocess + forward + backward (no update)")
 
     # ---- optimizer update only ----
@@ -311,8 +314,9 @@ def main() -> int:
         def opt_only(s, g):
             return s.apply_gradients(g), s.step
 
+        n_par = sum(x.size for x in jax.tree.leaves(state.params))
         ms = _time_call(opt_only, lambda: (fresh_state(), grads), args.iters)
-        emit("opt", ms, "adam update, 51.4M f32 params")
+        emit("opt", ms, f"adam update, {n_par / 1e6:.1f}M params")
 
     # ---- preprocess only ----
     if "pre" in stages:
