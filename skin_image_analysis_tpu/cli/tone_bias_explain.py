@@ -30,11 +30,11 @@ def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     positional, opts = parse(
         argv, {"method": "ig", "n-images": 6, "steps": 200},
-        bool_flags={"best"},
+        bool_flags={"best", "bench"},
     )
     if len(positional) != 2:
         print("Usage: <root directory of ISIC images> <experiment folder> "
-              "[--method ig|saliency|smoothgrad|gradientshap|occlusion|gradcam] [--n-images N] [--steps N]")
+              "[--method ig|saliency|smoothgrad|gradientshap|occlusion|gradcam] [--n-images N] [--steps N] [--bench]")
         return 1
     root, folder = positional
     method = opts["method"]
@@ -101,46 +101,75 @@ def main(argv: list[str] | None = None) -> int:
         def apply_fn(v, *args, **kw):
             return model.apply({**v, "batch_stats": batch_stats}, *args, **kw)
 
-    if method == "ig":
-        attr = integrated_gradients(apply_fn, params, x, preds, n_steps=n_steps)
-    elif method == "saliency":
-        attr = saliency(apply_fn, params, x, preds)
-    elif method == "smoothgrad":
-        attr = smoothgrad(apply_fn, params, x, preds, jax.random.key(0))
-    elif method == "gradientshap":
-        from skin_image_analysis_tpu.explain import gradient_shap
+    def compute():
+        if method == "ig":
+            return integrated_gradients(apply_fn, params, x, preds,
+                                        n_steps=n_steps)
+        elif method == "saliency":
+            return saliency(apply_fn, params, x, preds)
+        elif method == "smoothgrad":
+            return smoothgrad(apply_fn, params, x, preds, jax.random.key(0))
+        elif method == "gradientshap":
+            from skin_image_analysis_tpu.explain import gradient_shap
 
-        attr = gradient_shap(
-            apply_fn, params, x, preds, jax.random.key(0), n_steps=n_steps
-        )
-    elif method == "occlusion":
-        from skin_image_analysis_tpu.explain import occlusion_map
+            return gradient_shap(
+                apply_fn, params, x, preds, jax.random.key(0),
+                n_steps=n_steps
+            )
+        elif method == "occlusion":
+            from skin_image_analysis_tpu.explain import occlusion_map
 
-        patch = max(4, x.shape[1] // 7)
-        occ = np.asarray(
-            occlusion_map(apply_fn, params, x, preds,
-                          patch_size=patch, stride=max(2, patch // 2))
-        )
-        attr = jax.image.resize(
-            jnp.asarray(occ)[..., None],
-            (occ.shape[0], x.shape[1], x.shape[2], 1),
-            method="bilinear",
-        )
-    elif method == "gradcam":
-        from skin_image_analysis_tpu.explain import grad_cam_gap_head
+            patch = max(4, x.shape[1] // 7)
+            occ = np.asarray(
+                occlusion_map(apply_fn, params, x, preds,
+                              patch_size=patch, stride=max(2, patch // 2))
+            )
+            return jax.image.resize(
+                jnp.asarray(occ)[..., None],
+                (occ.shape[0], x.shape[1], x.shape[2], 1),
+                method="bilinear",
+            )
+        elif method == "gradcam":
+            from skin_image_analysis_tpu.explain import grad_cam_gap_head
 
-        if batch_stats is None and hasattr(model, "conv_features"):
-            cam = np.asarray(grad_cam(model, params, x, preds))
-        else:
-            cam = np.asarray(grad_cam_gap_head(model, variables, x, preds))
-        # upsample heatmap to image size, single channel
-        attr = jax.image.resize(
-            jnp.asarray(cam)[..., None],
-            (cam.shape[0], x.shape[1], x.shape[2], 1),
-            method="bilinear",
-        )
-    else:
+            if batch_stats is None and hasattr(model, "conv_features"):
+                cam = np.asarray(grad_cam(model, params, x, preds))
+            else:
+                cam = np.asarray(grad_cam_gap_head(model, variables, x,
+                                                   preds))
+            # upsample heatmap to image size, single channel
+            return jax.image.resize(
+                jnp.asarray(cam)[..., None],
+                (cam.shape[0], x.shape[1], x.shape[2], 1),
+                method="bilinear",
+            )
         raise SystemExit(f"unknown method {method!r}")
+
+    if opts["bench"]:
+        # through the remote relay block_until_ready returns early —
+        # the np.asarray readback is the only reliable fence, and the
+        # fetched attribution is what a user actually consumes
+        import json as _json
+        import time as _time
+
+        t0 = _time.perf_counter()
+        attr = np.asarray(compute())
+        compile_s = _time.perf_counter() - t0
+        iters = 3
+        t0 = _time.perf_counter()
+        for _ in range(iters):
+            attr = np.asarray(compute())
+        batch_s = (_time.perf_counter() - t0) / iters
+        print(_json.dumps({
+            "method": method, "n_images": int(n_images),
+            "steps": int(n_steps), "image_size": model_cfg.image_size,
+            "model": model_cfg.name,
+            "compile_s": round(compile_s - batch_s, 1),
+            "s_per_batch": round(batch_s, 3),
+            "img_per_min": round(n_images / batch_s * 60, 1),
+        }), flush=True)
+    else:
+        attr = compute()
 
     out_dir = os.path.join(folder, "explain")
     os.makedirs(out_dir, exist_ok=True)

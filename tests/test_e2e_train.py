@@ -312,3 +312,24 @@ def test_resume_follows_artifact_image_size(trained, synth_root, tmp_path):
     )
     out = run_training(resumed_cfg, verbose=False)
     assert out == folder  # trained through without a shape error
+
+
+def test_explain_cli_bench_flag(trained, synth_root, capsys):
+    """cli/tone_bias_explain.py --bench: one JSON timing line + the
+    triptychs still written (the hardware perf row's vehicle)."""
+    from skin_image_analysis_tpu.cli.tone_bias_explain import main
+
+    folder, _cfg = trained
+    rc = main([synth_root, folder, "--method", "saliency",
+               "--n-images", "2", "--bench"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    bench_lines = [json.loads(l) for l in out.splitlines()
+                   if l.startswith("{")]
+    assert len(bench_lines) == 1
+    rec = bench_lines[0]
+    assert rec["method"] == "saliency" and rec["n_images"] == 2
+    assert rec["img_per_min"] > 0 and rec["s_per_batch"] > 0
+    pngs = [l for l in out.splitlines() if l.startswith("wrote ")]
+    assert len(pngs) == 2
+    assert os.path.exists(pngs[0].split(" ", 1)[1])
