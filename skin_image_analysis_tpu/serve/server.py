@@ -758,9 +758,11 @@ class RecycleMonitor:
                 return
             self.handoffs_failed += 1
             if self.hard_stopped:
-                # accept loop was stopped at the hard cap; hand it back
-                # to serve_http's main loop (the backlog drains)
+                # accept loop was stopped at the cap; hand it back to
+                # serve_http's main loop (the backlog drains) and stop
+                # draining — this process is serving again for real
                 self.hard_stopped = False
+                self.server.draining = False
                 self.want_resume = True
             self._concluded.set()
             if self.verbose:
@@ -843,16 +845,25 @@ class RecycleMonitor:
                         self._observe(rss)
                     if rss is not None and rss > self.max_rss_kb:
                         # the leak outran the predictive headroom and
-                        # reached the stated cap: stop accepting;
-                        # connections queue in the kernel backlog until
-                        # the successor (or a resume on failure) picks
-                        # them up — RSS stays at ~the cap
+                        # reached the stated cap: stop accepting AND
+                        # mark draining — pausing accepts alone bounds
+                        # nothing against keep-alive clients (measured:
+                        # 8 persistent connections kept leaking 10 MB/s
+                        # straight through a paused accept loop to
+                        # 1.7x the cap). Draining responses carry
+                        # Connection: close, so every live socket ends
+                        # after its in-flight request and clients fall
+                        # into the kernel backlog until the successor
+                        # (or a resume on failure) picks them up — RSS
+                        # stays at ~the cap
                         self.hard_stopped = True
+                        self.server.draining = True
                         if self.verbose:
                             print(f"recycle: rss {rss} kB reached the "
                                   f"{self.max_rss_kb} kB cap during "
-                                  "handoff — pausing accepts "
-                                  "(connections queue in the backlog)",
+                                  "handoff — pausing accepts and "
+                                  "draining keep-alive connections "
+                                  "(clients queue in the backlog)",
                                   flush=True)
                         self.server.shutdown()
         finally:

@@ -1060,9 +1060,11 @@ def test_recycle_cap_pauses_then_retires(session):
     ).start()
 
     # the cap pause fires on the first 1 s handoff tick: accept loop
-    # stops while the successor is still warming
+    # stops AND the server drains (keep-alive clients would otherwise
+    # keep leaking straight through a paused accept loop — measured)
     t.join(timeout=15)
     assert not t.is_alive() and monitor.hard_stopped
+    assert server.draining  # keep-alive connections get Connection: close
     assert not monitor.retiring  # successor not ready yet
 
     os.write(ready_w[0], b"R")
@@ -1121,7 +1123,9 @@ def test_recycle_cap_resumes_on_failed_handoff(session):
     t = threading.Thread(target=serve_loop, daemon=True)
     t.start()
     try:
-        # hard stop → successor times out at 2.5 s → resume
+        # cap stop → successor times out at 2.5 s → resume; the
+        # cap-pause drain flag must be cleared again (responses no
+        # longer tell clients to disconnect)
         assert served.wait(timeout=30)
         assert children and children[0].killed
         assert monitor.handoffs_failed == 1 and not monitor.retiring
