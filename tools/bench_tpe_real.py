@@ -97,6 +97,8 @@ def _ci90(values: np.ndarray) -> tuple[float, float]:
 def main(argv: list[str]) -> int:
     trials, seeds, wave, image_size, epochs = 64, 10, 8, 32, 10
     width_max = 256  # reference protocol upper bound; shrink for smokes
+    sample_size = 300
+    label_noise, base_gap, noise_px = 0.15, 30, 60
     out = None
     i = 0
     while i < len(argv):
@@ -114,27 +116,50 @@ def main(argv: list[str]) -> int:
             out = argv[i + 1]; i += 1
         elif argv[i] == "--width-max":
             width_max = int(argv[i + 1]); i += 1
+        elif argv[i] == "--sample-size":
+            sample_size = int(argv[i + 1]); i += 1
+        elif argv[i] == "--label-noise":
+            label_noise = float(argv[i + 1]); i += 1
+        elif argv[i] == "--base-gap":
+            base_gap = int(argv[i + 1]); i += 1
+        elif argv[i] == "--noise-px":
+            noise_px = int(argv[i + 1]); i += 1
         else:
             raise SystemExit(f"unknown arg {argv[i]}")
         i += 1
 
-    pixels, labels = hard_cohort(image_size=image_size)
+    pixels, labels = hard_cohort(
+        image_size=image_size, base_gap=base_gap, noise=noise_px,
+        label_noise=label_noise,
+    )
 
     curves: dict[str, list[list[float]]] = {"random": [], "tpe": []}
     times: list[float] = []
     for seed in range(seeds):
         for name in ("random", "tpe"):
-            sampler = (TPESampler(seed=seed) if name == "tpe"
-                       else RandomSampler(seed=seed))
-            study = create_study("maximize", sampler=sampler)
             cfg = HpoConfig(trials=trials, epochs=epochs, batch_size=32,
-                            sample_size=300, seed=seed)
+                            sample_size=sample_size, seed=seed)
             t0 = time.time()
-            study, stats = run_wave_study(
-                pixels, labels, cfg, image_size=image_size,
-                study=study, wave_size=wave, verbose=False,
-                width_range=(min(16, width_max), width_max),
-            )
+            for attempt in (1, 2):
+                try:
+                    # fresh study per attempt: a retried study must not
+                    # append onto a partially-told history
+                    study = create_study(
+                        "maximize",
+                        sampler=(TPESampler(seed=seed) if name == "tpe"
+                                 else RandomSampler(seed=seed)))
+                    study, stats = run_wave_study(
+                        pixels, labels, cfg, image_size=image_size,
+                        study=study, wave_size=wave, verbose=False,
+                        width_range=(min(16, width_max), width_max),
+                    )
+                    break
+                except Exception as e:  # transient relay read errors
+                    if attempt == 2 or "remote_compile" not in str(e):
+                        raise
+                    print(json.dumps({"seed": seed, "sampler": name,
+                                      "retry": str(e)[:120]}), flush=True)
+                    time.sleep(30)
             dt = time.time() - t0
             times.append(dt)
             curve = best_so_far_curve(study, trials)
@@ -151,7 +176,9 @@ def main(argv: list[str]) -> int:
                     "hard synthetic tone cohort",
         "trials": trials, "seeds": seeds, "wave": wave,
         "image_size": image_size, "epochs": epochs,
-        "sample_size": 300, "batch_size": 32,
+        "sample_size": sample_size, "batch_size": 32,
+        "cohort": {"base_gap": base_gap, "noise": noise_px,
+                   "label_noise": label_noise},
         "samplers": {},
     }
     arrs = {k: np.asarray(v) for k, v in curves.items()}
