@@ -7,7 +7,11 @@ Usage (reference: tone_bias_train.py:176-182, README.md:103-112)::
     python cli/tone_bias_train.py tone 20 balance
 
 Extra (optional) flags after the positional args: ``--seed N``,
-``--batch-size N``, ``--lr F``, ``--augment``, ``--bf16/--fp32``,
+``--batch-size N``, ``--lr F``, ``--optimizer adam|adamw|rmsprop|sgd``
+(the search space's optimizer choices, tone_bias_optuna.py:239; sgd
+also carries no moment state — the fit-on-one-chip choice at extreme
+resolutions, docs/PERF.md §Full resolution), ``--augment``,
+``--bf16/--fp32``,
 ``--checkpoint-every N`` (periodic full-state snapshots),
 ``--auto-resume N`` (elastic supervision: on a crash, locate the
 experiment folder and resume the remaining epochs, up to N restarts;
@@ -45,6 +49,8 @@ def _optim_config(lr: float, class_weights: str, opts: dict) -> "OptimConfig":
     map to OptimConfig (StepLR equivalent, tone_bias_train.py:377)."""
     kw = dict(
         learning_rate=lr,
+        **({"optimizer": opts["optimizer"]} if opts.get("optimizer")
+           else {}),
         lr_schedule=opts["lr-schedule"],
         lr_step_size=opts["lr-step-size"],
         lr_gamma=opts["lr-gamma"],
@@ -73,6 +79,7 @@ def main(argv: list[str] | None = None) -> int:
          "chunk-size": 2048, "class-weights": "", "lr-schedule": "",
          "lr-step-size": 0, "lr-gamma": 0.1, "lr-decay-steps": 0,
          "lr-warmup-steps": 0, "moment-dtype": "", "nu-dtype": "",
+         "optimizer": "",
          "steps-per-dispatch": 8, "auto-resume": 0,
          "checkpoint-every": 0, "from-hpo": "",
          "keep-best": "", "early-stop": 0},

@@ -689,11 +689,30 @@ def run_training(cfg: TrainConfig, verbose: bool = True) -> str:
                 def _arena(split, store):
                     if early_commit and split in early_arenas:
                         return early_arenas[split]
-                    return store.to_device(arena_sharding)
+                    try:
+                        return store.to_device(arena_sharding)
+                    except Exception as e:  # jaxlib RuntimeError family
+                        if "RESOURCE_EXHAUSTED" not in str(e):
+                            raise
+                        # HBM is spoken for (params/opt/program at
+                        # extreme resolutions — measured: the 1024²
+                        # flagship's 4.3 GB dense leaves no room for
+                        # the test arena at B=8). Degrade THIS split to
+                        # host-resident batches instead of crashing:
+                        # slower (per-batch host link) but it trains.
+                        if verbose:
+                            print(f"arena commit for '{split}' exceeds "
+                                  "free device memory — falling back "
+                                  "to host-resident batches for this "
+                                  "split (docs/PERF.md §Full "
+                                  "resolution)", flush=True)
+                        return None
 
                 train_arena = _arena("train", train_store)
                 test_arena = _arena("test", test_store)
-                if verbose:
+                if verbose and (
+                    train_arena is not None or test_arena is not None
+                ):
                     print(f"device-cached {total_bytes / 1e6:.0f} MB of images")
 
         train_loader = BatchIterator(

@@ -333,3 +333,21 @@ def test_explain_cli_bench_flag(trained, synth_root, capsys):
     pngs = [l for l in out.splitlines() if l.startswith("wrote ")]
     assert len(pngs) == 2
     assert os.path.exists(pngs[0].split(" ", 1)[1])
+
+
+def test_arena_commit_oom_falls_back_to_host_batches(
+        synth_root, tmp_path, monkeypatch, capsys):
+    """RESOURCE_EXHAUSTED on the device-arena commit degrades that
+    split to host-resident batches instead of crashing (measured: the
+    1024² flagship's state leaves no HBM for the test arena)."""
+    from skin_image_analysis_tpu.data import loader as loader_mod
+
+    def boom(self, sharding=None):
+        raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error (fake)")
+
+    monkeypatch.setattr(loader_mod.HostImageStore, "to_device", boom)
+    cfg = _tiny_cfg(synth_root, tmp_path)
+    folder = run_training(cfg, verbose=True)
+    out = capsys.readouterr().out
+    assert "falling back to host-resident batches" in out
+    assert os.path.exists(os.path.join(folder, "session_model.msgpack"))
