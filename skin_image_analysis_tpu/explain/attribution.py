@@ -212,10 +212,16 @@ def grad_cam_gap_head(
     )
     flat = _flatten_intermediates(inter["intermediates"])
     if activation_key is None:
-        # last 4-D activation below the top level (final block output)
+        # last 4-D activation of a TOP-LEVEL block module (final block
+        # output). Top-level means exactly one path segment before the
+        # __call__ leaf — nested Conv_0/BatchNorm_0 sows sit deeper.
+        # Name-agnostic on purpose: resnet18 sows BasicBlock_N,
+        # resnet50 Bottleneck_N, xception XceptionBlock_N (a
+        # "Block_\d+" search silently missed Bottleneck, found driving
+        # the resnet50 Grad-CAM bench on hardware).
         cands = [
             (k, v) for k, v in flat.items()
-            if v.ndim == 4 and re.search(r"Block_\d+/__call__$", k)
+            if v.ndim == 4 and re.fullmatch(r"\w+_\d+/__call__", k)
         ]
         if not cands:
             raise ValueError(f"no block activations found in {list(flat)}")
@@ -246,7 +252,7 @@ def grad_cam_gap_head(
 def _block_index(key: str) -> int:
     import re
 
-    m = re.search(r"Block_(\d+)/__call__$", key)
+    m = re.search(r"_(\d+)/__call__$", key)
     return int(m.group(1)) if m else -1
 
 

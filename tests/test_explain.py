@@ -184,3 +184,22 @@ def test_attribution_accepts_batchnorm_variables():
     occ = occlusion_map(model.apply, variables, x, target,
                         patch_size=16, stride=16)
     assert occ.shape[0] == 2 and bool(jnp.all(jnp.isfinite(occ)))
+
+
+def test_grad_cam_gap_head_resnet50_bottleneck():
+    """Bottleneck-named blocks (resnet50) must be found by the
+    activation matcher — a 'Block_N' substring search silently missed
+    them (found on hardware driving the explain bench)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from skin_image_analysis_tpu.explain import grad_cam_gap_head
+    from skin_image_analysis_tpu.models.resnet import resnet50
+
+    model = resnet50(compute_dtype="float32")
+    x = jax.random.uniform(jax.random.key(3), (1, 32, 32, 3))
+    variables = model.init(jax.random.key(0), x, train=False)
+    target = jnp.asarray([1], jnp.int32)
+    cam = np.asarray(grad_cam_gap_head(model, dict(variables), x, target))
+    assert cam.shape[0] == 1 and np.isfinite(cam).all()
+    assert cam.min() >= 0.0 and cam.max() <= 1.0 + 1e-6
