@@ -205,20 +205,25 @@ def grad_cam_gap_head(
     """
     import re
 
-    _, inter = model.apply(
-        variables, x, train=False,
-        capture_intermediates=lambda mdl, name: name == "__call__",
-        mutable=["intermediates"],
-    )
-    flat = _flatten_intermediates(inter["intermediates"])
     if activation_key is None:
-        # last 4-D activation of a TOP-LEVEL block module (final block
-        # output). Top-level means exactly one path segment before the
-        # __call__ leaf — nested Conv_0/BatchNorm_0 sows sit deeper.
-        # Name-agnostic on purpose: resnet18 sows BasicBlock_N,
-        # resnet50 Bottleneck_N, xception XceptionBlock_N (a
-        # "Block_\d+" search silently missed Bottleneck, found driving
-        # the resnet50 Grad-CAM bench on hardware).
+        # Discover the capture key from SHAPES ONLY (jax.eval_shape —
+        # nothing executes): the last 4-D activation of a TOP-LEVEL
+        # block module (final block output). Top-level means exactly
+        # one path segment before the __call__ leaf — nested
+        # Conv_0/BatchNorm_0 sows sit deeper. Name-agnostic on
+        # purpose: resnet18 sows BasicBlock_N, resnet50 Bottleneck_N,
+        # xception XceptionBlock_N (a "Block_\d+" search silently
+        # missed Bottleneck, found driving the resnet50 Grad-CAM
+        # bench on hardware).
+        _, inter = jax.eval_shape(
+            lambda v, a: model.apply(
+                v, a, train=False,
+                capture_intermediates=lambda mdl, name: name == "__call__",
+                mutable=["intermediates"],
+            ),
+            variables, x,
+        )
+        flat = _flatten_intermediates(inter["intermediates"])
         cands = [
             (k, v) for k, v in flat.items()
             if v.ndim == 4 and re.fullmatch(r"\w+_\d+/__call__", k)
@@ -228,7 +233,22 @@ def grad_cam_gap_head(
         activation_key = max(
             cands, key=lambda kv: _block_index(kv[0])
         )[0]
-    activation = flat[activation_key]
+    # one compiled program: capture forward + closed-form head grad +
+    # CAM (the eager form paid one relay dispatch per op through the
+    # backbone — measured 2.2 s/batch for resnet50, docs/PERF.md
+    # §Explain-path)
+    return _gap_head_cam(model, variables, x, target, activation_key)
+
+
+@partial(jax.jit, static_argnames=("model", "activation_key"))
+def _gap_head_cam(model, variables, x, target, activation_key):
+    _, inter = model.apply(
+        variables, x, train=False,
+        capture_intermediates=lambda mdl, name: name == "__call__",
+        mutable=["intermediates"],
+    )
+    activation = _flatten_intermediates(
+        inter["intermediates"])[activation_key]
 
     head_params = variables["params"]["Dense_0"]
     w = head_params["kernel"].astype(jnp.float32)
