@@ -167,3 +167,24 @@ def test_predict_cli_honors_input_convention(synth_root, tmp_path):
     base = pd.read_csv(base_csv)["p_malignant"].to_numpy()
     moved = pd.read_csv(affine_csv)["p_malignant"].to_numpy()
     assert not np.allclose(base, moved)
+
+
+def test_train_cli_optimizer_flag():
+    """--optimizer threads through _optim_config to OptimConfig (added
+    for the 1024²-canonical single-chip config, docs/PERF.md §Full
+    resolution); empty default leaves the OptimConfig default."""
+    from skin_image_analysis_tpu.cli.tone_bias_train import _optim_config
+
+    cfg = _optim_config(1e-3, "", {
+        "optimizer": "sgd", "lr-schedule": "", "lr-step-size": 0,
+        "lr-gamma": 0.1, "lr-decay-steps": 0, "lr-warmup-steps": 0,
+        "moment-dtype": "", "nu-dtype": "",
+    })
+    assert cfg.optimizer == "sgd" and cfg.learning_rate == 1e-3
+
+    default = _optim_config(1e-3, "", {
+        "optimizer": "", "lr-schedule": "", "lr-step-size": 0,
+        "lr-gamma": 0.1, "lr-decay-steps": 0, "lr-warmup-steps": 0,
+        "moment-dtype": "", "nu-dtype": "",
+    })
+    assert default.optimizer == type(default)().optimizer
