@@ -389,3 +389,17 @@ def test_replay_random_configs_architecture(ref, seed):
         compute_dtype="float32",
     )
     _assert_arch_match(ref, ref_params, model_cfg)
+
+
+def test_confusion_matrix_sanity_error_both_ways(ref):
+    """An instance whose prediction is outside {benign, malignant}
+    falls through every branch; BOTH implementations raise the same
+    partition-sum ValueError (tone_bias_test.py:269-272)."""
+    from skin_image_analysis_tpu.metrics import fairness
+
+    instances = _cohort(seed=3, n=8)
+    instances[0] = dict(instances[0], prediction="unknown")
+    with pytest.raises(ValueError):
+        ref.test.confusion_matrix(dict(instances))
+    with pytest.raises(ValueError):
+        fairness.confusion_matrix(dict(instances))
