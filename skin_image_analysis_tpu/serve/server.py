@@ -119,6 +119,8 @@ class InferenceSession:
         self.mesh = mesh
         self._lock = threading.Lock()
         self.compiled: set[int] = set()
+        self._warming: set[int] = set()
+        self._warm_lock = threading.Lock()
 
     # -- constructors ----------------------------------------------------
 
@@ -271,18 +273,80 @@ class InferenceSession:
     # -- calls ------------------------------------------------------------
 
     def _bucket(self, n: int) -> int:
+        """Smallest bucket ≥ n, PREFERRING already-compiled buckets: a
+        cold mid-ladder bucket is a 30-90 s compile stall on the
+        request's critical path through the remote-compile relay, while
+        padding up to a warmed bucket costs microseconds of zero rows
+        (measured r5: a `--warm 1,8` daemon held 16-client traffic to
+        ~55 req/s against ~142 with usable larger buckets). The exact
+        bucket still wins when it is warm, and still compiles when no
+        warmed bucket can hold the batch."""
+        exact = None
         for b in self.buckets:
             if n <= b:
+                exact = b
+                break
+        if exact is None:
+            return self.buckets[-1]
+        if exact in self.compiled:
+            return exact
+        for b in self.buckets:
+            if n <= b and b in self.compiled:
                 return b
-        return self.buckets[-1]
+        return exact
 
     def warm(self, buckets: Sequence[int] | None = None) -> None:
         """Pre-compile the bucket ladder on zeros (smallest first — the
         compile-order effect measured in docs/PERF.md §Cold start)."""
         for b in sorted(buckets or self.buckets):
-            self.predict(np.zeros(
+            self._run_bucket(np.zeros(
                 (b, self.image_size, self.image_size, self.in_channels),
                 np.uint8))
+
+    def _run_bucket(self, pixels: np.ndarray) -> dict:
+        """Dispatch one exactly-bucket-sized batch (no bucket
+        redirection) under the serving lock."""
+        b = pixels.shape[0]
+        with self._lock:
+            if self._weights is not None:
+                out = self._jit(self._weights, jnp.asarray(pixels))
+            else:
+                out = self._jit(jnp.asarray(pixels))
+            out = jax.device_get(out)
+            self.compiled.add(b)
+        return out
+
+    def _warm_in_background(self, bucket: int) -> None:
+        """Compile ``bucket`` on a daemon thread, OFF the serving lock
+        (a first-hit compile under the lock stalls ALL traffic 30-90 s
+        through the remote-compile relay). jax dispatch is thread-safe;
+        the bucket joins ``compiled`` only after a full round-trip."""
+        with self._warm_lock:
+            if bucket in self.compiled or bucket in self._warming:
+                return
+            self._warming.add(bucket)
+
+        def _go():
+            try:
+                zeros = jnp.asarray(np.zeros(
+                    (bucket, self.image_size, self.image_size,
+                     self.in_channels), np.uint8))
+                with self._lock:
+                    weights = self._weights
+                if weights is not None:
+                    out = self._jit(weights, zeros)
+                else:
+                    out = self._jit(zeros)
+                jax.device_get(out)
+                with self._warm_lock:
+                    self.compiled.add(bucket)
+            except Exception:
+                pass  # the exact bucket stays cold; redirection continues
+            finally:
+                with self._warm_lock:
+                    self._warming.discard(bucket)
+
+        threading.Thread(target=_go, daemon=True).start()
 
     def predict(self, pixels: np.ndarray) -> dict[str, np.ndarray]:
         pixels = np.asarray(pixels, np.uint8)
@@ -297,16 +361,18 @@ class InferenceSession:
             return {k: np.concatenate([c[k] for c in chunks])
                     for k in chunks[0]}
         b = self._bucket(n)
+        exact = next((x for x in self.buckets if n <= x),
+                     self.buckets[-1])
+        if b != exact:
+            # served on a warmed larger bucket this time; converge the
+            # steady state back to the exact bucket (its padded rows
+            # also pad the host->device TRANSFER) by compiling it OFF
+            # the serving lock
+            self._warm_in_background(exact)
         if n < b:
             pad = np.zeros((b - n,) + pixels.shape[1:], pixels.dtype)
             pixels = np.concatenate([pixels, pad])
-        with self._lock:
-            if self._weights is not None:
-                out = self._jit(self._weights, jnp.asarray(pixels))
-            else:
-                out = self._jit(jnp.asarray(pixels))
-            out = jax.device_get(out)
-            self.compiled.add(b)
+        out = self._run_bucket(pixels)
         return {k: np.asarray(v)[:n] for k, v in out.items()}
 
     def reload_weights(self, folder: str | None = None,

@@ -1227,3 +1227,51 @@ def test_listen_fd_adoption(session):
         server.shutdown()
         server.server_close()
         batcher.stop()
+
+
+def test_prefer_warm_bucket_and_background_converge(exp_folder):
+    """A batch whose exact bucket is COLD serves immediately on a
+    warmed larger bucket (a first-hit compile under the serving lock
+    stalls ALL traffic 30-90 s through the relay), and the exact
+    bucket compiles in the background so the steady state converges
+    to it (its padded rows also pad the host->device transfer)."""
+    import time
+
+    sess = InferenceSession.from_experiment(exp_folder, max_batch=8)
+    sess.warm([1, 8])
+    assert sess.compiled == {1, 8}
+
+    fg, bg = [], []
+    orig = sess._jit
+    main = threading.current_thread()
+
+    def spy(*args):
+        (fg if threading.current_thread() is main else bg).append(
+            args[-1].shape[0])
+        return orig(*args)
+
+    sess._jit = spy
+    rng = np.random.default_rng(5)
+    pixels = rng.integers(0, 255, (3, SIZE, SIZE, 3), np.uint8)
+    out = sess.predict(pixels)
+    assert out["pred"].shape == (3,)
+    # the foreground call rode the warmed 8-bucket, not a cold 4
+    assert fg == [8]
+    # the background warm converges the exact bucket (off-main thread)
+    deadline = time.time() + 60
+    while 4 not in sess.compiled and time.time() < deadline:
+        time.sleep(0.2)
+    assert 4 in sess.compiled and bg == [4]
+    # steady state now uses the exact bucket
+    fg.clear()
+    ref = sess.predict(pixels)
+    assert fg == [4]
+    np.testing.assert_allclose(out["log_probs"], ref["log_probs"],
+                               atol=1e-5)
+
+    # with NO warmed bucket that can hold the batch, the exact bucket
+    # compiles inline as before
+    cold = InferenceSession.from_experiment(exp_folder, max_batch=8)
+    cold.warm([1])
+    out2 = cold.predict(pixels)
+    assert out2["pred"].shape == (3,) and 4 in cold.compiled
